@@ -1,0 +1,27 @@
+"""Preconditioners (math-solvers/src/preconditioners/).
+
+TPU mapping decisions (see SURVEY.md §2.10):
+
+- Jacobi (diagonal.rs:20): elementwise multiply — unchanged.
+- ILU(0): factorization stays on host (sequential by nature,
+  ilu.rs:16-36); the *apply* uses fixed-point (Jacobi) iterations on the
+  triangular factors instead of sequential substitution, following the
+  reference's own parallel variant (ilu_parallel.rs:374
+  IluFixedPointPreconditioner) — a few ELL matvecs, ideal for the VPU.
+  The graph-coloring variant (ilu_parallel.rs:5) is intentionally not
+  ported: level-scheduled triangular solves serialize on TPU; fixed-point
+  sweeps are the hardware-appropriate equivalent.
+- Block-Jacobi / additive Schwarz (schwarz.rs:31-125): equal-size padded
+  row blocks with batched dense LU — vmap over blocks = one batched
+  solve on the MXU.
+"""
+
+from mathaudio_tpu.solvers.preconditioners.basic import (  # noqa: F401
+    identity_preconditioner,
+    jacobi_preconditioner,
+)
+from mathaudio_tpu.solvers.preconditioners.ilu import IluFixedPoint, ilu0_factor  # noqa: F401
+from mathaudio_tpu.solvers.preconditioners.schwarz import (  # noqa: F401
+    AdditiveSchwarz,
+    BlockJacobi,
+)
