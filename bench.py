@@ -1,0 +1,114 @@
+"""Headline benchmark: FEM Helmholtz room frequency sweep (assembly +
+preconditioned GMRES), DoF-solves per second.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (matches BASELINE.md north-star "Helmholtz FEM assembly DoF/s +
+GMRES solve wall-clock"): unit-cube tet mesh, absorbing walls, Gaussian
+source, batch of wavenumbers swept in one jit (fused per-frequency
+assembly K - k^2 M + ik alpha B + Jacobi-GMRES), f32/c64 on TPU.
+
+vs_baseline: ratio against the same harness on this host's CPU in f64
+(the reference implementation is Rust+rayon+OpenBLAS on CPU; jax-CPU f64
+on all cores is the closest runnable stand-in — measured once with
+`python bench.py --device cpu --calibrate`, value recorded below).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# Measured on this host: `python bench.py --device cpu --calibrate`
+# (n=20 mesh, 16 frequencies, f64, jax-CPU all cores, avg 523 GMRES iters).
+BASELINE_CPU_DOF_PER_S = 2.255e3
+
+
+def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from mathaudio_tpu.fem.mesh import unit_cube_tetrahedra
+    from mathaudio_tpu.models import RoomSweepModel
+    from mathaudio_tpu.solvers import KrylovConfig
+
+    t0 = time.perf_counter()
+    mesh = unit_cube_tetrahedra(n)
+    model = RoomSweepModel(
+        mesh,
+        wall_tags=(1, 2, 3, 4, 5, 6),
+        absorption=0.15,
+        listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
+    )
+    params = model.params()
+    t_build = time.perf_counter() - t0
+    print(
+        f"# mesh n={n}: {mesh.num_elements} tets, {mesh.num_nodes} nodes, "
+        f"build {t_build:.1f}s, device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    config = KrylovConfig(max_iterations=2000, tolerance=1e-5, restart=30)
+    sweep = model.sweep_fn(config)
+    ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
+
+    fn = jax.jit(sweep)
+    t0 = time.perf_counter()
+    p, its, conv = fn(params, ks)
+    p.block_until_ready()
+    t_compile_and_first = time.perf_counter() - t0
+    n_conv = int(jnp.sum(conv))
+    print(
+        f"# first run (incl. compile): {t_compile_and_first:.2f}s; "
+        f"converged {n_conv}/{n_freq}, iters avg {float(jnp.mean(its)):.1f}",
+        file=sys.stderr,
+    )
+    assert n_conv == n_freq, "sweep did not converge on all frequencies"
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        p, its, conv = fn(params, ks)
+        p.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t_sweep = min(times)
+    dof_solves = mesh.num_nodes * n_freq
+    value = dof_solves / t_sweep
+    print(
+        f"# steady-state sweep: {t_sweep*1e3:.1f} ms for {n_freq} freqs x "
+        f"{mesh.num_nodes} DoF -> {value:.3e} DoF/s",
+        file=sys.stderr,
+    )
+
+    if calibrate:
+        print(f"# calibration value: BASELINE_CPU_DOF_PER_S = {value:.3e}", file=sys.stderr)
+        return
+
+    print(
+        json.dumps(
+            {
+                "metric": "helmholtz_room_sweep_dof_per_s",
+                "value": round(value, 1),
+                "unit": "DoF-solves/s",
+                "vs_baseline": round(value / BASELINE_CPU_DOF_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
+    ap.add_argument("--freqs", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--calibrate", action="store_true")
+    args = ap.parse_args()
+    run(args.device, args.n, args.freqs, args.repeats, args.calibrate)

@@ -1,0 +1,243 @@
+"""IIR/FIR engine tests.
+
+Mirrors math-iir-fir in-crate tests: biquad gain at center frequency
+(mod.rs:20-24, tolerance 0.1 dB), scan-vs-sequential equivalence,
+designer cascades, exporter formats, loudness/preamp gains.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as sps
+
+from mathaudio_tpu.dsp import (
+    Biquad,
+    BiquadFilterType,
+    SRATE,
+    bw2q,
+    q2bw,
+    peq_spl,
+    compute_peq_response,
+    peq_preamp_gain,
+    peq_preamp_gain_max,
+    peq_loudness_gain,
+    peq_butterworth_lowpass,
+    peq_butterworth_highpass,
+    peq_linkwitzriley_lowpass,
+    peq_format_apo,
+    peq_format_rme_channel,
+    peq_format_rme_room,
+    peq_format_aupreset,
+    biquad_process_block,
+    biquad_cascade_block,
+    peq_coeff_matrix,
+    Fir,
+    FirFilterType,
+)
+
+FT = BiquadFilterType
+
+
+def seq_filter(bq, x, state=(0.0, 0.0, 0.0, 0.0)):
+    """Direct Form I reference implementation (numpy, sequential)."""
+    x1, x2, y1, y2 = state
+    y = np.zeros_like(x)
+    for i, xi in enumerate(x):
+        yi = bq.b0 * xi + bq.b1 * x1 + bq.b2 * x2 - bq.a1 * y1 - bq.a2 * y2
+        x2, x1 = x1, xi
+        y2, y1 = y1, yi
+        y[i] = yi
+    return y
+
+
+class TestBiquad:
+    def test_peak_gain_at_center(self):
+        # |log_result(f0) - gain| < 0.1 dB (mod.rs:20-24)
+        for gain in [-6.0, 3.0, 6.0, 12.0]:
+            bq = Biquad(FT.PEAK, 1000.0, SRATE, 1.0, gain)
+            assert abs(float(bq.log_result(1000.0)) - gain) < 0.1
+
+    def test_vs_scipy_sos(self):
+        bq = Biquad(FT.PEAK, 1000.0, SRATE, 1.4, 5.0)
+        w, h = sps.sosfreqz([[bq.b0, bq.b1, bq.b2, 1.0, bq.a1, bq.a2]], worN=512, fs=SRATE)
+        ours = np.asarray(bq.np_log_result(jnp.asarray(w[1:])))
+        ref = 20 * np.log10(np.maximum(np.abs(h[1:]), 1e-20))
+        np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+    def test_lowpass_monotone_rolloff(self):
+        bq = Biquad(FT.LOWPASS, 1000.0, SRATE, 0.0, 0.0)
+        assert abs(float(bq.log_result(20.0))) < 0.1
+        assert float(bq.log_result(10000.0)) < -30.0
+        # default Q applied
+        assert abs(bq.q - 1 / np.sqrt(2)) < 1e-12
+
+    def test_notch_forces_q30(self):
+        bq = Biquad(FT.NOTCH, 1000.0, SRATE, 2.0, 0.0)
+        assert bq.q == 30.0
+
+    def test_bw_q_roundtrip(self):
+        for q in [0.5, 0.707, 1.0, 2.0, 5.0]:
+            assert abs(bw2q(q2bw(q)) - q) < 1e-10
+
+
+class TestScanKernel:
+    def test_scan_matches_sequential(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(512)
+        bq = Biquad(FT.PEAK, 2000.0, SRATE, 1.0, 6.0)
+        y_ref = seq_filter(bq, x)
+        y, state = biquad_process_block(jnp.asarray(x), (bq.b0, bq.b1, bq.b2, bq.a1, bq.a2))
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-9)
+
+    def test_scan_state_carrying(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(256)
+        bq = Biquad(FT.HIGHPASS, 500.0, SRATE, 0.0, 0.0)
+        coeffs = (bq.b0, bq.b1, bq.b2, bq.a1, bq.a2)
+        y_full, _ = biquad_process_block(jnp.asarray(x), coeffs)
+        y1, st = biquad_process_block(jnp.asarray(x[:128]), coeffs)
+        y2, _ = biquad_process_block(jnp.asarray(x[128:]), coeffs, state=st)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(y1), np.asarray(y2)]), np.asarray(y_full), atol=1e-9
+        )
+
+    def test_cascade(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(300)
+        peq = peq_butterworth_lowpass(4, 2000.0, SRATE)
+        cm = peq_coeff_matrix(peq, dtype=jnp.float64)
+        y = np.asarray(biquad_cascade_block(jnp.asarray(x), cm))
+        y_ref = x.copy()
+        for _, bq in peq:
+            y_ref = seq_filter(bq, y_ref)
+        np.testing.assert_allclose(y, y_ref, atol=1e-8)
+
+    def test_impulse_response_matches_scipy(self):
+        bq = Biquad(FT.PEAK, 1000.0, SRATE, 1.0, 6.0)
+        imp = np.zeros(64)
+        imp[0] = 1.0
+        y, _ = biquad_process_block(jnp.asarray(imp), (bq.b0, bq.b1, bq.b2, bq.a1, bq.a2))
+        ref = sps.lfilter([bq.b0, bq.b1, bq.b2], [1.0, bq.a1, bq.a2], imp)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-12)
+
+
+class TestPeq:
+    def _peq(self):
+        return [
+            (1.0, Biquad(FT.PEAK, 100.0, SRATE, 1.0, 3.0)),
+            (1.0, Biquad(FT.PEAK, 1000.0, SRATE, 2.0, -4.0)),
+            (1.0, Biquad(FT.HIGHSHELF, 8000.0, SRATE, 0.0, 2.0)),
+        ]
+
+    def test_peq_spl_additive(self):
+        peq = self._peq()
+        freqs = jnp.asarray([100.0, 1000.0, 8000.0])
+        total = np.asarray(peq_spl(freqs, peq))
+        parts = sum(np.asarray(bq.np_log_result(freqs)) * w for w, bq in peq)
+        np.testing.assert_allclose(total, parts, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(compute_peq_response(freqs, peq, SRATE)), total, atol=1e-12
+        )
+
+    def test_preamp_gain_negative(self):
+        peq = self._peq()
+        g = peq_preamp_gain(peq)
+        assert g <= 0.0
+        g_max = peq_preamp_gain_max(peq)
+        assert g_max <= g  # worst-case is more conservative
+
+    def test_loudness_gain_sign(self):
+        boost = [(1.0, Biquad(FT.PEAK, 1000.0, SRATE, 1.0, 6.0))]
+        cut = [(1.0, Biquad(FT.PEAK, 1000.0, SRATE, 1.0, -6.0))]
+        assert peq_loudness_gain(boost, "k") < 0.0
+        assert peq_loudness_gain(cut, "k") > 0.0
+        assert peq_loudness_gain([], "k") == 0.0
+
+    def test_butterworth_crossover_sums_flat(self):
+        # LR4 LP + HP sum to flat (0 dB) — the crossover property
+        lp = peq_linkwitzriley_lowpass(4, 1000.0, SRATE)
+        from mathaudio_tpu.dsp import peq_linkwitzriley_highpass
+
+        hp = peq_linkwitzriley_highpass(4, 1000.0, SRATE)
+        freqs = jnp.logspace(jnp.log10(20.0), jnp.log10(20000.0), 100)
+        h_lp = 10 ** (np.asarray(peq_spl(freqs, lp)) / 20)
+        h_hp = 10 ** (np.asarray(peq_spl(freqs, hp)) / 20)
+        # allpass magnitude: |LP| + |HP| phase-aligned for LR
+        total_db = 20 * np.log10(h_lp + h_hp)
+        np.testing.assert_allclose(total_db, 0.0, atol=0.1)
+
+    def test_butterworth_cutoff(self):
+        for order in [2, 4, 6]:
+            lp = peq_butterworth_lowpass(order, 1000.0, SRATE)
+            at_fc = float(peq_spl(jnp.asarray([1000.0]), lp)[0])
+            assert abs(at_fc - (-3.01)) < 0.1, f"order {order}: {at_fc}"
+
+
+class TestFormats:
+    def _peq(self):
+        return [
+            (1.0, Biquad(FT.PEAK, 100.0, SRATE, 1.0, 3.0)),
+            (1.0, Biquad(FT.LOWPASS, 8000.0, SRATE, 0.0, 0.0)),
+        ]
+
+    def test_apo(self):
+        s = peq_format_apo("# test", self._peq())
+        assert "Preamp:" in s
+        assert "Filter  1: ON PK Fc   100 Hz Gain +3.00 dB Q 1.00" in s
+        assert "Filter  2: ON LP Fc  8000 Hz" in s
+
+    def test_rme_channel(self):
+        s = peq_format_rme_channel(self._peq())
+        for needle in ["<Preset>", "<Equalizer>", "LC Grade", "Band1 Freq", "</Preset>"]:
+            assert needle in s
+
+    def test_rme_room(self):
+        s = peq_format_rme_room(self._peq())
+        assert "Room EQ L" in s and "Room EQ R" in s
+        assert s.count("REQ Band9 Freq") == 2  # padded to exactly 9 bands
+
+    def test_aupreset(self):
+        s = peq_format_aupreset(self._peq(), "myeq")
+        assert "<plist" in s and "myeq" in s
+        assert "<integer>2</integer>" in s  # numberOfBands
+        import base64, re
+
+        m = re.search(r"<data>\n(.*?)\n\t</data>", s, re.S)
+        raw = base64.b64decode("".join(m.group(1).split()))
+        # header: 4 ints + float, then 81 (id, value) pairs... 80 params
+        assert len(raw) == 20 + 80 * 8
+
+
+class TestFir:
+    def test_lowpass_response(self):
+        f = Fir(FirFilterType.LOWPASS, 1000.0, SRATE, num_taps=101)
+        lo = float(f.np_log_result(jnp.asarray([100.0]))[0])
+        hi = float(f.np_log_result(jnp.asarray([5000.0]))[0])
+        assert abs(lo) < 0.1
+        assert hi < -40.0
+
+    def test_highpass_response(self):
+        f = Fir(FirFilterType.HIGHPASS, 1000.0, SRATE, num_taps=101)
+        lo = float(f.np_log_result(jnp.asarray([100.0]))[0])
+        hi = float(f.np_log_result(jnp.asarray([10000.0]))[0])
+        assert lo < -40.0
+        assert abs(hi) < 0.5
+
+    def test_process_matches_scipy(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(400)
+        f = Fir(FirFilterType.LOWPASS, 2000.0, SRATE, num_taps=51)
+        y, _ = f.process_block(jnp.asarray(x))
+        ref = sps.lfilter(f.taps, [1.0], x)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-10)
+
+    def test_block_state_carrying(self):
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal(256)
+        f = Fir(FirFilterType.BANDPASS, 2000.0, SRATE, num_taps=31, bandwidth=1000.0)
+        y_full, _ = f.process_block(jnp.asarray(x))
+        y1, st = f.process_block(jnp.asarray(x[:100]))
+        y2, _ = f.process_block(jnp.asarray(x[100:]), state=st)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(y1), np.asarray(y2)]), np.asarray(y_full), atol=1e-12
+        )
