@@ -22,8 +22,8 @@ import sys
 import time
 
 # Measured on this host: `python bench.py --device cpu --calibrate`
-# (n=20 mesh, 16 frequencies, f64, jax-CPU all cores, avg 523 GMRES iters).
-BASELINE_CPU_DOF_PER_S = 2.255e3
+# (n=20 mesh, 16 frequencies, f64, jax-CPU all cores, MG-preconditioned GMRES, avg 5 iters).
+BASELINE_CPU_DOF_PER_S = 1.970e4
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
@@ -39,8 +39,11 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
     from mathaudio_tpu.models import RoomSweepModel
     from mathaudio_tpu.solvers import KrylovConfig
 
+    from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
+
     t0 = time.perf_counter()
-    mesh = unit_cube_tetrahedra(n)
+    meshes = box_hierarchy(n, 3)  # n -> n/2 -> n/4, coarse solved dense
+    mesh = meshes[0]
     model = RoomSweepModel(
         mesh,
         wall_tags=(1, 2, 3, 4, 5, 6),
@@ -48,6 +51,7 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
         listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
     )
     params = model.params()
+    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
     t_build = time.perf_counter() - t0
     print(
         f"# mesh n={n}: {mesh.num_elements} tets, {mesh.num_nodes} nodes, "
@@ -55,8 +59,8 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
         file=sys.stderr,
     )
 
-    config = KrylovConfig(max_iterations=2000, tolerance=1e-5, restart=30)
-    sweep = model.sweep_fn(config)
+    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=30)
+    sweep = model.sweep_fn(config, mg_builder=mg.builder)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
     fn = jax.jit(sweep)

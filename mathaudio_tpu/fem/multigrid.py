@@ -1,0 +1,287 @@
+"""Geometric multigrid + shifted-Laplacian preconditioning.
+
+Counterpart of math-fem/src/multigrid/ (hierarchy.rs:85-147, cycle.rs,
+smoother.rs, transfer.rs) and the Erlangga shifted-Laplacian
+preconditioner (solver/mod.rs:1438 ShiftedLaplacianConfig).
+
+TPU shaping:
+- hierarchy on *structured* meshes by factor-2 coarsening (the reference
+  coarsens by node subsampling, hierarchy.rs:128); transfers are exact
+  multilinear interpolation stencils stored as padded ELL operators,
+- smoothing is damped Jacobi (omega = 2/3) — pure elementwise + SpMV,
+- the V-cycle recursion is unrolled over static levels inside jit,
+- the coarsest complex solve is a real-embedded dense LU (direct.py),
+- all state is pytrees of arrays (no static ints as leaves), and
+  ``build_mg_params`` is a *pure jittable function of k*, so the whole
+  preconditioner construction vmaps over a frequency batch.
+
+For indefinite Helmholtz, multigrid is applied to the *shifted* operator
+P = K - (beta1 + i beta2) k^2 M (+ absorbing boundary terms), and GMRES
+is preconditioned with one V-cycle on P — the standard complex-shifted-
+Laplacian scheme the reference implements as GmresShiftedLaplacianMg.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+from mathaudio_tpu.fem.mesh import Mesh, box_mesh_tetrahedra, rectangular_mesh_triangles
+from mathaudio_tpu.xtypes import complex_dtype_for, default_float
+
+
+def box_hierarchy(n: int, levels: int, bounds=(0.0, 1.0, 0.0, 1.0, 0.0, 1.0)) -> List[Mesh]:
+    """Fine-to-coarse nested box meshes; n must be divisible by 2^(levels-1)."""
+    assert n % (2 ** (levels - 1)) == 0, (n, levels)
+    x0, x1, y0, y1, z0, z1 = bounds
+    return [
+        box_mesh_tetrahedra(x0, x1, y0, y1, z0, z1, n >> l, n >> l, n >> l)
+        for l in range(levels)
+    ]
+
+
+def rect_hierarchy(n: int, levels: int, bounds=(0.0, 1.0, 0.0, 1.0)) -> List[Mesh]:
+    assert n % (2 ** (levels - 1)) == 0, (n, levels)
+    x0, x1, y0, y1 = bounds
+    return [rectangular_mesh_triangles(x0, x1, y0, y1, n >> l, n >> l) for l in range(levels)]
+
+
+def structured_prolongation(n_f: int, n_c: int, dim: int):
+    """P (fine x coarse) interpolation stencil for nested structured grids
+    with (n+1)^dim lexicographic nodes (x fastest, matching the mesh
+    generators); exact for P1 on nested Kuhn grids (transfer.rs:11-64).
+    Returns (idx (F, 2^dim), w (F, 2^dim)) padded with zero weights."""
+    assert n_f == 2 * n_c
+    if dim == 2:
+        jj, ii = np.meshgrid(np.arange(n_f + 1), np.arange(n_f + 1), indexing="ij")
+        coords = np.stack([ii.reshape(-1), jj.reshape(-1)], axis=1)
+    else:
+        kk, jj, ii = np.meshgrid(
+            np.arange(n_f + 1), np.arange(n_f + 1), np.arange(n_f + 1), indexing="ij"
+        )
+        coords = np.stack([ii.reshape(-1), jj.reshape(-1), kk.reshape(-1)], axis=1)
+
+    stencil = 2**dim
+    n_fine = coords.shape[0]
+    idx = np.zeros((n_fine, stencil), np.int32)
+    w = np.zeros((n_fine, stencil), np.float64)
+
+    def coarse_id(c):
+        out = 0
+        for ax in reversed(range(dim)):
+            out = out * (n_c + 1) + c[ax]
+        return out
+
+    for f in range(n_fine):
+        lo = coords[f] // 2
+        frac = coords[f] - 2 * lo  # 0 or 1 per axis
+        s = 0
+        for corner in range(stencil):
+            c = lo.copy()
+            weight = 1.0
+            ok = True
+            for ax in range(dim):
+                bit = (corner >> ax) & 1
+                if frac[ax] == 0:
+                    if bit == 1:
+                        ok = False
+                        break
+                else:
+                    c[ax] = lo[ax] + bit
+                    weight *= 0.5
+            if ok:
+                idx[f, s] = coarse_id(c)
+                w[f, s] = weight
+                s += 1
+    return idx, w
+
+
+class MgLevel(NamedTuple):
+    """All leaves are arrays (safe to pass across jit boundaries)."""
+
+    ell_indices: jnp.ndarray  # (N_l, W_l) int32
+    ell_values: jnp.ndarray  # (N_l, W_l) complex
+    inv_diag: jnp.ndarray  # (N_l,) complex
+    p_idx: jnp.ndarray  # (N_l, 2^d) prolongation from level l+1
+    p_w: jnp.ndarray  # (N_l, 2^d)
+
+
+class MgParams(NamedTuple):
+    levels: Tuple[MgLevel, ...]
+    coarse_lu: jnp.ndarray  # (2Nc, 2Nc) real-embedded LU
+    coarse_piv: jnp.ndarray
+
+
+class MgBuilderLevel(NamedTuple):
+    """Per-level frequency-independent pieces (arrays only)."""
+
+    k_vals: jnp.ndarray
+    m_vals: jnp.ndarray
+    b_sum: jnp.ndarray  # summed tagged boundary-mass values (may be zeros)
+    csr2ell: jnp.ndarray
+    ell_indices: jnp.ndarray
+    row_of_slot: jnp.ndarray
+    col_of_slot: jnp.ndarray
+    p_idx: jnp.ndarray  # zero-size dummy at the coarsest level
+    p_w: jnp.ndarray
+
+
+class MgBuilder(NamedTuple):
+    levels: Tuple[MgBuilderLevel, ...]
+
+
+class GeometricMultigrid:
+    """Host-side factory: assembles each level once, emits an MgBuilder
+    pytree; ``build_mg_params`` then assembles the preconditioner for any
+    wavenumber *inside jit*."""
+
+    def __init__(self, meshes: Sequence[Mesh], robin_tags: Sequence[int] = (), dtype=None):
+        self.dtype = dtype or default_float()
+        self.cdtype = complex_dtype_for(self.dtype)
+        self.meshes = list(meshes)
+        self.assemblers = [
+            HelmholtzAssembler(m, robin_tags=tuple(robin_tags), dtype=self.dtype)
+            for m in self.meshes
+        ]
+        lvls = []
+        for l, asm in enumerate(self.assemblers):
+            if l < len(self.meshes) - 1:
+                dim = self.meshes[l].dim
+                n_f = round(self.meshes[l].num_nodes ** (1 / dim)) - 1
+                n_c = round(self.meshes[l + 1].num_nodes ** (1 / dim)) - 1
+                p_idx, p_w = structured_prolongation(n_f, n_c, dim)
+                p_idx = jnp.asarray(p_idx)
+                p_w = jnp.asarray(p_w, self.dtype)
+            else:
+                p_idx = jnp.zeros((0, 1), jnp.int32)
+                p_w = jnp.zeros((0, 1), self.dtype)
+            b_sum = (
+                sum(asm.b_vals.values())
+                if asm.b_vals
+                else jnp.zeros_like(asm.k_vals)
+            )
+            lvls.append(
+                MgBuilderLevel(
+                    asm.k_vals,
+                    asm.m_vals,
+                    b_sum,
+                    asm.csr2ell,
+                    asm.ell_indices,
+                    asm.row_of_slot,
+                    asm.col_of_slot,
+                    p_idx,
+                    p_w,
+                )
+            )
+        self.builder = MgBuilder(tuple(lvls))
+
+
+def build_mg_params(
+    builder: MgBuilder,
+    k,
+    robin_coeff=0.0,
+    shift: Tuple[float, float] = (1.0, 0.5),
+) -> MgParams:
+    """Pure function of k: MgParams for P = K - (b1+i b2) k^2 M
+    + robin_coeff * B. jit/vmap over k to get per-frequency
+    preconditioners in a batched sweep."""
+    b1, b2 = shift
+    levels = []
+    coarse = None
+    n_levels = len(builder.levels)
+    for l, bl in enumerate(builder.levels):
+        cd = complex_dtype_for(bl.k_vals.dtype)
+        zshift = jnp.asarray(b1 + 1j * b2, cd)
+        vals = (
+            bl.k_vals.astype(cd)
+            - zshift * jnp.asarray(k**2).astype(cd) * bl.m_vals.astype(cd)
+            + jnp.asarray(robin_coeff, cd) * bl.b_sum.astype(cd)
+        )
+        n_nodes = bl.ell_indices.shape[0]
+        width = bl.ell_indices.shape[1]
+        diag_slots = bl.row_of_slot == bl.col_of_slot
+        diag = jnp.zeros(n_nodes, cd).at[bl.row_of_slot].add(jnp.where(diag_slots, vals, 0.0))
+        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+        if l < n_levels - 1:
+            ell_vals = (
+                jnp.zeros(n_nodes * width, cd).at[bl.csr2ell].set(vals).reshape(n_nodes, width)
+            )
+            levels.append(MgLevel(bl.ell_indices, ell_vals, inv_diag, bl.p_idx, bl.p_w))
+        else:
+            dense = jnp.zeros((n_nodes, n_nodes), cd).at[bl.row_of_slot, bl.col_of_slot].add(vals)
+            ar, ai = jnp.real(dense), jnp.imag(dense)
+            embedded = jnp.block([[ar, -ai], [ai, ar]])
+            lu, piv = jax.scipy.linalg.lu_factor(embedded)
+            coarse = (lu, piv)
+    return MgParams(tuple(levels), coarse[0], coarse[1])
+
+
+def _level_matvec(level: MgLevel, x):
+    gathered = jnp.take(x, level.ell_indices, axis=0)
+    return jnp.sum(level.ell_values * gathered, axis=1)
+
+
+def _prolong(level: MgLevel, xc):
+    w = level.p_w.astype(xc.dtype)
+    return jnp.sum(w * jnp.take(xc, level.p_idx, axis=0), axis=1)
+
+
+def _restrict(level: MgLevel, rf, n_coarse: int):
+    w = level.p_w.astype(rf.dtype)
+    contrib = (w * rf[:, None]).reshape(-1)
+    return jnp.zeros(n_coarse, rf.dtype).at[level.p_idx.reshape(-1)].add(contrib)
+
+
+def _coarse_solve(mgp: MgParams, r):
+    n = mgp.coarse_lu.shape[0] // 2
+    b2 = jnp.concatenate([jnp.real(r), jnp.imag(r)])
+    x2 = jax.scipy.linalg.lu_solve((mgp.coarse_lu, mgp.coarse_piv), b2)
+    return jax.lax.complex(x2[:n], x2[n:]).astype(r.dtype)
+
+
+def vcycle(mgp: MgParams, r, omega: float = 2.0 / 3.0, nu: int = 2, level: int = 0):
+    """One multigrid V-cycle: x ~ P^{-1} r (cycle.rs:23, Jacobi smoothing).
+    The recursion unrolls at trace time over static levels."""
+    if level == len(mgp.levels):
+        return _coarse_solve(mgp, r)
+    lvl = mgp.levels[level]
+    om = jnp.asarray(omega, r.dtype)
+    x = om * lvl.inv_diag * r  # first smoothing step from x = 0
+    for _ in range(nu - 1):
+        x = x + om * lvl.inv_diag * (r - _level_matvec(lvl, x))
+    res = r - _level_matvec(lvl, x)
+    n_coarse = (
+        mgp.levels[level + 1].ell_indices.shape[0]
+        if level + 1 < len(mgp.levels)
+        else mgp.coarse_lu.shape[0] // 2
+    )
+    xc = vcycle(mgp, _restrict(lvl, res, n_coarse), omega, nu, level + 1)
+    x = x + _prolong(lvl, xc)
+    for _ in range(nu):
+        x = x + om * lvl.inv_diag * (r - _level_matvec(lvl, x))
+    return x
+
+
+def solve_multigrid(mgp: MgParams, b, tol: float = 1e-8, max_cycles: int = 50):
+    """Stand-alone MG solve by repeated V-cycles (SolverType::Multigrid).
+    Valid when the (shifted) operator is MG-amenable, e.g. k below the
+    first resonance or a damped shift."""
+
+    def cond(state):
+        x, r, i = state
+        return (jnp.linalg.norm(r) > tol * jnp.linalg.norm(b)) & (i < max_cycles)
+
+    def body(state):
+        x, r, i = state
+        x = x + vcycle(mgp, r)
+        r = b - _level_matvec(mgp.levels[0], x)
+        return (x, r, i + 1)
+
+    x0 = jnp.zeros_like(b)
+    x, r, i = jax.lax.while_loop(cond, body, (x0, b, jnp.int32(0)))
+    return x, i

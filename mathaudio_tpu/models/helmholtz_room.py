@@ -45,6 +45,29 @@ class RoomParams(NamedTuple):
     listen_idx: jnp.ndarray  # (L,) int
 
 
+def system_values_of(params: RoomParams, k, absorption: float):
+    """K - k^2 M + ik*alpha*B as one fused elementwise combine."""
+    cd = params.rhs.dtype
+    return (params.k_vals - (k**2) * params.m_vals).astype(cd) + jnp.asarray(
+        1j * k * absorption
+    ).astype(cd) * params.b_sum.astype(cd)
+
+
+def operator_of(params: RoomParams, vals, num_nodes: int, ell_width: int) -> EllOperator:
+    ell_vals = (
+        jnp.zeros(num_nodes * ell_width, vals.dtype).at[params.csr2ell].set(vals)
+    ).reshape(num_nodes, ell_width)
+    return EllOperator(params.ell_indices, ell_vals, num_nodes)
+
+
+def jacobi_of(params: RoomParams, vals, num_nodes: int):
+    diag_slots = params.row_of_slot == params.col_of_slot
+    diag = jnp.zeros(num_nodes, vals.dtype).at[params.row_of_slot].add(
+        jnp.where(diag_slots, vals, 0.0)
+    )
+    return jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+
+
 def sweep_pressure(
     params: RoomParams,
     ks,
@@ -52,25 +75,31 @@ def sweep_pressure(
     config: KrylovConfig,
     num_nodes: int,
     ell_width: int,
+    mg_builder=None,
+    mg_shift=(1.0, 0.5),
 ):
     """Pure batched sweep: (F,) wavenumbers -> pressure (F, L) complex,
-    iterations (F,), converged (F,). jit/shard_map-ready."""
-    cd = params.rhs.dtype
+    iterations (F,), converged (F,). jit/shard_map-ready.
+
+    With ``mg_builder`` (fem.multigrid.MgBuilder) the solve is GMRES
+    preconditioned by a shifted-Laplacian V-cycle built per frequency
+    inside the jit; otherwise Jacobi.
+    """
 
     def one(k):
-        vals = (params.k_vals - (k**2) * params.m_vals).astype(cd) + (
-            1j * k * absorption
-        ).astype(cd) * params.b_sum.astype(cd)
-        ell_vals = (
-            jnp.zeros(num_nodes * ell_width, cd).at[params.csr2ell].set(vals)
-        ).reshape(num_nodes, ell_width)
-        op = EllOperator(params.ell_indices, ell_vals, num_nodes)
-        diag_slots = params.row_of_slot == params.col_of_slot
-        diag = jnp.zeros(num_nodes, cd).at[params.row_of_slot].add(
-            jnp.where(diag_slots, vals, 0.0)
-        )
-        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
-        sol = gmres(op.matvec, params.rhs, config=config, preconditioner=lambda x: inv_diag * x)
+        vals = system_values_of(params, k, absorption)
+        op = operator_of(params, vals, num_nodes, ell_width)
+        if mg_builder is not None:
+            from mathaudio_tpu.fem.multigrid import build_mg_params, vcycle
+
+            mgp = build_mg_params(
+                mg_builder, k, robin_coeff=1j * k * absorption, shift=mg_shift
+            )
+            pre = lambda r: vcycle(mgp, r)
+        else:
+            inv_diag = jacobi_of(params, vals, num_nodes)
+            pre = lambda x: inv_diag * x
+        sol = gmres(op.matvec, params.rhs, config=config, preconditioner=pre)
         return sol.x[params.listen_idx], sol.iterations, sol.converged
 
     return jax.vmap(one)(ks)
@@ -131,8 +160,10 @@ class RoomSweepModel:
     def params(self) -> RoomParams:
         return self._params
 
-    def sweep_fn(self, config: Optional[KrylovConfig] = None):
-        """(params, ks) -> (pressure, iterations, converged); jit this."""
+    def sweep_fn(self, config: Optional[KrylovConfig] = None, mg_builder=None):
+        """(params, ks) -> (pressure, iterations, converged); jit this.
+        Pass an fem.multigrid.MgBuilder for shifted-Laplacian V-cycle
+        preconditioning (built per frequency inside the jit)."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
         return partial(
             sweep_pressure,
@@ -140,6 +171,7 @@ class RoomSweepModel:
             config=config,
             num_nodes=self.num_nodes,
             ell_width=self.ell_width,
+            mg_builder=mg_builder,
         )
 
     def sweep(self, ks, config: Optional[KrylovConfig] = None):
