@@ -27,7 +27,21 @@ BASELINE_CPU_DOF_PER_S = 1.970e4
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
+    import os
+
     import jax
+
+    # Persistent compilation cache: the MG-GMRES sweep program is large and
+    # the remote-TPU compile is slow (~9 min cold); cached reruns are fast.
+    try:
+        cache_dir = os.environ.get(
+            "MATHAUDIO_JAX_CACHE", os.path.expanduser("~/.cache/jax_mathaudio")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # cache is best-effort
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
 
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,34 @@
+"""Surface BEM Helmholtz engine.
+
+Counterpart of the reference crate ``math-bem`` (SURVEY.md §2.5 — itself
+a port of the C++ NumCalc/Mesh2HRTF solver). TPU architecture:
+
+- constant-element collocation as *one batched pairwise kernel*: the
+  O(N^2) double element loop of tbem.rs:96-222 becomes a broadcasted
+  evaluation of the fused Green-kernel family (wave.special.all_kernels_3d)
+  over (collocation point x quadrature point) grids — dense, static
+  shapes, MXU/VPU-friendly; adaptive quadrature order becomes fixed
+  order + masking, and the singular self-terms use a static polar
+  subdivision tensor (integration/singular.rs:123's adaptive subdivision
+  made static),
+- Burton–Miller coupling with the reference's beta variants,
+- solves via dense LU (real embedding) or GMRES,
+- Kirchhoff–Helmholtz field evaluation as a second pairwise kernel.
+"""
+
+from mathaudio_tpu.bem.types import (  # noqa: F401
+    PhysicsParams,
+    BemMethod,
+    SolverMethod,
+    BemSolverConfig,
+)
+from mathaudio_tpu.bem.mesh import (  # noqa: F401
+    SurfaceMesh,
+    icosphere,
+    uv_sphere,
+    cylinder_mesh,
+)
+from mathaudio_tpu.bem.incident import IncidentField, plane_wave, point_source  # noqa: F401
+from mathaudio_tpu.bem.assembly import assemble_collocation_matrix, assemble_burton_miller  # noqa: F401
+from mathaudio_tpu.bem.solver import BemProblem, BemSolver, BemSolution  # noqa: F401
+from mathaudio_tpu.bem.postprocess import evaluate_field, FieldResult  # noqa: F401

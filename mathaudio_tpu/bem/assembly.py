@@ -1,0 +1,230 @@
+"""Dense collocation assembly — batched pairwise kernels
+(math-bem/src/core/assembly/tbem.rs and core/integration/).
+
+Exterior Neumann (rigid) boundary integral equation, time convention
+e^{-i omega t}, G = e^{ikr}/(4 pi r), normals pointing into the fluid:
+
+    (1/2) p(x) - D[p](x) = p_inc(x)                     (CBIE)
+    T[p](x) = -dp_inc/dn(x)                             (HBIE)
+
+with D the double layer (kernel dG/dn_y) and T the hypersingular
+operator (kernel n_x.grad_x (n_y.grad_y G)). Burton–Miller combines
+A = (1/2)I - D + beta T,  b = p_inc - beta dp_inc/dn  for uniqueness at
+the irregular frequencies of the CBIE (tbem.rs:96 Burton–Miller
+combination; beta variants in bem/types.py).
+
+TPU shaping (vs. the reference's per-pair adaptive quadrature,
+integration/regular.rs:275): one fixed Gauss rule over all pairs as a
+broadcast, masked diagonal; self-element singular/finite-part integrals
+are *analytic in the radial direction* (polar coordinates around the
+centroid reduce 1/r and 1/r^3 integrals to boundary line integrals),
+leaving only a low-order angular Gauss sum — the static equivalent of
+the reference's <=110-subelement polar subdivision (singular.rs:123).
+
+    S_ii = (1/4pi) sum_phi w_phi (e^{ikR} - 1)/(ik)
+    T_ii = (1/4pi) sum_phi w_phi (ik - e^{ikR}/R)      (Hadamard FP)
+
+where R(phi) is the centroid-to-edge distance along direction phi.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.bem.mesh import SurfaceMesh
+from mathaudio_tpu.fem.quadrature import gauss_1d
+from mathaudio_tpu.xtypes import complex_dtype_for, default_float
+
+
+def _pair_kernels(x, nx, y, ny, k):
+    """dG/dn_y and true hypersingular n_x.grad_x(n_y.grad_y G) for
+    broadcastable point sets. Shapes: x (..., 3), y (..., 3)."""
+    rv = y - x
+    r2 = jnp.sum(rv * rv, axis=-1)
+    r = jnp.sqrt(r2)
+    rs = jnp.where(r < 1e-15, 1.0, r)
+    cd = complex_dtype_for(r.dtype)
+    g = jnp.exp(1j * (k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
+    ik = jnp.asarray(1j * k, cd)
+    r_dot_ny = jnp.sum(rv * ny, axis=-1)
+    r_dot_nx = jnp.sum(rv * nx, axis=-1)
+    nx_dot_ny = jnp.sum(nx * ny, axis=-1)
+    dg_dny = (ik - 1.0 / rs) * g * r_dot_ny / rs
+    # true mixed second derivative (see tests/test_wave_special.py for the
+    # sign relation to the reference's NumCalc-convention kernel)
+    coef1 = ik * ik - 3.0 * ik / rs + 3.0 / r2.clip(1e-30)
+    term1 = coef1 * r_dot_nx * r_dot_ny / rs**2
+    term2 = (ik - 1.0 / rs) * nx_dot_ny / rs
+    hyper = -(term1 + term2) * g
+    return dg_dny, hyper
+
+
+def _self_angular_rule(mesh: SurfaceMesh, n_ang: int = 12):
+    """Angular quadrature around each centroid: per element, per edge,
+    Gauss points in the vertex-angle sector with exact edge distance
+    R(phi). Returns (R (N, 3*n_ang), w (N, 3*n_ang)) host arrays."""
+    pts = mesh.nodes[mesh.elements]  # (N, 3, 3)
+    c = mesh.centers  # (N, 3)
+    n = mesh.normals
+    # local in-plane orthonormal basis
+    e1 = pts[:, 0] - c
+    e1 = e1 / np.linalg.norm(e1, axis=1, keepdims=True)
+    e2 = np.cross(n, e1)
+    # vertex coords in local 2D
+    v2d = np.stack(
+        [
+            np.einsum("nd,nvd->nv", e1, pts - c[:, None, :]),
+            np.einsum("nd,nvd->nv", e2, pts - c[:, None, :]),
+        ],
+        axis=-1,
+    )  # (N, 3, 2)
+    gx, gw = gauss_1d(n_ang)
+    radii = []
+    weights = []
+    for e in range(3):
+        a = v2d[:, e]  # (N, 2)
+        b = v2d[:, (e + 1) % 3]
+        phi_a = np.arctan2(a[:, 1], a[:, 0])
+        phi_b = np.arctan2(b[:, 1], b[:, 0])
+        dphi = np.mod(phi_b - phi_a, 2 * np.pi)  # sector sweep a -> b (ccw)
+        # edge line: n_e . y = h with unit normal n_e, h > 0
+        t = b - a
+        n_e = np.stack([t[:, 1], -t[:, 0]], axis=1)
+        n_e /= np.linalg.norm(n_e, axis=1, keepdims=True)
+        h = np.einsum("nd,nd->n", n_e, a)
+        flip = h < 0
+        n_e[flip] *= -1.0
+        h = np.abs(h)
+        for q in range(n_ang):
+            phi = phi_a + (gx[q] + 1.0) / 2.0 * dphi
+            d = np.stack([np.cos(phi), np.sin(phi)], axis=1)
+            denom = np.einsum("nd,nd->n", n_e, d)
+            r_phi = h / np.maximum(denom, 1e-12)
+            radii.append(r_phi)
+            weights.append(gw[q] / 2.0 * dphi)
+    radii = np.stack(radii, axis=1)  # (N, 3*n_ang)
+    weights = np.stack(weights, axis=1)
+    return radii, weights
+
+
+def _static_pair_kernels(x, nx, y, ny):
+    """k = 0 (Laplace) limits of the pair kernels."""
+    rv = y - x
+    r2 = jnp.sum(rv * rv, axis=-1)
+    r = jnp.sqrt(r2)
+    rs = jnp.where(r < 1e-15, 1.0, r)
+    g0 = 1.0 / (4.0 * jnp.pi * rs)
+    r_dot_ny = jnp.sum(rv * ny, axis=-1)
+    r_dot_nx = jnp.sum(rv * nx, axis=-1)
+    nx_dot_ny = jnp.sum(nx * ny, axis=-1)
+    dg0 = -g0 * r_dot_ny / rs**2
+    hyp0 = -g0 * (3.0 * r_dot_nx * r_dot_ny / rs**4 - nx_dot_ny / rs**2)
+    return dg0, hyp0
+
+
+@partial(jax.jit, static_argnames=("with_bm",))
+def _assemble_jit(centers, normals, qp, qw, self_r, self_w, k, beta, with_bm):
+    """Regularized assembly with static row-sum diagonal correction
+    (tbem.rs:349/526 'row-sum diagonal correction' made exact):
+
+    D = (D_k - D_0) + D_0  with  sum_j D_0[i, j] = -1/2 exactly,
+    T = (T_k - T_0) + T_0  with  sum_j T_0[i, j] = 0 exactly,
+
+    so the poorly-converging near-singular static parts are absorbed into
+    exactly-known row sums, and only the smooth differences rely on the
+    fixed Gauss rule. Self terms of the differences are analytic in the
+    radial direction (see module docstring)."""
+    n = centers.shape[0]
+    cd = complex_dtype_for(centers.dtype)
+    x = centers[:, None, None, :]  # (N, 1, 1, 3)
+    nx = normals[:, None, None, :]
+    y = qp[None, :, :, :]  # (1, N, nq, 3)
+    ny = normals[None, :, None, :]
+    dg, hyp = _pair_kernels(x, nx, y, ny, k)  # (N, N, nq)
+    dg0, hyp0 = _static_pair_kernels(x, nx, y, ny)
+    w = qw[None, :, :].astype(cd)
+    w0 = qw[None, :, :]
+    eye = jnp.eye(n, dtype=cd)
+    off = 1.0 - eye
+    ik = jnp.asarray(1j * k, cd)
+    rr = self_r.astype(cd)
+    ww = self_w.astype(cd)
+
+    # --- double layer D
+    d_diff = jnp.sum((dg - dg0.astype(cd)) * w, axis=-1) * off
+    # self term of (D_k - D_0) vanishes for flat elements (rv . n = 0)
+    d0 = jnp.sum(dg0 * w0, axis=-1).astype(cd) * off
+    d0 = d0 + jnp.diag(-0.5 - jnp.sum(d0, axis=1))  # exact static row sum
+    d_mat = d_diff + d0
+    a = 0.5 * eye - d_mat
+
+    if with_bm:
+        t_diff = jnp.sum((hyp - hyp0.astype(cd)) * w, axis=-1) * off
+        # analytic radial self term of (T_k - T_0):
+        # (1/4pi) sum w [ik - (e^{ikR} - 1)/R]
+        t_diff_self = jnp.sum(
+            ww * (ik - (jnp.exp(ik * rr) - 1.0) / rr), axis=1
+        ) / (4.0 * jnp.pi)
+        t_diff = t_diff + jnp.diag(t_diff_self)
+        t0 = jnp.sum(hyp0 * w0, axis=-1).astype(cd) * off
+        t0 = t0 + jnp.diag(-jnp.sum(t0, axis=1))  # exact zero row sum
+        a = a + jnp.asarray(beta, cd) * (t_diff + t0)
+    return a
+
+
+def assemble_collocation_matrix(
+    mesh: SurfaceMesh, k: float, quad_order: int = 3, dtype=None
+):
+    """(1/2)I - D: plain CBIE collocation matrix (N, N) complex."""
+    dtype = dtype or default_float()
+    qp, qw = mesh.quad_points(quad_order)
+    self_r, self_w = _self_angular_rule(mesh)
+    return _assemble_jit(
+        jnp.asarray(mesh.centers, dtype),
+        jnp.asarray(mesh.normals, dtype),
+        jnp.asarray(qp, dtype),
+        jnp.asarray(qw, dtype),
+        jnp.asarray(self_r, dtype),
+        jnp.asarray(self_w, dtype),
+        k,
+        0.0,
+        False,
+    )
+
+
+def assemble_burton_miller(
+    mesh: SurfaceMesh, k: float, beta: complex, quad_order: int = 3, dtype=None
+):
+    """(1/2)I - D + beta T: Burton–Miller collocation matrix."""
+    dtype = dtype or default_float()
+    qp, qw = mesh.quad_points(quad_order)
+    self_r, self_w = _self_angular_rule(mesh)
+    return _assemble_jit(
+        jnp.asarray(mesh.centers, dtype),
+        jnp.asarray(mesh.normals, dtype),
+        jnp.asarray(qp, dtype),
+        jnp.asarray(qw, dtype),
+        jnp.asarray(self_r, dtype),
+        jnp.asarray(self_w, dtype),
+        k,
+        beta,
+        True,
+    )
+
+
+def single_layer_self_terms(mesh: SurfaceMesh, k: float, dtype=None):
+    """S_ii = (1/4pi) sum w (e^{ikR}-1)/(ik): weakly-singular self
+    integral of G, analytic radial part (used by Dirichlet problems)."""
+    dtype = dtype or default_float()
+    self_r, self_w = _self_angular_rule(mesh)
+    cd = complex_dtype_for(jnp.asarray(0.0, dtype).dtype)
+    ik = jnp.asarray(1j * k, cd)
+    r = jnp.asarray(self_r, dtype).astype(cd)
+    w = jnp.asarray(self_w, dtype).astype(cd)
+    return jnp.sum(w * (jnp.exp(ik * r) - 1.0) / ik, axis=1) / (4.0 * jnp.pi)

@@ -1,0 +1,89 @@
+"""Physics parameters and configs (math-bem/src/core/types.rs:16-216).
+
+Includes the reference's Burton–Miller beta variants (plain i/k, bounded
+i/(k+k_ref), element-size-optimal, scaled) and the solver/method enums.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+from mathaudio_tpu.xtypes import AIR_DENSITY, SPEED_OF_SOUND
+
+
+@dataclasses.dataclass
+class PhysicsParams:
+    """Frequency-domain physics (types.rs:16 PhysicsParams)."""
+
+    frequency: float
+    speed_of_sound: float = SPEED_OF_SOUND
+    density: float = AIR_DENSITY
+    is_interior: bool = False
+    harmonic_factor: float = 1.0  # tau in the reference
+
+    @property
+    def omega(self) -> float:
+        return 2.0 * math.pi * self.frequency
+
+    @property
+    def wave_number(self) -> float:
+        return self.omega / self.speed_of_sound
+
+    @classmethod
+    def from_wave_number(cls, k: float, **kw) -> "PhysicsParams":
+        c = kw.pop("speed_of_sound", SPEED_OF_SOUND)
+        return cls(frequency=k * c / (2.0 * math.pi), speed_of_sound=c, **kw)
+
+    # Burton–Miller coupling variants (types.rs:64-216)
+    def burton_miller_beta(self) -> complex:
+        """Classic beta = i/k."""
+        return 1j * self.harmonic_factor / self.wave_number
+
+    def burton_miller_beta_bounded(self, k_ref: float) -> complex:
+        """beta = i/(k + k_ref): avoids the 1/k blowup at low frequency."""
+        return 1j / (self.wave_number + k_ref)
+
+    def burton_miller_beta_optimal(self, avg_element_size: float) -> complex:
+        """Element-size-aware bound: k_ref = 1/h."""
+        return self.burton_miller_beta_bounded(1.0 / max(avg_element_size, 1e-12))
+
+    def burton_miller_beta_scaled(self, scale: float) -> complex:
+        return scale * self.burton_miller_beta()
+
+    def optimal_beta_scale(self, ka: float) -> float:
+        """Empirical scale vs ka (types.rs optimal_beta_scale): larger
+        coupling at low ka, ~1 in the geometric regime."""
+        if ka < 0.5:
+            return 4.0
+        if ka < 2.0:
+            return 2.0
+        return 1.0
+
+
+class BemMethod(enum.Enum):
+    TBEM = "tbem"  # dense collocation
+    SLFMM = "slfmm"  # single-level FMM
+    MLFMM = "mlfmm"  # multi-level FMM
+
+
+class SolverMethod(enum.Enum):
+    LU = "lu"
+    GMRES = "gmres"
+    GMRES_ILU = "gmres_ilu"
+    BICGSTAB = "bicgstab"
+
+
+@dataclasses.dataclass
+class BemSolverConfig:
+    """types.rs SolverConfig analog."""
+
+    method: SolverMethod = SolverMethod.LU
+    assembly: BemMethod = BemMethod.TBEM
+    tolerance: float = 1e-8
+    max_iterations: int = 1000
+    restart: int = 50
+    burton_miller: bool = True
+    beta_scale: float = 4.0  # bem_solver.rs default
+    quad_order: int = 3

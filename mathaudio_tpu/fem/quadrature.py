@@ -26,8 +26,10 @@ _GAUSS_1D = {
 
 
 def gauss_1d(n: int):
-    x, w = _GAUSS_1D[n]
-    return np.asarray(x, float), np.asarray(w, float)
+    if n in _GAUSS_1D:
+        x, w = _GAUSS_1D[n]
+        return np.asarray(x, float), np.asarray(w, float)
+    return np.polynomial.legendre.leggauss(n)
 
 
 def triangle_rule(order: int):

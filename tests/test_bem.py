@@ -1,0 +1,137 @@
+"""BEM validation vs analytical Mie series.
+
+Mirrors math-bem/tests/test_bem_sphere_integration.rs (end-to-end
+BemSolver vs sphere_scattering_3d, coarse-mesh rel error < 0.5),
+test_3d_sphere.rs regimes, and mesh/assembly unit checks.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mathaudio_tpu.bem import (
+    BemProblem,
+    BemSolver,
+    BemSolverConfig,
+    SolverMethod,
+    PhysicsParams,
+    icosphere,
+    uv_sphere,
+    cylinder_mesh,
+    plane_wave,
+    point_source,
+)
+from mathaudio_tpu.bem.assembly import single_layer_self_terms, _self_angular_rule
+from mathaudio_tpu.wave.analytical import sphere_scattering_3d, from_spherical
+
+
+class TestSurfaceMesh:
+    def test_icosphere_area(self):
+        m = icosphere(1.0, 2)
+        assert m.num_elements == 320
+        np.testing.assert_allclose(m.areas.sum(), 4 * np.pi, rtol=0.02)
+        # normals point outward
+        assert (np.einsum("nd,nd->n", m.centers, m.normals) > 0).all()
+
+    def test_uv_sphere(self):
+        m = uv_sphere(2.0, 8, 16)
+        np.testing.assert_allclose(m.areas.sum(), 4 * np.pi * 4, rtol=0.05)
+
+    def test_cylinder(self):
+        m = cylinder_mesh(1.0, 2.0, 24, 8, closed=True)
+        expected = 2 * np.pi * 1.0 * 2.0 + 2 * np.pi * 1.0**2
+        np.testing.assert_allclose(m.areas.sum(), expected, rtol=0.03)
+
+    def test_quad_points_weights_sum_to_area(self):
+        m = icosphere(1.0, 1)
+        qp, qw = m.quad_points(3)
+        np.testing.assert_allclose(qw.sum(axis=1), m.areas, rtol=1e-12)
+
+    def test_self_angular_rule_recovers_area(self):
+        # integral of r dr dphi = sum_phi w R^2/2 = element area
+        m = icosphere(1.0, 1)
+        r, w = _self_angular_rule(m, n_ang=8)
+        area = 0.5 * (w * r**2).sum(axis=1)
+        np.testing.assert_allclose(area, m.areas, rtol=1e-4)
+
+    def test_single_layer_self_laplace_limit(self):
+        # k -> 0: S_ii -> (1/4pi) sum w R = known positive static integral
+        m = icosphere(1.0, 1)
+        s = np.asarray(single_layer_self_terms(m, 1e-9))
+        r, w = _self_angular_rule(m, n_ang=8)
+        static = (w * r).sum(axis=1) / (4 * np.pi)
+        np.testing.assert_allclose(s.real, static, rtol=1e-6)
+        assert np.all(np.abs(s.imag) < 1e-9)
+
+
+def _surface_rel_error(ka, subdivisions, burton_miller, num_terms=30):
+    prob = BemProblem.rigid_sphere(ka, subdivisions=subdivisions)
+    cfg = BemSolverConfig(burton_miller=burton_miller)
+    sol = BemSolver(cfg).solve(prob)
+    # analytical total surface pressure at element centers
+    c = prob.mesh.centers
+    r = np.linalg.norm(c, axis=1)
+    theta = np.arccos(np.clip(c[:, 2] / r, -1, 1))
+    exact = sphere_scattering_3d(ka, 1.0, num_terms, [1.0], theta).pressure
+    # oracle returns grid (1, T) ordered as theta list
+    exact = np.asarray(exact)
+    p = np.asarray(sol.surface_pressure)
+    return np.linalg.norm(p - exact) / np.linalg.norm(exact), sol
+
+
+class TestSphereScattering:
+    def test_rayleigh_regime(self):
+        err, _ = _surface_rel_error(0.5, 2, burton_miller=False)
+        assert err < 0.1, err
+
+    def test_mie_regime(self):
+        err, _ = _surface_rel_error(2.0, 3, burton_miller=False)
+        assert err < 0.1, err
+
+    def test_burton_miller_matches_plain(self):
+        err, _ = _surface_rel_error(1.0, 2, burton_miller=True)
+        assert err < 0.1, err
+
+    def test_burton_miller_handles_irregular_frequency(self):
+        # ka = pi is the first interior Dirichlet eigenvalue -> plain CBIE
+        # is singular there; Burton-Miller must stay accurate
+        # (the reason tbem.rs implements the combination).
+        err_bm, _ = _surface_rel_error(np.pi, 3, burton_miller=True)
+        assert err_bm < 0.15, err_bm
+
+    def test_field_evaluation_vs_mie(self):
+        # end-to-end: exterior field at r = 2 vs analytical series
+        # (test_bem_sphere_integration.rs:23-115, tolerance 0.5 coarse)
+        ka = 1.0
+        prob = BemProblem.rigid_sphere(ka, subdivisions=2)
+        sol = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
+        thetas = np.linspace(0.0, np.pi, 7)
+        pts = from_spherical(jnp.full(7, 2.0), jnp.asarray(thetas), jnp.zeros(7))
+        p_bem = np.asarray(sol.evaluate_pressure(pts))
+        exact = np.asarray(sphere_scattering_3d(ka, 1.0, 30, [2.0], thetas).pressure)
+        rel = np.abs(p_bem - exact) / np.abs(exact)
+        assert rel.max() < 0.1, rel
+
+    def test_gmres_matches_lu(self):
+        prob = BemProblem.rigid_sphere(1.0, subdivisions=2)
+        sol_lu = BemSolver(BemSolverConfig(method=SolverMethod.LU)).solve(prob)
+        sol_gm = BemSolver(
+            BemSolverConfig(method=SolverMethod.GMRES, tolerance=1e-10)
+        ).solve(prob)
+        assert sol_gm.info["converged"]
+        np.testing.assert_allclose(
+            np.asarray(sol_gm.surface_pressure),
+            np.asarray(sol_lu.surface_pressure),
+            atol=1e-7,
+        )
+
+    def test_point_source_reciprocity_smoke(self):
+        # point source excitation runs end to end and yields finite fields
+        prob = BemProblem(
+            mesh=icosphere(1.0, 2),
+            physics=PhysicsParams.from_wave_number(1.0),
+            incident=point_source((0.0, 0.0, 3.0)),
+        )
+        sol = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
+        p = sol.evaluate_pressure(jnp.asarray([[2.0, 0.0, 0.0]]))
+        assert np.isfinite(np.asarray(p)).all()
