@@ -23,7 +23,7 @@ import time
 
 # Measured on this host: `python bench.py --device cpu --calibrate`
 # (n=20 mesh, 16 frequencies, f64, jax-CPU all cores, MG-preconditioned GMRES, avg 5 iters).
-BASELINE_CPU_DOF_PER_S = 1.970e4
+BASELINE_CPU_DOF_PER_S = 2.105e4
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):

@@ -1,0 +1,209 @@
+"""FEM QA suite (math-fem/bin/qa_suite.rs): scattering validation on
+unstructured meshes — 2D annulus cylinder scattering and 3D
+spherical-shell sphere scattering vs the analytical series, across
+solver variants, emitting ValidationResult JSONs.
+
+Scattered-field formulation: solve for p_s with
+  - rigid obstacle: Neumann dp_s/dn = -dp_inc/dn on the inner boundary,
+  - first-order radiation BC (Robin ik) on the outer boundary,
+then compare p_s + p_inc against the analytical total field.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.bem.testing import ExecutionMetadata, ValidationResult
+from mathaudio_tpu.fem import (
+    HelmholtzProblem,
+    NeumannBC,
+    RobinBC,
+    annular_mesh_triangles,
+    solve_helmholtz,
+    spherical_shell_mesh_tetrahedra,
+)
+from mathaudio_tpu.solvers import KrylovConfig
+from mathaudio_tpu.wave.analytical import cylinder_scattering_2d, sphere_scattering_3d
+from mathaudio_tpu.wave.special.bessel import bessel_derivative_all, bessel_jn_yn_all
+
+
+def cylinder_case(ka: float, n_radial: int, n_theta: int, solver: str, out_dir: str,
+                  r_outer: float = 3.0, verbose: int = 1):
+    """2D annulus: rigid cylinder r=1, radiation boundary at r_outer."""
+    k = ka
+    mesh = annular_mesh_triangles(1.0, r_outer, n_radial, n_theta)
+
+    def dpinc_dn(x):
+        # incident plane wave e^{ikx}; inner normal points INTO the fluid
+        # for tag 1? boundary normals: our Neumann term adds
+        # int g phi with g = dp_s/dn = -dp_inc/dn, n = outward from fluid
+        # (into the cylinder) on tag 1: n = -r_hat.
+        r = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        n_hat = -x / r  # outward from fluid on the inner boundary
+        pinc = jnp.exp(1j * k * x[..., 0])
+        return -(1j * k * n_hat[..., 0]) * pinc
+
+    prob = HelmholtzProblem(
+        mesh,
+        k,
+        neumann=[NeumannBC(1, dpinc_dn)],
+        robin=[RobinBC.absorbing_curved(2, k, r_outer, dim=2)],
+    )
+    t0 = time.perf_counter()
+    u, info = solve_helmholtz(
+        prob, solver, KrylovConfig(max_iterations=4000, tolerance=1e-8, restart=60)
+    )
+    wall = time.perf_counter() - t0
+
+    nodes = mesh.nodes
+    r = np.linalg.norm(nodes, axis=1)
+    theta = np.arctan2(nodes[:, 1], nodes[:, 0])
+    # compare on nodes away from the radiation boundary (its reflection
+    # error dominates there)
+    sel = r < 0.8 * r_outer
+    p_total = np.asarray(u)[sel] + np.exp(1j * k * nodes[sel, 0])
+    exact = np.asarray(
+        _cylinder_exact(k, 1.0, 40, r[sel], theta[sel])
+    )
+    vr = ValidationResult.create(
+        name=f"fem_cylinder_ka{ka:g}_{solver}",
+        positions=nodes[sel],
+        computed_pressure=p_total,
+        analytical_pressure=exact,
+        parameters={"ka": ka, "solver": solver, "n_nodes": mesh.num_nodes},
+        metadata=ExecutionMetadata(
+            backend=jax.default_backend(), wall_time_s=wall, solver=solver,
+            num_dofs=mesh.num_nodes,
+        ),
+    )
+    vr.save_json(os.path.join(out_dir, f"fem_cylinder_ka{ka:g}_{solver}.json"))
+    if verbose:
+        vr.print_summary()
+    return vr
+
+
+def _cylinder_exact(k, a, num_terms, r_pts, theta_pts):
+    """Total field at scattered (r, theta) pairs (not a grid)."""
+    from mathaudio_tpu.wave.analytical.solutions_2d import rigid_cylinder_coefficients
+
+    a_n = rigid_cylinder_coefficients(k * a, num_terms)
+    j_all, y_all = bessel_jn_yn_all(num_terms - 1, jnp.asarray(k * r_pts))
+    h_all = j_all + 1j * y_all  # (T, M)
+    n = jnp.arange(num_terms)
+    eps = jnp.where(n == 0, 1.0, 2.0)
+    cosn = jnp.cos(n[:, None] * jnp.asarray(theta_pts)[None, :])
+    scattered = jnp.sum((eps * a_n)[:, None] * h_all * cosn.astype(h_all.dtype), axis=0)
+    incident = jnp.exp(1j * k * jnp.asarray(r_pts * np.cos(theta_pts)))
+    return incident + scattered
+
+
+def sphere_case(ka: float, n_radial: int, subdivisions: int, solver: str, out_dir: str,
+                r_outer: float = 2.5, verbose: int = 1):
+    """3D spherical shell: rigid sphere r=1, radiation at r_outer."""
+    k = ka
+    mesh = spherical_shell_mesh_tetrahedra(1.0, r_outer, n_radial, subdivisions)
+
+    def dpinc_dn(x):
+        r = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        n_hat = -x / r
+        pinc = jnp.exp(1j * k * x[..., 2])
+        return -(1j * k * n_hat[..., 2]) * pinc
+
+    prob = HelmholtzProblem(
+        mesh, k,
+        neumann=[NeumannBC(1, dpinc_dn)],
+        robin=[RobinBC.absorbing_curved(2, k, r_outer, dim=3)],
+    )
+    t0 = time.perf_counter()
+    u, info = solve_helmholtz(
+        prob, solver, KrylovConfig(max_iterations=4000, tolerance=1e-8, restart=60)
+    )
+    wall = time.perf_counter() - t0
+
+    nodes = mesh.nodes
+    r = np.linalg.norm(nodes, axis=1)
+    theta = np.arccos(np.clip(nodes[:, 2] / r, -1, 1))
+    sel = r < 0.8 * r_outer
+    p_total = np.asarray(u)[sel] + np.exp(1j * k * nodes[sel, 2])
+    exact = _sphere_exact(k, 1.0, 40, r[sel], theta[sel])
+    vr = ValidationResult.create(
+        name=f"fem_sphere_ka{ka:g}_{solver}",
+        positions=nodes[sel],
+        computed_pressure=p_total,
+        analytical_pressure=np.asarray(exact),
+        parameters={"ka": ka, "solver": solver, "n_nodes": mesh.num_nodes},
+        metadata=ExecutionMetadata(
+            backend=jax.default_backend(), wall_time_s=wall, solver=solver,
+            num_dofs=mesh.num_nodes,
+        ),
+    )
+    vr.save_json(os.path.join(out_dir, f"fem_sphere_ka{ka:g}_{solver}.json"))
+    if verbose:
+        vr.print_summary()
+    return vr
+
+
+def _sphere_exact(k, a, num_terms, r_pts, theta_pts):
+    from mathaudio_tpu.wave.analytical.solutions_3d import rigid_sphere_coefficients
+    from mathaudio_tpu.wave.special.legendre import legendre_all
+    from mathaudio_tpu.wave.special.spherical import spherical_jn_yn_all
+
+    a_n = rigid_sphere_coefficients(k * a, num_terms)
+    j_all, y_all = spherical_jn_yn_all(num_terms - 1, jnp.asarray(k * r_pts))
+    h_all = j_all + 1j * y_all
+    p_all = legendre_all(num_terms - 1, jnp.cos(jnp.asarray(theta_pts)))
+    n = jnp.arange(num_terms, dtype=jnp.float64)
+    i_pow = jnp.exp(1j * n * jnp.pi / 2)
+    pref = (2 * n + 1) * i_pow
+    total = jnp.sum(
+        pref[:, None] * (j_all - a_n[:, None] * h_all) * p_all.astype(h_all.dtype), axis=0
+    )
+    return total
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="qa-suite-fem")
+    ap.add_argument("-o", "--out-dir", default="qa_fem_results")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("--fast", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    results = []
+    solvers = ["gmres_jacobi"] if args.fast else ["gmres_jacobi", "gmres_schwarz", "bicgstab"]
+    for solver in solvers:
+        results.append(cylinder_case(1.0, 24 if not args.fast else 16, 96 if not args.fast else 64, solver, args.out_dir))
+    results.append(cylinder_case(2.0, 32 if not args.fast else 16, 128 if not args.fast else 64, solvers[0], args.out_dir))
+    results.append(sphere_case(1.0, 8 if not args.fast else 5, 2, solvers[0], args.out_dir))
+
+    passed = [r.passed(args.threshold) for r in results]
+    summary = {
+        "total": len(results),
+        "passed": int(sum(passed)),
+        "threshold": args.threshold,
+        "cases": [
+            {"name": r.name, "rel_l2": r.metrics.l2_relative, "passed": bool(p)}
+            for r, p in zip(results, passed)
+        ],
+    }
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary["cases"], indent=1))
+    return 0 if all(passed) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,157 @@
+"""Interior room BEM (math-bem/src/room_acoustics/solver.rs:125-1045).
+
+Interior Helmholtz with sources in the fluid and locally-reacting walls.
+With fluid-side collocation, normals pointing out of the fluid (into the
+walls), and wall admittance dp/dn = -ik beta p (rigid: beta = 0):
+
+    (1/2) p + D[p] - ik beta S[p] = p_src   on Gamma
+    p(x) = p_src(x) + S[q](x) - D[p](x),  q = ik beta p,  x in the room
+
+(wall admittance from v = grad(p)/(i omega rho): dp/dn = +ik beta p with
+n out of the fluid; single layer S with analytic-radial self terms,
+double layer D with static row-sum correction sum_j D0_ij = -1/2 — the
+half-solid-angle identity holds from either side).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.bem.assembly import _pair_kernels, _self_angular_rule, _static_pair_kernels
+from mathaudio_tpu.bem.mesh import SurfaceMesh
+from mathaudio_tpu.common.source import Source
+from mathaudio_tpu.solvers import KrylovConfig, gmres, jacobi_preconditioner, lu_solve
+from mathaudio_tpu.xtypes import complex_dtype_for, default_float, pressure_to_spl
+
+
+@partial(jax.jit, static_argnames=())
+def _room_matrix(centers, normals, qp, qw, self_r, self_w, k, beta):
+    """A = (1/2)I + D + ik beta S for the interior problem."""
+    n = centers.shape[0]
+    cd = complex_dtype_for(centers.dtype)
+    x = centers[:, None, None, :]
+    nx = normals[:, None, None, :]
+    y = qp[None, :, :, :]
+    ny = normals[None, :, None, :]
+    dg, _ = _pair_kernels(x, nx, y, ny, k)
+    dg0, _ = _static_pair_kernels(x, nx, y, ny)
+    w = qw[None, :, :].astype(cd)
+    eye = jnp.eye(n, dtype=cd)
+    off = 1.0 - eye
+    d_diff = jnp.sum((dg - dg0.astype(cd)) * w, axis=-1) * off
+    d0 = jnp.sum(dg0 * qw[None, :, :], axis=-1).astype(cd) * off
+    d0 = d0 + jnp.diag(-0.5 - jnp.sum(d0, axis=1))  # half-solid-angle identity
+    d_mat = d_diff + d0
+
+    # single layer: off-diagonal Gauss + analytic-radial self term
+    rv = y - x
+    r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+    rs = jnp.where(r < 1e-15, 1.0, r)
+    g = jnp.exp(1j * (k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
+    s_mat = jnp.sum(g * w, axis=-1) * off
+    ik = jnp.asarray(1j * k, cd)
+    s_self = jnp.sum(
+        self_w.astype(cd) * (jnp.exp(ik * self_r.astype(cd)) - 1.0) / ik, axis=1
+    ) / (4.0 * jnp.pi)
+    s_mat = s_mat + jnp.diag(s_self)
+
+    beta_c = jnp.asarray(beta, cd)
+    return 0.5 * eye + d_mat - ik * beta_c[None, :] * s_mat
+
+
+def _source_pressure(points, sources: Sequence[Source], k, frequency, dtype):
+    cd = complex_dtype_for(jnp.asarray(0.0, dtype).dtype)
+    p = jnp.zeros(points.shape[0], cd)
+    for s in sources:
+        src = jnp.asarray(s.position.to_array(), dtype)
+        amp = s.amplitude * s.crossover.amplitude_at_frequency(frequency)
+        rv = points - src
+        r = jnp.linalg.norm(rv, axis=-1)
+        rs = jnp.where(r < 1e-12, 1.0, r)
+        p = p + amp * jnp.exp(1j * (k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
+    return p
+
+
+@dataclasses.dataclass
+class RoomBemSolution:
+    mesh: SurfaceMesh
+    k: float
+    frequency: float
+    surface_pressure: jnp.ndarray
+    admittance: jnp.ndarray
+    sources: Sequence[Source]
+    info: dict
+
+    def evaluate_pressure(self, points, quad_order: int = 3):
+        """Interior field via the representation formula."""
+        dtype = default_float()
+        points = jnp.asarray(points, dtype)
+        cd = self.surface_pressure.dtype
+        qp, qw = self.mesh.quad_points(quad_order)
+        qp = jnp.asarray(qp, dtype)
+        qw = jnp.asarray(qw, dtype)
+        normals = jnp.asarray(self.mesh.normals, dtype)
+        x = points[:, None, None, :]
+        y = qp[None, :, :, :]
+        rv = y - x
+        r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+        rs = jnp.where(r < 1e-15, 1.0, r)
+        g = jnp.exp(1j * (self.k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
+        ik = jnp.asarray(1j * self.k, cd)
+        r_dot_ny = jnp.sum(rv * normals[None, :, None, :], axis=-1)
+        dg = (ik - 1.0 / rs) * g * r_dot_ny / rs
+        w = qw[None, :, :].astype(cd)
+        d_me = jnp.sum(dg * w, axis=-1)  # (M, N)
+        s_me = jnp.sum(g * w, axis=-1)
+        p_src = _source_pressure(points, self.sources, self.k, self.frequency, dtype)
+        q_surf = ik * self.admittance.astype(cd) * self.surface_pressure
+        return p_src + s_me @ q_surf - d_me @ self.surface_pressure
+
+
+def solve_room_bem(
+    mesh: SurfaceMesh,
+    frequency: float,
+    sources: Sequence[Source],
+    admittance=0.0,
+    method: str = "lu",
+    quad_order: int = 3,
+    speed_of_sound: float = 343.0,
+    gmres_config: Optional[KrylovConfig] = None,
+) -> RoomBemSolution:
+    """Solve one frequency of the interior room problem
+    (room_acoustics/solver.rs:412 solve path). ``admittance`` is the
+    normalized wall admittance beta (scalar or per-element)."""
+    dtype = default_float()
+    k = 2.0 * np.pi * frequency / speed_of_sound
+    beta = jnp.broadcast_to(jnp.asarray(admittance, dtype), (mesh.num_elements,))
+    qp, qw = mesh.quad_points(quad_order)
+    self_r, self_w = _self_angular_rule(mesh)
+    a = _room_matrix(
+        jnp.asarray(mesh.centers, dtype),
+        jnp.asarray(mesh.normals, dtype),
+        jnp.asarray(qp, dtype),
+        jnp.asarray(qw, dtype),
+        jnp.asarray(self_r, dtype),
+        jnp.asarray(self_w, dtype),
+        k,
+        beta,
+    )
+    rhs = _source_pressure(jnp.asarray(mesh.centers, dtype), sources, k, frequency, dtype)
+    info = {"method": method, "n": mesh.num_elements}
+    if method == "lu":
+        p = lu_solve(a, rhs)
+        info["converged"] = True
+    else:
+        cfg = gmres_config or KrylovConfig(max_iterations=1000, tolerance=1e-8, restart=50)
+        sol = gmres(a, rhs, config=cfg, preconditioner=jacobi_preconditioner(jnp.diagonal(a)))
+        p = sol.x
+        info["converged"] = bool(sol.converged)
+        info["iterations"] = int(sol.iterations)
+    return RoomBemSolution(mesh, k, frequency, p, beta, sources, info)

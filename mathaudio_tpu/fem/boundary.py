@@ -46,8 +46,25 @@ class RobinBC:
 
     @classmethod
     def absorbing(cls, tag: int, k: float) -> "RobinBC":
-        """Sommerfeld-type radiation BC: du/dn + i k u = 0 (robin.rs:73)."""
-        return cls(tag, 1j * k)
+        """Sommerfeld radiation BC (robin.rs:73 absorbing). With this
+        package's e^{+ikr}/e^{-i omega t} convention an outgoing wave
+        satisfies du/dn - ik u = 0, so alpha = -ik."""
+        return cls(tag, -1j * k)
+
+    @classmethod
+    def absorbing_curved(cls, tag: int, k: float, radius: float, dim: int = 3) -> "RobinBC":
+        """First-order Bayliss–Turkel radiation BC on a circle/sphere of
+        the given radius: du/dn + (-ik + (dim-1)/(2 r)) u = 0. Reflection
+        O(1/(kr)^2) instead of the plain Sommerfeld O(1/(kr))."""
+        return cls(tag, -1j * k + (dim - 1) / (2.0 * radius))
+
+    @classmethod
+    def admittance(cls, tag: int, k: float, beta: complex) -> "RobinBC":
+        """Locally-reacting wall with normalized admittance beta = rho c/Z:
+        momentum (e^{-i omega t}) gives dp/dn = +ik beta p with n out of
+        the fluid, i.e. alpha = -ik beta. Energy is absorbed for
+        Re(Z) > 0."""
+        return cls(tag, -1j * k * beta)
 
 
 def dirichlet_mask_and_values(mesh: Mesh, bcs: Sequence[DirichletBC], cdtype=None):

@@ -51,18 +51,41 @@ def rect_hierarchy(n: int, levels: int, bounds=(0.0, 1.0, 0.0, 1.0)) -> List[Mes
     return [rectangular_mesh_triangles(x0, x1, y0, y1, n >> l, n >> l) for l in range(levels)]
 
 
-def structured_prolongation(n_f: int, n_c: int, dim: int):
+def box_hierarchy_dims(dims, levels: int, bounds=(0.0, 1.0, 0.0, 1.0, 0.0, 1.0)):
+    """Anisotropic nested box hierarchy: dims = (nx, ny, nz), each
+    divisible by 2^(levels-1). Returns (meshes, per-level grid dims)."""
+    nx, ny, nz = dims
+    for n in dims:
+        assert n % (2 ** (levels - 1)) == 0, (dims, levels)
+    x0, x1, y0, y1, z0, z1 = bounds
+    meshes = [
+        box_mesh_tetrahedra(x0, x1, y0, y1, z0, z1, nx >> l, ny >> l, nz >> l)
+        for l in range(levels)
+    ]
+    grid_dims = [(nx >> l, ny >> l, nz >> l) for l in range(levels)]
+    return meshes, grid_dims
+
+
+def structured_prolongation(n_f, n_c, dim: int):
     """P (fine x coarse) interpolation stencil for nested structured grids
-    with (n+1)^dim lexicographic nodes (x fastest, matching the mesh
+    with prod(n+1) lexicographic nodes (x fastest, matching the mesh
     generators); exact for P1 on nested Kuhn grids (transfer.rs:11-64).
+    ``n_f``/``n_c`` may be ints (isotropic) or per-axis tuples.
     Returns (idx (F, 2^dim), w (F, 2^dim)) padded with zero weights."""
-    assert n_f == 2 * n_c
+    if np.isscalar(n_f):
+        n_f = (n_f,) * dim
+    if np.isscalar(n_c):
+        n_c = (n_c,) * dim
+    assert all(f == 2 * c for f, c in zip(n_f, n_c)), (n_f, n_c)
     if dim == 2:
-        jj, ii = np.meshgrid(np.arange(n_f + 1), np.arange(n_f + 1), indexing="ij")
+        jj, ii = np.meshgrid(np.arange(n_f[1] + 1), np.arange(n_f[0] + 1), indexing="ij")
         coords = np.stack([ii.reshape(-1), jj.reshape(-1)], axis=1)
     else:
         kk, jj, ii = np.meshgrid(
-            np.arange(n_f + 1), np.arange(n_f + 1), np.arange(n_f + 1), indexing="ij"
+            np.arange(n_f[2] + 1),
+            np.arange(n_f[1] + 1),
+            np.arange(n_f[0] + 1),
+            indexing="ij",
         )
         coords = np.stack([ii.reshape(-1), jj.reshape(-1), kk.reshape(-1)], axis=1)
 
@@ -74,7 +97,7 @@ def structured_prolongation(n_f: int, n_c: int, dim: int):
     def coarse_id(c):
         out = 0
         for ax in reversed(range(dim)):
-            out = out * (n_c + 1) + c[ax]
+            out = out * (n_c[ax] + 1) + c[ax]
         return out
 
     for f in range(n_fine):
@@ -140,7 +163,15 @@ class GeometricMultigrid:
     pytree; ``build_mg_params`` then assembles the preconditioner for any
     wavenumber *inside jit*."""
 
-    def __init__(self, meshes: Sequence[Mesh], robin_tags: Sequence[int] = (), dtype=None):
+    def __init__(
+        self,
+        meshes: Sequence[Mesh],
+        robin_tags: Sequence[int] = (),
+        dtype=None,
+        grid_dims: Optional[Sequence] = None,
+    ):
+        """``grid_dims``: per-level (nx[, ny[, nz]]) tuples for
+        anisotropic grids; inferred as isotropic if omitted."""
         self.dtype = dtype or default_float()
         self.cdtype = complex_dtype_for(self.dtype)
         self.meshes = list(meshes)
@@ -152,8 +183,12 @@ class GeometricMultigrid:
         for l, asm in enumerate(self.assemblers):
             if l < len(self.meshes) - 1:
                 dim = self.meshes[l].dim
-                n_f = round(self.meshes[l].num_nodes ** (1 / dim)) - 1
-                n_c = round(self.meshes[l + 1].num_nodes ** (1 / dim)) - 1
+                if grid_dims is not None:
+                    n_f = tuple(grid_dims[l])
+                    n_c = tuple(grid_dims[l + 1])
+                else:
+                    n_f = round(self.meshes[l].num_nodes ** (1 / dim)) - 1
+                    n_c = round(self.meshes[l + 1].num_nodes ** (1 / dim)) - 1
                 p_idx, p_w = structured_prolongation(n_f, n_c, dim)
                 p_idx = jnp.asarray(p_idx)
                 p_w = jnp.asarray(p_w, self.dtype)

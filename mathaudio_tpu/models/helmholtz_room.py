@@ -4,7 +4,7 @@ frequency sweep.
 This is the TPU-native reshaping of the reference's roomsim-fem hot path
 (math-fem/bin/room_simulator_fem.rs:941-1660): K/M/boundary-mass
 assembled once and kept device-resident, then for every frequency the
-system values are one fused combine K - k^2 M + i*k*alpha*B and the
+system values are one fused combine K - k^2 M - ik*beta*B and the
 solve is preconditioned GMRES — all inside one jit, *vmapped over the
 frequency batch* (the reference rayon-parallelizes frequencies instead).
 
@@ -46,10 +46,10 @@ class RoomParams(NamedTuple):
 
 
 def system_values_of(params: RoomParams, k, absorption: float):
-    """K - k^2 M + ik*alpha*B as one fused elementwise combine."""
+    """K - k^2 M - ik*beta*B as one fused elementwise combine."""
     cd = params.rhs.dtype
     return (params.k_vals - (k**2) * params.m_vals).astype(cd) + jnp.asarray(
-        1j * k * absorption
+        -1j * k * absorption
     ).astype(cd) * params.b_sum.astype(cd)
 
 
@@ -93,7 +93,7 @@ def sweep_pressure(
             from mathaudio_tpu.fem.multigrid import build_mg_params, vcycle
 
             mgp = build_mg_params(
-                mg_builder, k, robin_coeff=1j * k * absorption, shift=mg_shift
+                mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
             )
             pre = lambda r: vcycle(mgp, r)
         else:
@@ -106,7 +106,7 @@ def sweep_pressure(
 
 
 class RoomSweepModel:
-    """Device-resident room model: absorbing walls (Robin ik*alpha),
+    """Device-resident room model: absorbing walls (admittance Robin),
     Gaussian monopole source, listening-position SPL output."""
 
     def __init__(
@@ -132,10 +132,12 @@ class RoomSweepModel:
         # frequency-independent so it is assembled once.
         src = np.asarray(source_position, np.float64)[: mesh.dim]
         sw = 2.0 * source_width**2
+        # unit-monopole normalization (int f dV = 1)
+        norm = (2.0 * np.pi * source_width**2) ** (mesh.dim / 2.0)
 
         def source_fn(x):
             r2 = jnp.sum((x - jnp.asarray(src, x.dtype)) ** 2, axis=-1)
-            return jnp.exp(-r2 / sw)
+            return jnp.exp(-r2 / sw) / norm
 
         rhs = assemble_rhs(mesh, source_fn, dtype=dtype).astype(self.assembler.cdtype)
 

@@ -1,0 +1,212 @@
+"""common (types/geometry/source/config/output) + apps integration.
+
+Mirrors math-xem-common in-crate tests plus end-to-end CLI runs on a
+tiny config (the reference's L4 binary smoke paths).
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mathaudio_tpu.common import (
+    Point3D,
+    RoomMesh,
+    Source,
+    DirectivityPattern,
+    CrossoverFilter,
+    RectangularRoom,
+    LShapedRoom,
+    RoomGeometry,
+    RoomConfig,
+    create_default_config,
+    generate_spatial_slices,
+)
+from mathaudio_tpu.common.config import SurfaceSpec, WALL_TAGS
+
+
+class TestTypes:
+    def test_point_algebra(self):
+        a, b = Point3D(1, 2, 3), Point3D(4, 5, 6)
+        assert (a + b).to_array().tolist() == [5, 7, 9]
+        assert abs(a.dot(b) - 32) < 1e-15
+        assert abs((a - b).norm() - np.sqrt(27)) < 1e-12
+        assert a.cross(b).to_array().tolist() == [-3, 6, -3]
+
+
+class TestSource:
+    def test_omni_interpolate(self):
+        p = DirectivityPattern.omnidirectional()
+        for th, ph in [(0, 0), (np.pi / 2, np.pi), (np.pi, 0)]:
+            assert abs(p.interpolate(th, ph) - 1.0) < 1e-6
+
+    def test_crossover_lowpass(self):
+        c = CrossoverFilter.lowpass(100.0, 2)
+        assert abs(c.amplitude_at_frequency(10.0) - 1.0) < 0.1
+        at = c.amplitude_at_frequency(100.0)
+        assert 0.6 < at < 0.8
+        assert c.amplitude_at_frequency(1000.0) < 0.1
+
+    def test_amplitude_towards(self):
+        s = Source.omnidirectional(Point3D(0, 0, 0), 1.0)
+        assert abs(s.amplitude_towards(Point3D(1, 0, 0), 1000.0) - 1.0) < 1e-6
+
+    def test_cardioid_front_back(self):
+        s = Source(Point3D(0, 0, 0), DirectivityPattern.cardioid(), 1.0)
+        front = s.amplitude_towards(Point3D(0, 1, 0), 100.0)
+        back = s.amplitude_towards(Point3D(0, -1, 0), 100.0)
+        assert front > 0.9 and back < 0.1
+
+
+class TestGeometry:
+    def test_rect_mesh_area(self):
+        room = RectangularRoom(2.0, 3.0, 2.5)
+        mesh = room.generate_mesh(2)
+        expected = 2 * (2 * 3 + 2 * 2.5 + 3 * 2.5)
+        np.testing.assert_allclose(mesh.total_area(), expected, rtol=1e-12)
+
+    def test_lshape_mesh_area(self):
+        room = LShapedRoom(4.0, 3.0, 2.0, 2.0, 2.5)
+        mesh = room.generate_mesh(2)
+        floor = 4 * 3 + 2 * 2
+        perimeter = 4 + 3 + (4 - 2) + 2 + 2 + (3 + 2)
+        expected = 2 * floor + perimeter * 2.5
+        np.testing.assert_allclose(mesh.total_area(), expected, rtol=1e-12)
+
+    def test_contains(self):
+        room = LShapedRoom(4.0, 3.0, 2.0, 2.0, 2.5)
+        assert room.contains(Point3D(3.5, 1.0, 1.0))
+        assert not room.contains(Point3D(3.5, 4.0, 1.0))  # in the notch
+        assert room.contains(Point3D(1.0, 4.0, 1.0))
+
+    def test_adaptive_refines_near_source(self):
+        room = RectangularRoom(2.0, 2.0, 2.0)
+        src = Source.omnidirectional(Point3D(0.1, 1.0, 1.0), 1.0)
+        base = room.generate_mesh(2)
+        adaptive = room.generate_adaptive_mesh(2, 200.0, [src])
+        assert adaptive.num_elements > base.num_elements
+
+
+class TestConfig:
+    def test_roundtrip(self, tmp_path):
+        cfg = create_default_config()
+        path = str(tmp_path / "cfg.json")
+        cfg.to_file(path)
+        cfg2 = RoomConfig.from_file(path)
+        assert cfg2.frequencies.num_points == cfg.frequencies.num_points
+        assert cfg2.boundaries.walls.kind == "absorption"
+
+    def test_to_simulation(self):
+        sim = create_default_config().to_simulation()
+        assert len(sim.sources) == 1
+        assert len(sim.frequencies) == 20
+        assert sim.geometry.dimensions() == (4.0, 5.0, 2.7)
+
+    def test_surface_robin_alpha_absorbs(self):
+        # e^{-iwt} convention: absorbing alpha has NEGATIVE imaginary part
+        spec = SurfaceSpec("absorption", coefficient=0.3)
+        alpha = spec.robin_alpha(2.0)
+        assert alpha.imag < 0
+        assert SurfaceSpec("rigid").robin_alpha(2.0) == 0.0
+
+    def test_frequency_spacing(self):
+        from mathaudio_tpu.common.config import FrequencySpec
+
+        f = FrequencySpec(20.0, 200.0, 5, "logarithmic").generate_frequencies()
+        ratios = f[1:] / f[:-1]
+        np.testing.assert_allclose(ratios, ratios[0], rtol=1e-9)
+        f = FrequencySpec(20.0, 200.0, 5, "linear").generate_frequencies()
+        np.testing.assert_allclose(np.diff(f), 45.0, rtol=1e-12)
+
+
+class TestRoomSimApps:
+    @pytest.fixture(scope="class")
+    def tiny_config(self, tmp_path_factory):
+        cfg = RoomConfig.from_dict(
+            {
+                "room": {"type": "rectangular", "width": 2.0, "depth": 2.0, "height": 2.0},
+                "sources": [{"name": "s", "position": {"x": 0.5, "y": 0.5, "z": 1.0}}],
+                "listening_positions": [{"x": 1.2, "y": 1.4, "z": 1.0}],
+                "frequencies": {"min_freq": 50.0, "max_freq": 90.0, "num_points": 3},
+                "boundaries": {"walls": {"type": "absorption", "coefficient": 0.2}},
+                "solver": {"mesh_resolution": 4, "gmres": {"tolerance": 1e-6}},
+            }
+        )
+        path = tmp_path_factory.mktemp("cfg") / "tiny.json"
+        cfg.to_file(str(path))
+        return str(path)
+
+    def test_roomsim_fem_end_to_end(self, tiny_config, tmp_path):
+        from mathaudio_tpu.apps.roomsim_fem import run_fem_simulation
+
+        cfg = RoomConfig.from_file(tiny_config)
+        results = run_fem_simulation(cfg, verbose=0)
+        assert len(results.results) == 3
+        for r in results.results:
+            assert r.converged
+            assert np.isfinite(r.spl_db).all()
+        out = str(tmp_path / "res.json")
+        results.save(out)
+        d = json.load(open(out))
+        assert d["metadata"]["engine"] == "fem"
+
+    def test_roomsim_bem_end_to_end(self, tiny_config):
+        from mathaudio_tpu.apps.roomsim_bem import run_bem_simulation
+
+        cfg = RoomConfig.from_file(tiny_config)
+        cfg.solver.mesh_resolution = 3
+        results = run_bem_simulation(cfg, verbose=0)
+        assert len(results.results) == 3
+        for r in results.results:
+            assert np.isfinite(r.spl_db).all()
+
+    def test_fem_bem_cross_validation(self, tiny_config):
+        """The two engines on the same room agree to a few dB (different
+        discretizations + source models; monopole-normalized)."""
+        from mathaudio_tpu.apps.roomsim_bem import run_bem_simulation
+        from mathaudio_tpu.apps.roomsim_fem import run_fem_simulation
+
+        cfg = RoomConfig.from_file(tiny_config)
+        fem = run_fem_simulation(cfg, verbose=0)
+        cfg.solver.mesh_resolution = 4
+        bem = run_bem_simulation(cfg, verbose=0)
+        fem_spl = np.asarray([r.spl_db for r in fem.results])
+        bem_spl = np.asarray([r.spl_db for r in bem.results])
+        diff = np.abs(fem_spl - bem_spl)
+        assert diff.max() < 6.0, (fem_spl.tolist(), bem_spl.tolist())
+
+    def test_spatial_slices(self):
+        slices = generate_spatial_slices(
+            lambda pts: np.exp(1j * pts[:, 0]), (2.0, 2.0, 2.0), 1.0, resolution=8
+        )
+        assert np.isfinite(np.asarray(slices["spl_db"])).all()
+
+
+class TestDeApps:
+    def test_run_de_cli(self, capsys):
+        from mathaudio_tpu.apps.run_de import main
+
+        rc = main(["sphere", "--maxiter", "80", "--seed", "42", "--tol", "0"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["fun"] < 1e-4
+
+    def test_benchmark_convergence_cli(self, tmp_path, capsys):
+        from mathaudio_tpu.apps.benchmark_convergence import main
+
+        rc = main(
+            [
+                "-o", str(tmp_path),
+                "--functions", "sphere", "booth",
+                "--strategies", "best1bin",
+                "--maxiter", "100",
+            ]
+        )
+        assert rc == 0
+        rows = json.load(open(tmp_path / "summary.json"))
+        assert len(rows) == 2
+        assert all(r["error"] < 1e-3 for r in rows)

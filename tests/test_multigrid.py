@@ -48,7 +48,7 @@ class TestVcycle:
         meshes = box_hierarchy(8, 3)
         mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
         k = 0.5
-        mgp = build_mg_params(mg.builder, k, robin_coeff=1j * k * 0.3, shift=(1.0, 0.0))
+        mgp = build_mg_params(mg.builder, k, robin_coeff=-1j * k * 0.3, shift=(1.0, 0.0))
         n = meshes[0].num_nodes
         rng = np.random.default_rng(0)
         b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
@@ -62,7 +62,7 @@ class TestVcycle:
         meshes = box_hierarchy(8, 2)
         mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
         k = 0.8
-        mgp = build_mg_params(mg.builder, k, robin_coeff=1j * k * 0.3, shift=(1.0, 0.0))
+        mgp = build_mg_params(mg.builder, k, robin_coeff=-1j * k * 0.3, shift=(1.0, 0.0))
         n = meshes[0].num_nodes
         rng = np.random.default_rng(1)
         b = jnp.asarray(rng.standard_normal(n) + 0j)
@@ -88,7 +88,7 @@ class TestShiftedLaplacianGmres:
 
         from mathaudio_tpu.models.helmholtz_room import operator_of, system_values_of
 
-        mgp = build_mg_params(mg.builder, k, robin_coeff=1j * k * 0.15, shift=(1.0, 0.5))
+        mgp = build_mg_params(mg.builder, k, robin_coeff=-1j * k * 0.15, shift=(1.0, 0.5))
         vals = system_values_of(params, k, 0.15)
         op = operator_of(params, vals, model.num_nodes, model.ell_width)
         sol = gmres(op.matvec, params.rhs, config=cfg, preconditioner=lambda r: vcycle(mgp, r))
