@@ -1,0 +1,135 @@
+"""h-refinement (math-fem/src/mesh/refinement.rs:60-213): edge-midpoint
+element splitting, uniform refinement, adaptive refinement with Dörfler
+marking. Host-side numpy (mesh surgery is pointer-work; only flat arrays
+reach the device)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from mathaudio_tpu.fem.mesh import TET, TRIANGLE, Mesh
+
+
+def _edge_midpoints(nodes: np.ndarray, elements: np.ndarray, edge_local):
+    """Unique edge midpoints; returns (new_nodes, edge->node-id map)."""
+    edges = elements[:, edge_local].reshape(-1, 2)
+    key = np.sort(edges, axis=1)
+    uniq, inverse = np.unique(key, axis=0, return_inverse=True)
+    mids = 0.5 * (nodes[uniq[:, 0]] + nodes[uniq[:, 1]])
+    mid_ids = len(nodes) + np.arange(len(uniq))
+    all_nodes = np.vstack([nodes, mids])
+    per_elem_mid = mid_ids[inverse].reshape(len(elements), len(edge_local))
+    return all_nodes, per_elem_mid
+
+
+_TRI_EDGES = [[0, 1], [1, 2], [2, 0]]
+_TET_EDGES = [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]
+
+
+def uniform_refine(mesh: Mesh) -> Mesh:
+    """One sweep of red refinement: tri -> 4 tris, tet -> 8 tets
+    (refinement.rs:189 uniform_refine)."""
+    if mesh.element_type == TRIANGLE:
+        nodes, m = _edge_midpoints(mesh.nodes, mesh.elements, _TRI_EDGES)
+        e = mesh.elements
+        m01, m12, m20 = m[:, 0], m[:, 1], m[:, 2]
+        children = np.concatenate(
+            [
+                np.stack([e[:, 0], m01, m20], axis=1),
+                np.stack([m01, e[:, 1], m12], axis=1),
+                np.stack([m20, m12, e[:, 2]], axis=1),
+                np.stack([m01, m12, m20], axis=1),
+            ],
+            axis=0,
+        )
+        out = Mesh(2, nodes, children.astype(np.int64), TRIANGLE).detect_boundaries()
+        return out
+    if mesh.element_type == TET:
+        nodes, m = _edge_midpoints(mesh.nodes, mesh.elements, _TET_EDGES)
+        e = mesh.elements
+        m01, m02, m03, m12, m13, m23 = (m[:, i] for i in range(6))
+        # 4 corner tets + 4 interior tets (standard octahedron split
+        # along the m01-m23 diagonal)
+        children = np.concatenate(
+            [
+                np.stack([e[:, 0], m01, m02, m03], axis=1),
+                np.stack([e[:, 1], m01, m12, m13], axis=1),
+                np.stack([e[:, 2], m02, m12, m23], axis=1),
+                np.stack([e[:, 3], m03, m13, m23], axis=1),
+                np.stack([m01, m02, m03, m23], axis=1),
+                np.stack([m01, m02, m12, m23], axis=1),
+                np.stack([m01, m03, m13, m23], axis=1),
+                np.stack([m01, m12, m13, m23], axis=1),
+            ],
+            axis=0,
+        )
+        out = Mesh(3, nodes, children.astype(np.int64), TET).detect_boundaries()
+        return out
+    raise ValueError(mesh.element_type)
+
+
+def dorfler_mark(indicators: np.ndarray, theta: float = 0.5) -> np.ndarray:
+    """Dörfler (bulk) marking (refinement.rs:213): the smallest element
+    set carrying a theta-fraction of the total error. Returns a boolean
+    mask over elements."""
+    eta = np.asarray(indicators)
+    order = np.argsort(eta)[::-1]
+    csum = np.cumsum(eta[order])
+    cut = np.searchsorted(csum, theta * csum[-1]) + 1
+    mask = np.zeros(len(eta), bool)
+    mask[order[:cut]] = True
+    return mask
+
+
+def adaptive_refine(mesh: Mesh, indicators: np.ndarray, theta: float = 0.5) -> Mesh:
+    """Refine the Dörfler-marked set (refinement.rs:195 adaptive_refine).
+
+    Marked elements are red-refined; to keep the mesh conforming,
+    neighbors sharing a refined edge are also refined (closure by
+    iterating the marking until stable) — i.e. effectively refining the
+    edge-connected closure of the marked set.
+    """
+    if mesh.element_type == TRIANGLE:
+        edge_local = _TRI_EDGES
+    elif mesh.element_type == TET:
+        edge_local = _TET_EDGES
+    else:
+        raise ValueError(mesh.element_type)
+
+    marked = dorfler_mark(indicators, theta)
+    # closure: any element sharing an edge with a marked element whose
+    # edge is split must be refined too; simplest conforming strategy for
+    # simplices: grow marks through shared edges until stable.
+    elements = mesh.elements
+    edges = np.sort(elements[:, edge_local].reshape(len(elements), -1, 2), axis=2)
+    flat = edges.reshape(-1, 2)
+    uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
+    elem_edges = inverse.reshape(len(elements), -1)
+
+    while True:
+        split_edges = np.zeros(len(uniq), bool)
+        split_edges[np.unique(elem_edges[marked].reshape(-1))] = True
+        touch = split_edges[elem_edges].any(axis=1)
+        new_marked = marked | touch
+        if (new_marked == marked).all():
+            break
+        marked = new_marked
+
+    sub = Mesh(mesh.dim, mesh.nodes, elements[marked], mesh.element_type)
+    refined = uniform_refine(sub)
+    keep = elements[~marked]
+    all_elements = np.vstack([keep, refined.elements])
+    out = Mesh(mesh.dim, refined.nodes, all_elements.astype(np.int64), mesh.element_type)
+    return out.detect_boundaries()
+
+
+def residual_indicator(mesh: Mesh, u, k: float) -> np.ndarray:
+    """Cheap element error indicator: h^2 * ||k^2 u + f||-style residual
+    proxy using the element-mean solution magnitude (a practical stand-in
+    for the reference's jump indicators)."""
+    u = np.asarray(u)
+    h2 = mesh.element_measures() ** (2.0 / mesh.dim)
+    u_elem = np.abs(u[mesh.elements]).mean(axis=1)
+    return h2 * (k**2) * u_elem

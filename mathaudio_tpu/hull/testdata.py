@@ -1,0 +1,26 @@
+"""Built-in hull test geometries (math-convex-hull/src/testdata.rs)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cube_points(extra_interior: int = 0, seed: int = 0) -> np.ndarray:
+    corners = np.array(
+        [[x, y, z] for x in (0.0, 1.0) for y in (0.0, 1.0) for z in (0.0, 1.0)]
+    )
+    if extra_interior:
+        rng = np.random.default_rng(seed)
+        inner = 0.2 + 0.6 * rng.random((extra_interior, 3))
+        return np.vstack([corners, inner])
+    return corners
+
+
+def sphere_points(n: int = 100, radius: float = 1.0, seed: int = 1) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, 3))
+    return radius * v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def random_points(n: int = 50, seed: int = 2) -> np.ndarray:
+    return np.random.default_rng(seed).random((n, 3))

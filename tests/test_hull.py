@@ -1,0 +1,66 @@
+"""Quickhull vs scipy.spatial.ConvexHull + geometric identities
+(math-convex-hull/tests pattern)."""
+
+import numpy as np
+import pytest
+from scipy.spatial import ConvexHull as SciHull
+
+from mathaudio_tpu.hull import (
+    quickhull_3d,
+    cube_points,
+    sphere_points,
+    random_points,
+    hull_to_obj,
+    hull_to_html,
+)
+
+
+class TestQuickhull:
+    def test_cube(self):
+        hull = quickhull_3d(cube_points(extra_interior=30))
+        assert len(hull.vertices) == 8
+        np.testing.assert_allclose(hull.volume(), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(hull.surface_area(), 6.0, rtol=1e-12)
+
+    def test_tetra(self):
+        pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
+        hull = quickhull_3d(pts)
+        assert hull.num_faces == 4
+        np.testing.assert_allclose(hull.volume(), 1 / 6, rtol=1e-12)
+
+    @pytest.mark.parametrize("n,seed", [(50, 0), (200, 1), (500, 2)])
+    def test_vs_scipy_random(self, n, seed):
+        pts = np.random.default_rng(seed).standard_normal((n, 3))
+        ours = quickhull_3d(pts)
+        ref = SciHull(pts)
+        np.testing.assert_allclose(ours.volume(), ref.volume, rtol=1e-10)
+        np.testing.assert_allclose(ours.surface_area(), ref.area, rtol=1e-10)
+        assert set(ours.vertices.tolist()) == set(ref.vertices.tolist())
+
+    def test_sphere_points(self):
+        pts = sphere_points(150)
+        hull = quickhull_3d(pts)
+        # all points on the sphere are hull vertices
+        assert len(hull.vertices) == 150
+
+    def test_contains(self):
+        hull = quickhull_3d(cube_points())
+        assert hull.contains([0.5, 0.5, 0.5])
+        assert not hull.contains([1.5, 0.5, 0.5])
+
+    def test_dedup(self):
+        pts = np.vstack([cube_points(), cube_points()])
+        hull = quickhull_3d(pts)
+        assert len(hull.vertices) == 8
+
+    def test_degenerate_raises(self):
+        flat = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0.0]])
+        with pytest.raises(ValueError):
+            quickhull_3d(flat)
+
+    def test_exports(self):
+        hull = quickhull_3d(cube_points())
+        obj = hull_to_obj(hull)
+        assert obj.count("v ") >= 8 and obj.count("f ") == hull.num_faces
+        html = hull_to_html(hull)
+        assert "mesh3d" in html
