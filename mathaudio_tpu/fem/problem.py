@@ -140,6 +140,17 @@ def solve_helmholtz(
         )
         n_sub = max(2, problem.mesh.num_nodes // 512)
         pre = AdditiveSchwarz.from_csr(csr, num_subdomains=n_sub, overlap=1)
+    elif solver == "gmres_amg":
+        import scipy.sparse as sp
+
+        from mathaudio_tpu.solvers import AmgConfig, AmgPreconditioner
+
+        a_sp = sp.csr_matrix(
+            (np.asarray(problem.vals), problem.assembler.csr.indices,
+             problem.assembler.csr.indptr),
+            shape=problem.assembler.csr.shape,
+        )
+        pre = AmgPreconditioner(a_sp, AmgConfig.for_fem())
 
     if solver == "cg":
         sol = cg(a, b, x0=x0, config=config, preconditioner=pre)

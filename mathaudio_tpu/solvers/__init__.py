@@ -32,5 +32,7 @@ from mathaudio_tpu.solvers.preconditioners import (  # noqa: F401
     IluFixedPoint,
     BlockJacobi,
     AdditiveSchwarz,
+    AmgConfig,
+    AmgPreconditioner,
 )
 from mathaudio_tpu.solvers import blas  # noqa: F401

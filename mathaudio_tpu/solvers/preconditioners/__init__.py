@@ -25,3 +25,4 @@ from mathaudio_tpu.solvers.preconditioners.schwarz import (  # noqa: F401
     AdditiveSchwarz,
     BlockJacobi,
 )
+from mathaudio_tpu.solvers.preconditioners.amg import AmgConfig, AmgPreconditioner  # noqa: F401
