@@ -1,0 +1,274 @@
+"""Single-level fast multipole method for the Helmholtz double layer
+(math-bem/src/core/assembly/slfmm.rs: A = N + S.D.T decomposition;
+batched GEMM form per core/solver/batched_blas.rs).
+
+High-frequency diagonal (Rokhlin) form on a unit-sphere direction
+quadrature: for |x - c_b|, |y - c_a| < |D|/sep, D = c_b - c_a,
+
+  G(x, y) = (ik / 16 pi^2) int_{S^2} e^{ik s.(x - c_b)}
+            M_L(s, D) e^{-ik s.(y - c_a)} ds,
+  M_L(s, D) = sum_{l<=L} (2l+1) i^l h_l^(1)(k|D|) P_l(s.D_hat).
+
+TPU shaping: leaf clusters padded to one uniform size; T (aggregation),
+D (diagonal translation) and S (disaggregation) are dense padded tensors
+so the matvec is three einsums (MXU) plus one batched near-field GEMM —
+the reference's SlfmmMatvecWorkspace turned into static-shape algebra.
+Kernel variants: double layer (CBIE) and Burton-Miller combination via
+direction-space factors (-ik s.n_y) and (ik s.n_x).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.bem.assembly import _pair_kernels, _self_angular_rule, _static_pair_kernels
+from mathaudio_tpu.bem.mesh import SurfaceMesh
+from mathaudio_tpu.bem.octree import Octree
+from mathaudio_tpu.solvers.operators import LinearOperator
+from mathaudio_tpu.wave.special.legendre import legendre_all
+from mathaudio_tpu.wave.special.spherical import spherical_jn_yn_all
+from mathaudio_tpu.xtypes import complex_dtype_for, default_float
+
+
+def unit_sphere_quadrature(order: int):
+    """(directions (Q, 3), weights (Q,)): Gauss-Legendre in cos(theta) x
+    uniform in phi (core/integration 'unit-sphere quadrature for FMM')."""
+    n_t = order + 1
+    n_p = 2 * order + 2
+    xt, wt = np.polynomial.legendre.leggauss(n_t)
+    phi = 2 * np.pi * np.arange(n_p) / n_p
+    wp = 2 * np.pi / n_p
+    ct = xt[:, None] * np.ones(n_p)[None, :]
+    st = np.sqrt(1 - ct**2)
+    dirs = np.stack(
+        [st * np.cos(phi)[None, :], st * np.sin(phi)[None, :], ct], axis=-1
+    ).reshape(-1, 3)
+    w = (wt[:, None] * wp * np.ones(n_p)[None, :]).reshape(-1)
+    return dirs, w
+
+
+def translation_operator(k: float, d_vecs: np.ndarray, dirs: np.ndarray, order: int):
+    """M_L(s, D) for a batch of translation vectors: (P, Q) complex."""
+    d_len = np.linalg.norm(d_vecs, axis=1)
+    d_hat = d_vecs / np.maximum(d_len, 1e-300)[:, None]
+    cos_g = np.clip(d_hat @ dirs.T, -1.0, 1.0)  # (P, Q)
+    j_all, y_all = spherical_jn_yn_all(order, jnp.asarray(k * d_len))
+    h_all = np.asarray(j_all + 1j * y_all)  # (L+1, P)
+    p_all = np.asarray(legendre_all(order, jnp.asarray(cos_g)))  # (L+1, P, Q)
+    l = np.arange(order + 1)
+    coef = (2 * l + 1) * (1j**l)
+    return np.einsum("l,lp,lpq->pq", coef, h_all, p_all)
+
+
+class SlfmmData(NamedTuple):
+    """Pytree of the padded FMM tensors (device)."""
+
+    clusters: jnp.ndarray  # (C, m) element ids (pad -> 0)
+    cluster_mask: jnp.ndarray  # (C, m) 1/0
+    t_tensor: jnp.ndarray  # (C, Q, m) aggregation
+    s_tensor: jnp.ndarray  # (C, Q, m) disaggregation (to collocation pts)
+    d_tensor: jnp.ndarray  # (C, C, Q) diagonal translations (0 for near)
+    quad_w: jnp.ndarray  # (Q,)
+    near_a: jnp.ndarray  # (P,) source cluster of each near pair
+    near_b: jnp.ndarray  # (P,) target cluster
+    near_blocks: jnp.ndarray  # (P, m, m) dense near-field blocks
+    diag_add: jnp.ndarray  # (N,) identity/jump + self terms
+    prefactor: jnp.ndarray  # scalar ik/(16 pi^2)
+
+
+@jax.tree_util.register_pytree_node_class
+class SlfmmOperator(LinearOperator):
+    """Matrix-free A x = (c I + near + S D T) x (slfmm.rs:150 matvec)."""
+
+    def __init__(self, data: SlfmmData, n: int):
+        self.data = data
+        self.n = n
+
+    def matvec(self, x):
+        d = self.data
+        xc = x[d.clusters] * d.cluster_mask.astype(x.dtype)  # (C, m)
+        mu = jnp.einsum("cqm,cm->cq", d.t_tensor, xc)  # up
+        lam = jnp.einsum("baq,aq->bq", d.d_tensor, mu)  # translate
+        far = d.prefactor * jnp.einsum(
+            "q,cqm,cq->cm", d.quad_w.astype(x.dtype), d.s_tensor, lam
+        )
+        xa = x[d.clusters[d.near_a]] * d.cluster_mask[d.near_a].astype(x.dtype)
+        near = jnp.einsum("pij,pj->pi", d.near_blocks, xa)
+        out = jnp.zeros(self.n, x.dtype)
+        out = out.at[d.clusters.reshape(-1)].add((far * d.cluster_mask.astype(x.dtype)).reshape(-1))
+        tgt = d.clusters[d.near_b]
+        out = out.at[tgt.reshape(-1)].add(
+            (near * d.cluster_mask[d.near_b].astype(x.dtype)).reshape(-1)
+        )
+        return out + d.diag_add * x
+
+    def tree_flatten(self):
+        return (self.data,), self.n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+def build_slfmm_system(
+    mesh: SurfaceMesh,
+    k: float,
+    beta: complex = 0.0,
+    max_per_leaf: int = 32,
+    separation_ratio: float = 1.5,
+    expansion_order: Optional[int] = None,
+    dtype=None,
+) -> SlfmmOperator:
+    """Assemble the SLFMM operator for the exterior CBIE
+    (A = (1/2)I - D [- beta T_hyper off-diagonal approximation]).
+
+    beta != 0 adds the Burton-Miller coupling using direction-space
+    factors for the far field and exact near-field blocks.
+    """
+    dtype = dtype or default_float()
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    n = mesh.num_elements
+    centers = mesh.centers
+    normals = mesh.normals
+    areas = mesh.areas
+
+    tree = Octree.build(centers, max_per_leaf=max_per_leaf)
+    leaves = tree.leaves
+    c_count = len(leaves)
+    m = max(len(lf.indices) for lf in leaves)
+    clusters = np.zeros((c_count, m), np.int32)
+    mask = np.zeros((c_count, m))
+    c_centers = np.zeros((c_count, 3))
+    radii = np.zeros(c_count)
+    for ci, lf in enumerate(leaves):
+        idx = lf.indices
+        clusters[ci, : len(idx)] = idx
+        mask[ci, : len(idx)] = 1.0
+        c_centers[ci] = centers[idx].mean(axis=0)
+        radii[ci] = np.linalg.norm(centers[idx] - c_centers[ci], axis=1).max() + 1e-12
+
+    # expansion order: L ~ k r_max + c log(k r_max + pi) (standard rule)
+    if expansion_order is None:
+        kr = k * radii.max()
+        expansion_order = int(np.ceil(kr + 4 * np.log(kr + np.pi) + 4))
+    dirs, w = unit_sphere_quadrature(expansion_order)
+    q = len(dirs)
+
+    # near/far classification
+    dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
+    far = dist > separation_ratio * (radii[:, None] + radii[None, :])
+
+    # aggregation T: source element j in cluster a with its Gauss points:
+    #   sum_g w_g e^{-ik s.(y_g - c_a)} * (-ik s.n_j)   (double layer)
+    qp_e, qw_e = mesh.quad_points(2)  # (N, nq, 3), weights include area
+    yg_rel = qp_e[clusters] - c_centers[:, None, None, :]  # (C, m, nq, 3)
+    phase_g = np.einsum("qd,cmgd->cqmg", dirs, yg_rel)
+    s_dot_ny = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
+    t_tensor = (
+        np.einsum("cqmg,cmg->cqm", np.exp(-1j * k * phase_g), qw_e[clusters])
+        * (-1j * k * s_dot_ny)
+        * mask[:, None, :]
+    )
+    # disaggregation S: collocation point x_i in cluster b: e^{+ik s.(x_i-c_b)}
+    y_rel = centers[clusters] - c_centers[:, None, :]  # (C, m, 3)
+    phase_y = np.einsum("qd,cmd->cqm", dirs, y_rel)
+    s_tensor = np.exp(1j * k * phase_y) * mask[:, None, :]
+    if beta != 0.0:
+        # Burton-Miller row factor: d/dn_x -> (ik s.n_x) in direction space
+        s_nx = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
+        s_tensor = s_tensor * (1.0 + beta * 1j * k * s_nx)
+
+    # translations D (b <- a) for far pairs
+    d_tensor = np.zeros((c_count, c_count, q), complex)
+    fb, fa = np.where(far)
+    if len(fb):
+        d_vecs = c_centers[fb] - c_centers[fa]
+        d_tensor[fb, fa] = translation_operator(k, d_vecs, dirs, expansion_order)
+
+    # near-field: exact kernel blocks (regularized like the dense path)
+    nb, na = np.where(~far)
+    near_blocks = _near_blocks(
+        mesh, clusters, mask, nb, na, k, beta, dtype
+    )
+
+    # diagonal: jump term + self contributions (already inside near blocks
+    # for the diagonal pair) -> only the 1/2 identity here
+    diag_add = np.full(n, 0.5, complex)
+
+    # S.D.T expands +D (the double layer); the CBIE is A = (1/2)I - D, so
+    # the far field enters with a minus sign (near blocks carry their own).
+    prefactor = -1j * k / (16.0 * np.pi**2)
+    data = SlfmmData(
+        clusters=jnp.asarray(clusters),
+        cluster_mask=jnp.asarray(mask, dtype),
+        t_tensor=jnp.asarray(t_tensor, cdtype),
+        s_tensor=jnp.asarray(s_tensor, cdtype),
+        d_tensor=jnp.asarray(d_tensor, cdtype),
+        quad_w=jnp.asarray(w, dtype),
+        near_a=jnp.asarray(na.astype(np.int32)),
+        near_b=jnp.asarray(nb.astype(np.int32)),
+        near_blocks=near_blocks,
+        diag_add=jnp.asarray(diag_add, cdtype),
+        prefactor=jnp.asarray(prefactor, cdtype),
+    )
+    return SlfmmOperator(data, n)
+
+
+def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype):
+    """Exact near-field blocks (P, m, m): minus double layer (+ BM),
+    with the same static regularization self terms as the dense path."""
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    qp, qw = mesh.quad_points(3)
+    self_r, self_w = _self_angular_rule(mesh)
+
+    centers = jnp.asarray(mesh.centers, dtype)
+    normals = jnp.asarray(mesh.normals, dtype)
+    qp = jnp.asarray(qp, dtype)
+    qw = jnp.asarray(qw, dtype)
+    cl = jnp.asarray(clusters)
+    mk = jnp.asarray(mask, dtype)
+    self_r = jnp.asarray(self_r, dtype)
+    self_w = jnp.asarray(self_w, dtype)
+
+    @jax.jit
+    def blocks(nb_d, na_d):
+        bi = cl[nb_d]  # (P, m) target element ids
+        ai = cl[na_d]  # (P, m) source
+        x = centers[bi][:, :, None, None, :]
+        nx = normals[bi][:, :, None, None, :]
+        y = qp[ai][:, None, :, :, :]
+        ny = normals[ai][:, None, :, None, :]
+        dg, hyp = _pair_kernels(x, nx, y, ny, k)  # (P, mi, mj, nq)
+        w = qw[ai][:, None, :, :].astype(cdtype)
+        blk = -jnp.sum(dg * w, axis=-1)
+        if beta != 0.0:
+            blk = blk + jnp.asarray(beta, cdtype) * jnp.sum(hyp * w, axis=-1)
+        # mask: zero padded rows/cols and the i == j entries (self handled
+        # by analytic radial terms below)
+        same = bi[:, :, None] == ai[:, None, :]
+        blk = jnp.where(same, 0.0, blk)
+        blk = blk * mk[nb_d][:, :, None].astype(cdtype) * mk[na_d][:, None, :].astype(cdtype)
+        # self terms on diagonal pairs
+        diag_pair = nb_d == na_d
+        if beta != 0.0:
+            ik = jnp.asarray(1j * k, cdtype)
+            rr = self_r[cl[nb_d]].astype(cdtype)
+            ww = self_w[cl[nb_d]].astype(cdtype)
+            t_self = jnp.sum(ww * (ik - jnp.exp(ik * rr) / rr), axis=-1) / (4 * jnp.pi)
+            eye = jnp.eye(blk.shape[1], dtype=cdtype)
+            blk = blk + jnp.where(
+                diag_pair[:, None, None],
+                eye[None] * (jnp.asarray(beta, cdtype) * t_self)[:, :, None],
+                0.0,
+            )
+        return blk
+
+    return blocks(jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
