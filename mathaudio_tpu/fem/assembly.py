@@ -177,14 +177,17 @@ def assemble_boundary_mass(
 
 
 def _find_slots(csr: CsrMatrix, rows, cols):
-    """CSR slot of each (row, col); entries must exist in the sparsity."""
-    slots = np.empty(len(rows), np.int64)
-    indptr, indices = csr.indptr, csr.indices
-    for t, (i, j) in enumerate(zip(rows, cols)):
-        lo, hi = indptr[i], indptr[i + 1]
-        p = lo + np.searchsorted(indices[lo:hi], j)
-        assert indices[p] == j, f"entry ({i},{j}) not in sparsity"
-        slots[t] = p
+    """CSR slot of each (row, col); entries must exist in the sparsity.
+    Vectorized: one global searchsorted over (row, col) composite keys
+    (column indices are sorted within each row by construction)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    n_cols = csr.shape[1]
+    nnz_rows = np.repeat(np.arange(csr.shape[0], dtype=np.int64), np.diff(csr.indptr))
+    keys = nnz_rows * n_cols + csr.indices.astype(np.int64)
+    want = rows * n_cols + cols
+    slots = np.searchsorted(keys, want)
+    assert np.all(keys[slots] == want), "entries not in sparsity"
     return slots
 
 

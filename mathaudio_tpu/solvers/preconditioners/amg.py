@@ -72,13 +72,21 @@ def _strength_graph(a: sp.csr_matrix, theta: float) -> sp.csr_matrix:
 
 
 def _pmis(s: sp.csr_matrix, seed: int = 0) -> np.ndarray:
-    """PMIS coarsening (amg.rs PMIS variant): returns bool is_coarse."""
+    """PMIS coarsening (amg.rs PMIS variant): returns bool is_coarse.
+    Uses the native C++ kernel when available."""
     n = s.shape[0]
     sym = ((s + s.T) > 0).astype(np.int8)
     rng = np.random.default_rng(seed)
     weight = sym.sum(axis=1).A.ravel().astype(float) + rng.random(n)
-    state = np.zeros(n, np.int8)  # 0 undecided, 1 coarse, -1 fine
     indptr, indices = sym.indptr, sym.indices
+
+    from mathaudio_tpu import native
+
+    is_coarse = native.pmis_coarsen(indptr, indices, weight)
+    if is_coarse is not None:
+        return is_coarse
+
+    state = np.zeros(n, np.int8)  # 0 undecided, 1 coarse, -1 fine
     undecided = n
     while undecided > 0:
         new_coarse = []

@@ -22,9 +22,21 @@ from mathaudio_tpu.solvers.sparse import CsrMatrix
 
 def ilu0_factor(csr: CsrMatrix):
     """In-place ILU(0): returns (L_csr strictly-lower with unit diag
-    implied, U_csr upper incl. diagonal) on the input sparsity."""
+    implied, U_csr upper incl. diagonal) on the input sparsity.
+
+    Uses the native C++ kernel (mathaudio_tpu.native) when a toolchain is
+    available; otherwise the pure-Python IKJ loop below."""
     n = csr.shape[0]
     indptr, indices = csr.indptr, csr.indices
+
+    from mathaudio_tpu import native
+
+    was_real = not np.iscomplexobj(csr.data)
+    data_c = np.ascontiguousarray(csr.data, np.complex128).copy()
+    if native.ilu0_factor_inplace(indptr, indices, data_c):
+        data = data_c.real.astype(csr.data.dtype) if was_real else data_c
+        return _split_lu(csr, data)
+
     data = csr.data.copy()
 
     # Column position lookup per row for O(1) access.
@@ -51,23 +63,19 @@ def ilu0_factor(csr: CsrMatrix):
                 pij = col_pos[i].get(j)
                 if pij is not None:
                     data[pij] -= lik * data[q]
+    return _split_lu(csr, data)
 
-    l_rows, l_cols, l_vals = [], [], []
-    u_rows, u_cols, u_vals = [], [], []
-    for i in range(n):
-        for p in range(indptr[i], indptr[i + 1]):
-            j = int(indices[p])
-            if j < i:
-                l_rows.append(i), l_cols.append(j), l_vals.append(data[p])
-            else:
-                u_rows.append(i), u_cols.append(j), u_vals.append(data[p])
+
+def _split_lu(csr: CsrMatrix, data: np.ndarray):
+    n = csr.shape[0]
+    indptr, indices = csr.indptr, csr.indices
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    lower = indices < rows
     l_csr = CsrMatrix.from_triplets(
-        np.array(l_rows, np.int64), np.array(l_cols, np.int64),
-        np.array(l_vals, data.dtype), csr.shape,
+        rows[lower], indices[lower].astype(np.int64), data[lower], csr.shape
     )
     u_csr = CsrMatrix.from_triplets(
-        np.array(u_rows, np.int64), np.array(u_cols, np.int64),
-        np.array(u_vals, data.dtype), csr.shape,
+        rows[~lower], indices[~lower].astype(np.int64), data[~lower], csr.shape
     )
     return l_csr, u_csr
 
@@ -91,11 +99,8 @@ class IluFixedPoint(LinearOperator):
         l_csr, u_csr = ilu0_factor(csr)
         diag = u_csr.diagonal()
         # strip the diagonal out of U
-        mask = np.ones(u_csr.nnz, bool)
-        for i in range(u_csr.shape[0]):
-            sl = slice(u_csr.indptr[i], u_csr.indptr[i + 1])
-            mask[sl] &= u_csr.indices[sl] != i
         rows = np.repeat(np.arange(u_csr.shape[0]), np.diff(u_csr.indptr))
+        mask = rows != u_csr.indices
         u_strict = CsrMatrix.from_triplets(
             rows[mask], u_csr.indices[mask], u_csr.data[mask], u_csr.shape
         )

@@ -67,49 +67,51 @@ class CsrMatrix:
     def nnz(self) -> int:
         return len(self.data)
 
+    def _rows(self) -> np.ndarray:
+        return np.repeat(np.arange(self.shape[0]), np.diff(self.indptr))
+
     def to_dense(self) -> np.ndarray:
         out = np.zeros(self.shape, self.data.dtype)
-        for i in range(self.shape[0]):
-            sl = slice(self.indptr[i], self.indptr[i + 1])
-            out[i, self.indices[sl]] += self.data[sl]
+        np.add.at(out, (self._rows(), self.indices), self.data)
         return out
 
     def diagonal(self) -> np.ndarray:
         d = np.zeros(min(self.shape), self.data.dtype)
-        for i in range(min(self.shape)):
-            sl = slice(self.indptr[i], self.indptr[i + 1])
-            cols = self.indices[sl]
-            hit = cols == i
-            if hit.any():
-                d[i] = self.data[sl][hit].sum()
+        rows = self._rows()
+        hit = rows == self.indices
+        np.add.at(d, rows[hit], self.data[hit])
         return d
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x)
         out = np.zeros(self.shape[0], np.result_type(self.data, x))
-        for i in range(self.shape[0]):
-            sl = slice(self.indptr[i], self.indptr[i + 1])
-            out[i] = np.dot(self.data[sl], x[self.indices[sl]])
+        np.add.at(out, self._rows(), self.data * x[self.indices])
         return out
 
     def max_row_nnz(self) -> int:
         return int(np.max(np.diff(self.indptr))) if self.shape[0] else 0
 
+    def _ell_slots(self, pad_to_multiple: int = 1):
+        """Vectorized (width, rows, offsets) for the padded layout."""
+        width = self.max_row_nnz()
+        if pad_to_multiple > 1:
+            width = -(-width // pad_to_multiple) * pad_to_multiple
+        counts = np.diff(self.indptr)
+        rows = np.repeat(np.arange(self.shape[0]), counts)
+        offsets = np.arange(self.nnz) - np.repeat(self.indptr[:-1], counts)
+        return width, rows, offsets
+
     def to_ell(self, max_nnz: Optional[int] = None, pad_to_multiple: int = 1) -> "EllMatrix":
         """Convert to the padded device layout. ``pad_to_multiple`` rounds
         the row width up (e.g. 8 for f32 sublane alignment)."""
-        width = max_nnz if max_nnz is not None else self.max_row_nnz()
-        if pad_to_multiple > 1:
-            width = -(-width // pad_to_multiple) * pad_to_multiple
+        width, rows, offsets = self._ell_slots(pad_to_multiple)
+        if max_nnz is not None:
+            width = max(width, max_nnz)
         n = self.shape[0]
         idx = np.zeros((n, width), np.int32)
         val = np.zeros((n, width), self.data.dtype)
-        counts = np.diff(self.indptr)
-        for i in range(n):
-            c = counts[i]
-            sl = slice(self.indptr[i], self.indptr[i + 1])
-            idx[i, :c] = self.indices[sl]
-            val[i, :c] = self.data[sl]
+        idx[rows, offsets] = self.indices
+        val[rows, offsets] = self.data
         return EllMatrix(idx, val, self.shape)
 
     def ell_structure(self, pad_to_multiple: int = 1):
@@ -117,18 +119,11 @@ class CsrMatrix:
         ``scatter_map`` maps each CSR nnz slot to its flat ELL slot so a
         new data vector with the same sparsity becomes new ELL values via
         one scatter (the per-frequency path of HelmholtzAssembler)."""
-        width = self.max_row_nnz()
-        if pad_to_multiple > 1:
-            width = -(-width // pad_to_multiple) * pad_to_multiple
+        width, rows, offsets = self._ell_slots(pad_to_multiple)
         n = self.shape[0]
         idx = np.zeros((n, width), np.int32)
-        scatter = np.zeros(self.nnz, np.int64)
-        counts = np.diff(self.indptr)
-        for i in range(n):
-            c = counts[i]
-            sl = slice(self.indptr[i], self.indptr[i + 1])
-            idx[i, :c] = self.indices[sl]
-            scatter[sl] = i * width + np.arange(c)
+        idx[rows, offsets] = self.indices
+        scatter = rows.astype(np.int64) * width + offsets
         return idx, scatter
 
 

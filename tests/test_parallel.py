@@ -1,0 +1,55 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mathaudio_tpu.fem.mesh import unit_cube_tetrahedra
+from mathaudio_tpu.models import RoomSweepModel
+from mathaudio_tpu.models.helmholtz_room import sweep_pressure
+from mathaudio_tpu.optim import differential_evolution
+from mathaudio_tpu.parallel import (
+    shard_frequency_sweep,
+    shard_population_eval,
+    shard_room_params,
+    sweep_mesh,
+)
+from mathaudio_tpu.solvers import KrylovConfig
+from mathaudio_tpu.testfunctions import functions as F
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestShardedSweep:
+    def test_frequency_sharded_sweep_matches_single(self):
+        mesh_dev = sweep_mesh(8, dof_parallel=2)
+        model = RoomSweepModel(unit_cube_tetrahedra(5), absorption=0.2)
+        cfg = KrylovConfig(max_iterations=400, tolerance=1e-8, restart=20)
+
+        def sweep(params, ks):
+            p, its, conv = sweep_pressure(
+                params, ks, absorption=0.2, config=cfg,
+                num_nodes=model.num_nodes, ell_width=model.ell_width,
+            )
+            return p
+
+        ks = jnp.linspace(0.6, 1.8, 8, dtype=model.dtype)
+        p_single = np.asarray(sweep(model.params(), ks))
+
+        with mesh_dev:
+            params_sh = shard_room_params(mesh_dev, model.params())
+            fn = shard_frequency_sweep(mesh_dev, sweep)
+            p_sharded = np.asarray(fn(params_sh, ks))
+        np.testing.assert_allclose(p_sharded, p_single, rtol=2e-5, atol=1e-9)
+
+    def test_population_sharded_de_eval(self):
+        mesh_dev = sweep_mesh(8, dof_parallel=1)
+        with mesh_dev:
+            eval_fn = shard_population_eval(mesh_dev, F.rastrigin)
+            pop = jnp.asarray(np.random.default_rng(0).uniform(-5, 5, (64, 4)))
+            e = np.asarray(eval_fn(pop))
+        ref = np.asarray(jax.vmap(F.rastrigin)(pop))
+        np.testing.assert_allclose(e, ref, rtol=1e-12)
