@@ -155,6 +155,84 @@ class FemRoomSimulation:
         return out
 
     def run(self, hierarchical: bool = False):
+        if hierarchical:
+            return self._run_hierarchical()
+        return self._run_flat()
+
+    def _run_hierarchical(self, anchor_stride: int = 4):
+        """Warm-start hierarchical solve (room_simulator_fem.rs:1640):
+        anchor frequencies solved cold in one batch, intermediates
+        warm-started from linearly interpolated anchor solutions."""
+        cfg = self.config
+        freqs = self.sim.frequencies
+        kcfg = KrylovConfig(
+            max_iterations=cfg.solver.gmres.max_iter * 10,
+            tolerance=cfg.solver.gmres.tolerance,
+            restart=cfg.solver.gmres.restart,
+        )
+        sweep = jax.jit(self._sweep_fn(kcfg))
+        ks = 2.0 * np.pi * freqs / SPEED_OF_SOUND
+        weights = self.source_weights(freqs)
+        n = self.mesh.num_nodes
+        cd = self.assembler.cdtype
+        nf = len(freqs)
+
+        anchors = sorted(set(list(range(0, nf, anchor_stride)) + [nf - 1]))
+        inter = [i for i in range(nf) if i not in anchors]
+
+        def solve_batch(idx, x0):
+            kb = jnp.asarray(ks[idx])
+            wb = jnp.asarray(weights[idx])
+            x, its, cv = sweep(kb, wb, x0)
+            return np.asarray(x), np.asarray(its), np.asarray(cv)
+
+        xa, its_a, cv_a = solve_batch(anchors, jnp.zeros((len(anchors), n), cd))
+
+        x_full = np.zeros((nf, n), complex)
+        for ai, i in enumerate(anchors):
+            x_full[i] = xa[ai]
+        its = np.zeros(nf, int)
+        conv = np.zeros(nf, bool)
+        its[anchors] = its_a
+        conv[anchors] = cv_a
+
+        if inter:
+            x0s = np.zeros((len(inter), n), complex)
+            for t, i in enumerate(inter):
+                lo = max(a for a in anchors if a < i)
+                hi = min(a for a in anchors if a > i)
+                w_hi = (ks[i] - ks[lo]) / (ks[hi] - ks[lo])
+                x0s[t] = (1 - w_hi) * x_full[lo] + w_hi * x_full[hi]
+            xi, its_i, cv_i = solve_batch(inter, jnp.asarray(x0s, cd))
+            for t, i in enumerate(inter):
+                x_full[i] = xi[t]
+            its[inter] = its_i
+            conv[inter] = cv_i
+            if self.verbose:
+                print(
+                    f"hierarchical: anchors avg {its_a.mean():.1f} iters, "
+                    f"warm-started avg {its_i.mean():.1f} iters",
+                    file=sys.stderr,
+                )
+
+        p = x_full[:, np.asarray(self.listen_idx)]
+        spl = np.asarray(pressure_to_spl(np.abs(p)))
+        results = create_output_json(
+            cfg, freqs, spl,
+            extra_metadata={
+                "engine": "fem", "hierarchical": True,
+                "num_nodes": int(n),
+                "iterations": its.tolist(), "converged": conv.tolist(),
+            },
+        )
+        for i, r in enumerate(results.results):
+            r.converged = bool(conv[i])
+            r.iterations = int(its[i])
+            r.pressure_real = p[i].real.tolist()
+            r.pressure_imag = p[i].imag.tolist()
+        return results
+
+    def _run_flat(self):
         cfg = self.config
         freqs = self.sim.frequencies
         kcfg = KrylovConfig(
@@ -232,8 +310,11 @@ class FemRoomSimulation:
         return results
 
 
-def run_fem_simulation(config: RoomConfig, verbose: int = 1, use_multigrid: bool = True):
-    return FemRoomSimulation(config, use_multigrid=use_multigrid, verbose=verbose).run()
+def run_fem_simulation(config: RoomConfig, verbose: int = 1, use_multigrid: bool = True,
+                       hierarchical: bool = False):
+    return FemRoomSimulation(config, use_multigrid=use_multigrid, verbose=verbose).run(
+        hierarchical=hierarchical
+    )
 
 
 def main(argv=None):
@@ -245,6 +326,8 @@ def main(argv=None):
     ap.add_argument("-v", "--verbose", type=int, default=1)
     ap.add_argument("--cpu", action="store_true", help="run on CPU (f64)")
     ap.add_argument("--no-multigrid", action="store_true")
+    ap.add_argument("--hierarchical", action="store_true",
+                    help="anchor + warm-start sweep (room_simulator_fem.rs:1640)")
     ap.add_argument("--mesh-resolution", type=int, default=None, help="elements per meter")
     args = ap.parse_args(argv)
 
@@ -256,7 +339,8 @@ def main(argv=None):
     if args.mesh_resolution:
         config.solver.mesh_resolution = args.mesh_resolution
     results = run_fem_simulation(
-        config, verbose=args.verbose, use_multigrid=not args.no_multigrid
+        config, verbose=args.verbose, use_multigrid=not args.no_multigrid,
+        hierarchical=args.hierarchical,
     )
     results.save(args.output)
     if args.verbose:

@@ -16,10 +16,59 @@ from mathaudio_tpu.fem.mesh import HEX, QUAD, TET, TRIANGLE
 from mathaudio_tpu.fem.quadrature import hex_rule, quad_rule, tet_rule, triangle_rule
 
 
+TRIANGLE6 = "triangle6"
+TET10 = "tet10"
+
+
 def shape_functions(element_type: str, pts: np.ndarray):
     """phi (nq, nv) and grad (nq, nv, dim) at reference points."""
     pts = np.atleast_2d(np.asarray(pts, float))
     nq = pts.shape[0]
+    if element_type == TRIANGLE6:
+        x, y = pts[:, 0], pts[:, 1]
+        l0, l1, l2 = 1 - x - y, x, y
+        # node order: v0 v1 v2, m01 m12 m20
+        phi = np.stack(
+            [
+                l0 * (2 * l0 - 1), l1 * (2 * l1 - 1), l2 * (2 * l2 - 1),
+                4 * l0 * l1, 4 * l1 * l2, 4 * l2 * l0,
+            ],
+            axis=1,
+        )
+        g0 = np.array([-1.0, -1.0])
+        g1 = np.array([1.0, 0.0])
+        g2 = np.array([0.0, 1.0])
+        grad = np.stack(
+            [
+                (4 * l0 - 1)[:, None] * g0,
+                (4 * l1 - 1)[:, None] * g1,
+                (4 * l2 - 1)[:, None] * g2,
+                4 * (l1[:, None] * g0 + l0[:, None] * g1),
+                4 * (l2[:, None] * g1 + l1[:, None] * g2),
+                4 * (l0[:, None] * g2 + l2[:, None] * g0),
+            ],
+            axis=1,
+        )
+        return phi, grad
+    if element_type == TET10:
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        l0, l1, l2, l3 = 1 - x - y - z, x, y, z
+        ls = [l0, l1, l2, l3]
+        gs = [
+            np.array([-1.0, -1.0, -1.0]),
+            np.array([1.0, 0.0, 0.0]),
+            np.array([0.0, 1.0, 0.0]),
+            np.array([0.0, 0.0, 1.0]),
+        ]
+        # node order: v0..v3, then edges 01 02 03 12 13 23
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        phi_cols = [ls[i] * (2 * ls[i] - 1) for i in range(4)] + [
+            4 * ls[a] * ls[b] for a, b in edges
+        ]
+        grad_cols = [(4 * ls[i] - 1)[:, None] * gs[i] for i in range(4)] + [
+            4 * (ls[b][:, None] * gs[a] + ls[a][:, None] * gs[b]) for a, b in edges
+        ]
+        return np.stack(phi_cols, axis=1), np.stack(grad_cols, axis=1)
     if element_type == TRIANGLE:
         x, y = pts[:, 0], pts[:, 1]
         phi = np.stack([1 - x - y, x, y], axis=1)
@@ -97,11 +146,15 @@ class ElementTable(NamedTuple):
     grad: np.ndarray  # (nq, nv, dim)
 
 
+from mathaudio_tpu.fem.quadrature import tet_rule_duffy, triangle_rule_order
+
 _RULES = {
     TRIANGLE: (triangle_rule, 2, 3, 2),
     TET: (tet_rule, 2, 4, 3),
     QUAD: (quad_rule, 2, 4, 2),
     HEX: (hex_rule, 2, 8, 3),
+    TRIANGLE6: (lambda order: triangle_rule_order(max(order * 2, 4)), 2, 6, 2),
+    TET10: (lambda order: tet_rule_duffy(4), 2, 10, 3),
 }
 
 

@@ -103,18 +103,51 @@ def solve_helmholtz(
     """Dispatch table mirroring SolverType (solver/mod.rs:72-107).
 
     Supported: direct, gmres, gmres_jacobi, gmres_ilu (fixed-point),
-    gmres_schwarz, bicgstab, cg. (Multigrid / shifted-Laplacian land in
-    fem/multigrid.py as preconditioner factories.)
+    gmres_schwarz, gmres_amg, gmres_pipelined[_ilu|_amg] (aliases — see
+    solvers.krylov.gmres_pipelined), gmres_shifted_laplacian (AMG V-cycle
+    on the complex-shifted operator, solver/mod.rs:1438), bicgstab, cg.
+    Structured-mesh geometric multigrid lives in fem/multigrid.py.
     """
     config = config or KrylovConfig(max_iterations=2000, tolerance=1e-10, restart=50)
     a = problem.operator
     b = problem.rhs
+
+    # pipelined variants are the same solver on TPU (latency hiding is
+    # XLA's job); map them onto their plain counterparts
+    solver = {
+        "gmres_pipelined": "gmres",
+        "gmres_pipelined_ilu": "gmres_ilu",
+        "gmres_pipelined_amg": "gmres_amg",
+    }.get(solver, solver)
 
     if solver == "direct":
         x = lu_solve(problem.to_dense(), b)
         return x, {"solver": solver, "converged": True, "iterations": 0}
 
     pre = None
+    if solver == "gmres_shifted_laplacian":
+        # Erlangga shifted Laplacian P = K - (1 + 0.5i) k^2 M (+ Robin),
+        # approximately inverted by one AMG V-cycle (ShiftedLaplacianMg).
+        import scipy.sparse as sp
+
+        from mathaudio_tpu.solvers import AmgConfig, AmgPreconditioner
+
+        k = problem.k
+        shift_vals = (
+            problem.assembler.k_vals.astype(problem.cdtype)
+            - (1.0 + 0.5j) * (k**2) * problem.assembler.m_vals.astype(problem.cdtype)
+        )
+        for tag, coeff in problem.robin_coeffs.items():
+            shift_vals = shift_vals + coeff * problem.assembler.b_vals[tag].astype(
+                problem.cdtype
+            )
+        shift_vals = problem.assembler.apply_dirichlet_values(shift_vals, problem.constrained)
+        a_sp = sp.csr_matrix(
+            (np.asarray(shift_vals), problem.assembler.csr.indices,
+             problem.assembler.csr.indptr),
+            shape=problem.assembler.csr.shape,
+        )
+        pre = AmgPreconditioner(a_sp, AmgConfig.for_difficult_problems())
     if solver == "gmres_jacobi":
         pre = jacobi_preconditioner(problem.diagonal())
     elif solver == "gmres_ilu":

@@ -86,6 +86,45 @@ def tet_rule(order: int):
     return pts, w
 
 
+def tet_rule_duffy(n: int = 4):
+    """Collapsed (Duffy) tensor rule on the reference tet, exact for
+    polynomials up to degree ~2n-3 — used for P2/P3 mass matrices where
+    the hardcoded low-order rules run out."""
+    x, w = gauss_1d(n)
+    x = (x + 1.0) / 2.0
+    w = w / 2.0
+    pts = []
+    ws = []
+    for a, wa in zip(x, w):
+        for b, wb in zip(x, w):
+            for c, wc in zip(x, w):
+                # map cube -> tet: xi = a, eta = b(1-a), zeta = c(1-a)(1-b)
+                xi = a
+                eta = b * (1 - a)
+                zeta = c * (1 - a) * (1 - b)
+                jac = (1 - a) ** 2 * (1 - b)
+                pts.append([xi, eta, zeta])
+                ws.append(wa * wb * wc * jac)
+    return np.asarray(pts), np.asarray(ws)
+
+
+def triangle_rule_order(order: int):
+    """Triangle rule exact to the given polynomial degree (7-pt covers 5;
+    collapsed tensor rule beyond)."""
+    if order <= 5:
+        return triangle_rule(4)
+    n = (order + 3) // 2 + 1
+    x, w = gauss_1d(n)
+    x = (x + 1.0) / 2.0
+    w = w / 2.0
+    pts, ws = [], []
+    for a, wa in zip(x, w):
+        for b, wb in zip(x, w):
+            pts.append([a, b * (1 - a)])
+            ws.append(wa * wb * (1 - a))
+    return np.asarray(pts), np.asarray(ws)
+
+
 def quad_rule(n: int = 2):
     x, w = gauss_1d(n)
     xx, yy = np.meshgrid(x, x, indexing="ij")

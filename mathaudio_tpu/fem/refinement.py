@@ -133,3 +133,48 @@ def residual_indicator(mesh: Mesh, u, k: float) -> np.ndarray:
     h2 = mesh.element_measures() ** (2.0 / mesh.dim)
     u_elem = np.abs(u[mesh.elements]).mean(axis=1)
     return h2 * (k**2) * u_elem
+
+
+def to_p2(mesh: Mesh) -> Mesh:
+    """Upgrade a P1 simplex mesh to quadratic elements by appending edge
+    midpoint nodes (basis/lagrange.rs P2 support). Boundary faces gain
+    their midpoint nodes; markers are preserved."""
+    if mesh.element_type == TRIANGLE:
+        edge_local = _TRI_EDGES
+        new_type = "triangle6"
+    elif mesh.element_type == TET:
+        edge_local = _TET_EDGES
+        new_type = "tet10"
+    else:
+        raise ValueError(mesh.element_type)
+
+    nodes, per_elem_mid = _edge_midpoints(mesh.nodes, mesh.elements, edge_local)
+    elements = np.hstack([mesh.elements, per_elem_mid]).astype(np.int64)
+    out = Mesh(mesh.dim, nodes, elements, new_type)
+
+    if mesh.boundary_faces is not None:
+        # boundary faces: append edge-midpoint node(s). For 2D edges: one
+        # midpoint; for 3D tri faces: three midpoints.
+        faces = mesh.boundary_faces
+        if mesh.element_type == TRIANGLE:
+            mids = _lookup_midpoints(mesh, nodes, faces[:, [0, 1]])
+            out.boundary_faces = np.hstack([faces, mids[:, None]])
+        else:
+            m01 = _lookup_midpoints(mesh, nodes, faces[:, [0, 1]])
+            m12 = _lookup_midpoints(mesh, nodes, faces[:, [1, 2]])
+            m20 = _lookup_midpoints(mesh, nodes, faces[:, [2, 0]])
+            out.boundary_faces = np.hstack(
+                [faces, m01[:, None], m12[:, None], m20[:, None]]
+            )
+        out.boundary_markers = mesh.boundary_markers.copy()
+    return out
+
+
+def _lookup_midpoints(mesh: Mesh, all_nodes: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Node ids of the midpoints of the given (F, 2) edges (they exist in
+    all_nodes by construction of _edge_midpoints)."""
+    mids = 0.5 * (mesh.nodes[edges[:, 0]] + mesh.nodes[edges[:, 1]])
+    n_old = mesh.num_nodes
+    new_nodes = all_nodes[n_old:]
+    key = {tuple(np.round(p, 12)): n_old + i for i, p in enumerate(new_nodes)}
+    return np.asarray([key[tuple(np.round(m, 12))] for m in mids], np.int64)

@@ -1,0 +1,139 @@
+"""Pallas kernel: pairwise double-layer (dG/dn_y) quadrature sums.
+
+Computes, for all collocation points x_i and elements j,
+
+    D[i, j] = sum_q w[j, q] * dG/dn_y(x_i, y[j, q])         (Helmholtz)
+    D0[i, j] = sum_q w[j, q] * dG0/dn_y(x_i, y[j, q])       (Laplace)
+
+— the inner O(N^2 nq) loop of the dense BEM assembly
+(bem/assembly._assemble_jit) and of the Kirchhoff–Helmholtz field
+evaluation. Tiling: grid over (TI x TJ) blocks; each program holds one
+block of collocation points and one block of elements (all nq quadrature
+points) in VMEM and runs pure VPU math (rsqrt/sin/cos on (TI, TJ*nq)
+tiles), writing two complex tiles as 4 f32 planes.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from mathaudio_tpu.xtypes import complex_dtype_for
+
+_PI4 = 4.0 * np.pi
+
+
+def _kernel(x_ref, nx_unused, yq_ref, ny_ref, w_ref, k_ref,
+            dkr_ref, dki_ref, d0_ref):
+    # x: (TI, 3); yq: (TJ, nq, 3); ny: (TJ, 3); w: (TJ, nq)
+    # Static Python loop over the nq quadrature points: every intermediate
+    # is a (TI, TJ) tile — no lane-crossing reshapes (Mosaic-friendly).
+    nq = yq_ref.shape[1]
+    k = k_ref[0, 0]
+    nyx = ny_ref[:, 0]
+    nyy = ny_ref[:, 1]
+    nyz = ny_ref[:, 2]
+    xx = x_ref[:, 0][:, None]
+    xy = x_ref[:, 1][:, None]
+    xz = x_ref[:, 2][:, None]
+
+    acc_re = jnp.zeros(dkr_ref.shape, dkr_ref.dtype)
+    acc_im = jnp.zeros(dkr_ref.shape, dkr_ref.dtype)
+    acc_0 = jnp.zeros(dkr_ref.shape, dkr_ref.dtype)
+    for q in range(nq):
+        dx = yq_ref[:, q, 0][None, :] - xx  # (TI, TJ)
+        dy = yq_ref[:, q, 1][None, :] - xy
+        dz = yq_ref[:, q, 2][None, :] - xz
+        r2 = dx * dx + dy * dy + dz * dz
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        r = r2 * inv_r
+        r_dot_n = dx * nyx[None, :] + dy * nyy[None, :] + dz * nyz[None, :]
+        kr = k * r
+        c = jnp.cos(kr)
+        s = jnp.sin(kr)
+        wq = w_ref[:, q][None, :]
+        # dG/dn_y = (ik - 1/r) e^{ikr}/(4 pi r) (rv.n)/r
+        common = (wq / _PI4) * r_dot_n * inv_r * inv_r
+        acc_re += common * (-c * inv_r - k * s)
+        acc_im += common * (k * c - s * inv_r)
+        acc_0 += -common * inv_r
+    dkr_ref[:] = acc_re
+    dki_ref[:] = acc_im
+    d0_ref[:] = acc_0
+
+
+def pairwise_double_layer_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128):
+    """(D_k complex, D_0 real), shapes (Ni, Nj). Inputs padded to tiles."""
+    ni, nj, nq = x.shape[0], yq.shape[0], yq.shape[1]
+    pi = (-ni) % tile_i
+    pj = (-nj) % tile_j
+    x_p = jnp.pad(x, ((0, pi), (0, 0)))
+    yq_p = jnp.pad(yq, ((0, pj), (0, 0), (0, 0)), constant_values=1e6)  # far away
+    ny_p = jnp.pad(ny, ((0, pj), (0, 0)))
+    w_p = jnp.pad(w, ((0, pj), (0, 0)))
+    mi, mj = ni + pi, nj + pj
+    k_arr = jnp.asarray([[k]], x.dtype)
+
+    grid = (mi // tile_i, mj // tile_j)
+    out_shape = [
+        jax.ShapeDtypeStruct((mi, mj), x.dtype),
+        jax.ShapeDtypeStruct((mi, mj), x.dtype),
+        jax.ShapeDtypeStruct((mi, mj), x.dtype),
+    ]
+    in_specs = [
+        pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),
+        pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),  # unused normals slot
+        pl.BlockSpec((tile_j, nq, 3), lambda i, j: (j, 0, 0)),
+        pl.BlockSpec((tile_j, 3), lambda i, j: (j, 0)),
+        pl.BlockSpec((tile_j, nq), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile_i, tile_j), lambda i, j: (i, j)),
+        pl.BlockSpec((tile_i, tile_j), lambda i, j: (i, j)),
+        pl.BlockSpec((tile_i, tile_j), lambda i, j: (i, j)),
+    ]
+    dkr, dki, d0 = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(x_p, x_p, yq_p, ny_p, w_p, k_arr)
+    cd = complex_dtype_for(x.dtype)
+    dk = (dkr + 1j * dki.astype(cd))[:ni, :nj]
+    return dk, d0[:ni, :nj]
+
+
+def pairwise_double_layer_xla(x, yq, ny, w, k):
+    """Reference XLA implementation (identical semantics)."""
+    cd = complex_dtype_for(x.dtype)
+    rv = yq[None, :, :, :] - x[:, None, None, :]
+    r2 = jnp.sum(rv * rv, axis=-1)
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / jnp.maximum(r, 1e-15)
+    r_dot_n = jnp.sum(rv * ny[None, :, None, :], axis=-1)
+    g = jnp.exp(1j * (k * r).astype(cd)) * (inv_r / _PI4).astype(cd)
+    dg = (1j * k - inv_r.astype(cd)) * g * (r_dot_n * inv_r).astype(cd)
+    d0 = -(inv_r**3) * r_dot_n / _PI4
+    wb = w[None, :, :]
+    return jnp.sum(dg * wb.astype(cd), axis=-1), jnp.sum(d0 * wb, axis=-1)
+
+
+def pairwise_double_layer(x, yq, ny, w, k, force: str = "auto"):
+    """Dispatch: Pallas on TPU, XLA elsewhere (force='pallas'|'xla')."""
+    use_pallas = force == "pallas" or (
+        force == "auto"
+        and jax.default_backend() == "tpu"
+        and os.environ.get("MATHAUDIO_NO_PALLAS") != "1"
+    )
+    if use_pallas:
+        return pairwise_double_layer_pallas(x, yq, ny, w, k)
+    return pairwise_double_layer_xla(x, yq, ny, w, k)

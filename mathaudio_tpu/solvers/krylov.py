@@ -304,3 +304,13 @@ def gmres(
 def gmres_with_guess(a, b, x0, config=KrylovConfig(), preconditioner=None):
     """Parity alias (gmres.rs:105 gmres_with_guess)."""
     return gmres(a, b, x0=x0, config=config, preconditioner=preconditioner)
+
+
+def gmres_pipelined(a, b, x0=None, config=KrylovConfig(), preconditioner=None):
+    """Parity entry point for the reference's pipelined GMRES
+    (gmres_pipelined.rs:1-18, Ghysels 2013). The communication/latency
+    overlap that algorithm buys on CPU clusters is provided on TPU by the
+    XLA scheduler and async ICI collectives, so this is the standard
+    solver — kept as a named variant so SolverType dispatch tables match.
+    """
+    return gmres(a, b, x0=x0, config=config, preconditioner=preconditioner)

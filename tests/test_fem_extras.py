@@ -132,3 +132,54 @@ class TestPml:
         ripple = (mags.max() - mags.min()) / mags.mean()
         assert ripple < 0.12, ripple  # < ~6% amplitude reflection
         np.testing.assert_allclose(mags.mean(), 1.0, atol=0.1)
+
+
+class TestP2Elements:
+    def test_p2_shape_partition_of_unity(self):
+        from mathaudio_tpu.fem.basis import shape_functions
+        import numpy as _np
+
+        pts = _np.array([[0.2, 0.3], [0.1, 0.05], [1 / 3, 1 / 3]])
+        phi, grad = shape_functions("triangle6", pts)
+        _np.testing.assert_allclose(phi.sum(axis=1), 1.0, atol=1e-13)
+        _np.testing.assert_allclose(grad.sum(axis=1), 0.0, atol=1e-13)
+        pts3 = _np.array([[0.2, 0.3, 0.1], [0.25, 0.25, 0.25]])
+        phi3, grad3 = shape_functions("tet10", pts3)
+        _np.testing.assert_allclose(phi3.sum(axis=1), 1.0, atol=1e-13)
+        _np.testing.assert_allclose(grad3.sum(axis=1), 0.0, atol=1e-13)
+
+    def test_p2_mass_total(self):
+        from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+        from mathaudio_tpu.fem.refinement import to_p2
+
+        m2 = to_p2(unit_square_triangles(4))
+        asm = HelmholtzAssembler(m2)
+        np.testing.assert_allclose(float(jnp.sum(asm.m_vals)), 1.0, atol=1e-12)
+        m3 = to_p2(unit_cube_tetrahedra(2))
+        asm3 = HelmholtzAssembler(m3)
+        np.testing.assert_allclose(float(jnp.sum(asm3.m_vals)), 1.0, atol=1e-10)
+
+    def test_p2_beats_p1(self):
+        """Quadratic elements cut the plane-wave L2 error by >~5x on the
+        same mesh (analytical_validation.rs P2 expectations)."""
+        from mathaudio_tpu.fem import HelmholtzProblem, solve_helmholtz
+        from mathaudio_tpu.fem.boundary import DirichletBC
+        from mathaudio_tpu.fem.problem import l2_error_at_nodes
+        from mathaudio_tpu.fem.refinement import to_p2
+
+        k = 2.0
+        kx, ky = k * 0.6, k * 0.8
+
+        def exact(x):
+            return jnp.exp(1j * (kx * x[..., 0] + ky * x[..., 1]))
+
+        errs = {}
+        for name, mesh in [
+            ("p1", unit_square_triangles(8)),
+            ("p2", to_p2(unit_square_triangles(8))),
+        ]:
+            bcs = [DirichletBC(t, exact) for t in (1, 2, 3, 4)]
+            prob = HelmholtzProblem(mesh, k, dirichlet=bcs)
+            u, info = solve_helmholtz(prob, "direct")
+            errs[name] = float(l2_error_at_nodes(mesh, u, exact))
+        assert errs["p2"] < errs["p1"] / 5.0, errs
