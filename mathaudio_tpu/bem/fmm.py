@@ -272,3 +272,180 @@ def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype):
         return blk
 
     return blocks(jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
+
+
+class MlfmmData(NamedTuple):
+    """Two-level FMM pytree: leaf level (near blocks + leaf-far
+    translations) plus a coarse level handling pairs that are far at the
+    parent scale (mlfmm.rs upward/downward passes flattened into direct
+    per-level aggregation — exact, static-shape)."""
+
+    leaf: SlfmmData  # near blocks + leaf-level far pairs (parents near)
+    coarse_clusters: jnp.ndarray  # (Cc, mc) element ids
+    coarse_mask: jnp.ndarray  # (Cc, mc)
+    coarse_t: jnp.ndarray  # (Cc, Qc, mc)
+    coarse_s: jnp.ndarray  # (Cc, Qc, mc)
+    coarse_d: jnp.ndarray  # (Cc, Cc, Qc)
+    coarse_w: jnp.ndarray  # (Qc,)
+    coarse_prefactor: jnp.ndarray
+
+
+@jax.tree_util.register_pytree_node_class
+class MlfmmOperator(LinearOperator):
+    """Matrix-free multi-level matvec (mlfmm.rs:954 MlfmmSystem::matvec)."""
+
+    def __init__(self, data: MlfmmData, n: int):
+        self.data = data
+        self.n = n
+
+    def matvec(self, x):
+        out = SlfmmOperator(self.data.leaf, self.n).matvec(x)
+        d = self.data
+        xc = x[d.coarse_clusters] * d.coarse_mask.astype(x.dtype)
+        mu = jnp.einsum("cqm,cm->cq", d.coarse_t, xc)
+        lam = jnp.einsum("baq,aq->bq", d.coarse_d, mu)
+        far = d.coarse_prefactor * jnp.einsum(
+            "q,cqm,cq->cm", d.coarse_w.astype(x.dtype), d.coarse_s, lam
+        )
+        out = out.at[d.coarse_clusters.reshape(-1)].add(
+            (far * d.coarse_mask.astype(x.dtype)).reshape(-1)
+        )
+        return out
+
+    def tree_flatten(self):
+        return (self.data,), self.n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+def _level_tensors(mesh, clusters, mask, c_centers, far, k, dirs, w, order, dtype):
+    """(T, S, D) padded tensors for one level (shared by SL and ML)."""
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    centers = mesh.centers
+    normals = mesh.normals
+    qp_e, qw_e = mesh.quad_points(2)
+    yg_rel = qp_e[clusters] - c_centers[:, None, None, :]
+    phase_g = np.einsum("qd,cmgd->cqmg", dirs, yg_rel)
+    s_dot_ny = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
+    t_tensor = (
+        np.einsum("cqmg,cmg->cqm", np.exp(-1j * k * phase_g), qw_e[clusters])
+        * (-1j * k * s_dot_ny)
+        * mask[:, None, :]
+    )
+    y_rel = centers[clusters] - c_centers[:, None, :]
+    phase_y = np.einsum("qd,cmd->cqm", dirs, y_rel)
+    s_tensor = np.exp(1j * k * phase_y) * mask[:, None, :]
+    c_count, q = len(c_centers), len(dirs)
+    d_tensor = np.zeros((c_count, c_count, q), complex)
+    fb, fa = np.where(far)
+    if len(fb):
+        d_tensor[fb, fa] = translation_operator(
+            k, c_centers[fb] - c_centers[fa], dirs, order
+        )
+    return t_tensor, s_tensor, d_tensor
+
+
+def build_mlfmm_system(
+    mesh: SurfaceMesh,
+    k: float,
+    max_per_leaf: int = 32,
+    separation_ratio: float = 1.5,
+    dtype=None,
+) -> MlfmmOperator:
+    """Two-level FMM (mlfmm.rs:979 build_mlfmm_system): pairs that are
+    far at the coarse (parent) scale translate between coarse clusters
+    with the coarse expansion order; remaining far pairs translate at the
+    leaf level; neighbors stay dense. Aggregation goes element->level
+    directly (no M2M interpolation), keeping shapes static and exact."""
+    dtype = dtype or default_float()
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    n = mesh.num_elements
+    centers = mesh.centers
+
+    tree = Octree.build(centers, max_per_leaf=max_per_leaf)
+    leaves = tree.leaves
+    parents = Octree.build(centers, max_per_leaf=max_per_leaf * 8).leaves
+
+    def pack(nodes):
+        c = len(nodes)
+        m = max(len(nd.indices) for nd in nodes)
+        cl = np.zeros((c, m), np.int32)
+        mk = np.zeros((c, m))
+        cc = np.zeros((c, 3))
+        rr = np.zeros(c)
+        for i, nd in enumerate(nodes):
+            idx = nd.indices
+            cl[i, : len(idx)] = idx
+            mk[i, : len(idx)] = 1.0
+            cc[i] = centers[idx].mean(axis=0)
+            rr[i] = np.linalg.norm(centers[idx] - cc[i], axis=1).max() + 1e-12
+        return cl, mk, cc, rr
+
+    cl_f, mk_f, cc_f, r_f = pack(leaves)
+    cl_c, mk_c, cc_c, r_c = pack(parents)
+
+    # parent of each leaf: the coarse cluster containing its first element
+    elem_to_coarse = np.zeros(n, np.int32)
+    for ci, nd in enumerate(parents):
+        elem_to_coarse[nd.indices] = ci
+    leaf_parent = elem_to_coarse[cl_f[:, 0]]
+
+    d_f = np.linalg.norm(cc_f[:, None] - cc_f[None, :], axis=-1)
+    far_leaf = d_f > separation_ratio * (r_f[:, None] + r_f[None, :])
+    d_c = np.linalg.norm(cc_c[:, None] - cc_c[None, :], axis=-1)
+    far_coarse = d_c > separation_ratio * (r_c[:, None] + r_c[None, :])
+    # leaf pairs whose parents are far are handled at the coarse level
+    parents_far = far_coarse[leaf_parent[:, None], leaf_parent[None, :]]
+    far_leaf_only = far_leaf & ~parents_far
+    near_leaf = ~far_leaf & ~parents_far
+
+    kr_f = k * r_f.max()
+    order_f = int(np.ceil(kr_f + 4 * np.log(kr_f + np.pi) + 4))
+    dirs_f, w_f = unit_sphere_quadrature(order_f)
+    kr_c = k * r_c.max()
+    order_c = int(np.ceil(kr_c + 4 * np.log(kr_c + np.pi) + 4))
+    dirs_c, w_c = unit_sphere_quadrature(order_c)
+
+    t_f, s_f, d_tf = _level_tensors(mesh, cl_f, mk_f, cc_f, far_leaf_only, k,
+                                    dirs_f, w_f, order_f, dtype)
+    t_c, s_c, d_tc = _level_tensors(mesh, cl_c, mk_c, cc_c, far_coarse, k,
+                                    dirs_c, w_c, order_c, dtype)
+
+    nb, na = np.where(near_leaf)
+    near_blocks = _near_blocks(mesh, cl_f, mk_f, nb, na, k, 0.0, dtype)
+    diag_add = np.full(n, 0.5, complex)
+    pref = -1j * k / (16.0 * np.pi**2)
+
+    leaf_data = SlfmmData(
+        clusters=jnp.asarray(cl_f),
+        cluster_mask=jnp.asarray(mk_f, dtype),
+        t_tensor=jnp.asarray(t_f, cdtype),
+        s_tensor=jnp.asarray(s_f, cdtype),
+        d_tensor=jnp.asarray(d_tf, cdtype),
+        quad_w=jnp.asarray(w_f, dtype),
+        near_a=jnp.asarray(na.astype(np.int32)),
+        near_b=jnp.asarray(nb.astype(np.int32)),
+        near_blocks=near_blocks,
+        diag_add=jnp.asarray(diag_add, cdtype),
+        prefactor=jnp.asarray(pref, cdtype),
+    )
+    data = MlfmmData(
+        leaf=leaf_data,
+        coarse_clusters=jnp.asarray(cl_c),
+        coarse_mask=jnp.asarray(mk_c, dtype),
+        coarse_t=jnp.asarray(t_c, cdtype),
+        coarse_s=jnp.asarray(s_c, cdtype),
+        coarse_d=jnp.asarray(d_tc, cdtype),
+        coarse_w=jnp.asarray(w_c, dtype),
+        coarse_prefactor=jnp.asarray(pref, cdtype),
+    )
+    return MlfmmOperator(data, n)
+
+
+def estimate_num_levels(n_elements: int, max_per_leaf: int = 32) -> int:
+    """mlfmm.rs estimate_num_levels analog."""
+    import math
+
+    return max(2, int(math.ceil(math.log(max(n_elements / max_per_leaf, 1), 8))) + 1)

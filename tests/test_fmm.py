@@ -83,3 +83,23 @@ class TestSlfmm:
         p = np.asarray(sol.x)
         rel = np.linalg.norm(p - exact) / np.linalg.norm(exact)
         assert rel < 0.1, rel
+
+
+class TestMlfmm:
+    def test_matvec_vs_dense(self):
+        from mathaudio_tpu.bem.fmm import build_mlfmm_system, estimate_num_levels
+
+        mesh = icosphere(1.0, 3)
+        k = 2.0
+        op = build_mlfmm_system(mesh, k, max_per_leaf=16, separation_ratio=2.0)
+        a_dense = assemble_collocation_matrix(mesh, k)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(
+            rng.standard_normal(mesh.num_elements)
+            + 1j * rng.standard_normal(mesh.num_elements)
+        )
+        y_fmm = np.asarray(op.matvec(x))
+        y_dense = np.asarray(a_dense @ x)
+        rel = np.linalg.norm(y_fmm - y_dense) / np.linalg.norm(y_dense)
+        assert rel < 0.05, rel
+        assert estimate_num_levels(20000) >= 3
