@@ -121,12 +121,73 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
     )
 
 
+# Measured once with `python bench.py --metric iir --device cpu --calibrate`
+# (64 channels x 10-biquad cascade x 48000 samples, f32, jax-CPU).
+BASELINE_CPU_IIR_MSAMPLES = 16.3
+
+
+def run_iir(device: str, repeats: int, calibrate: bool):
+    """Secondary metric (BASELINE.md): biquad-cascade Msamples/s/chip.
+    64 channels x 10-stage PEQ cascade over a 48000-sample block via the
+    associative-scan kernel (vs the reference's criterion biquad bench,
+    math-iir-fir/benches/biquad_bench.rs)."""
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mathaudio_tpu.dsp import Biquad, BiquadFilterType, biquad_cascade_block, peq_coeff_matrix
+
+    channels, stages, t = 64, 10, 48000
+    peq = [
+        (1.0, Biquad(BiquadFilterType.PEAK, 100.0 * (i + 1), 48000.0, 1.0, (-1.0) ** i * 3.0))
+        for i in range(stages)
+    ]
+    cm = peq_coeff_matrix(peq, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((channels, t)), jnp.float32)
+    fn = jax.jit(jax.vmap(lambda xi: biquad_cascade_block(xi, cm)))
+    y = fn(x)
+    y.block_until_ready()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        y = fn(x)
+        y.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    msamp = channels * stages * t / min(times) / 1e6
+    print(
+        f"# iir cascade: {min(times)*1e3:.2f} ms for {channels}ch x {stages}stages "
+        f"x {t} samples -> {msamp:.1f} Msamples/s",
+        file=sys.stderr,
+    )
+    if calibrate:
+        print(f"# BASELINE_CPU_IIR_MSAMPLES = {msamp:.1f}", file=sys.stderr)
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "iir_biquad_cascade_msamples_per_s",
+                "value": round(msamp, 1),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msamp / BASELINE_CPU_IIR_MSAMPLES, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    ap.add_argument("--metric", default="fem", choices=["fem", "iir"])
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
     ap.add_argument("--freqs", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
-    run(args.device, args.n, args.freqs, args.repeats, args.calibrate)
+    if args.metric == "iir":
+        run_iir(args.device, args.repeats, args.calibrate)
+    else:
+        run(args.device, args.n, args.freqs, args.repeats, args.calibrate)

@@ -38,6 +38,7 @@ from mathaudio_tpu.dsp.scan import (  # noqa: F401
     peq_coeff_matrix,
 )
 from mathaudio_tpu.dsp.fir import Fir, FirBank, FirFilterType, generate_window  # noqa: F401
+from mathaudio_tpu.dsp.denormals import ScopedFlushToZero, flush_denormals  # noqa: F401
 from mathaudio_tpu.dsp.formats import (  # noqa: F401
     peq_format_apo,
     peq_format_rme_channel,

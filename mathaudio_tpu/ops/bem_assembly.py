@@ -128,11 +128,15 @@ def pairwise_double_layer_xla(x, yq, ny, w, k):
 
 
 def pairwise_double_layer(x, yq, ny, w, k, force: str = "auto"):
-    """Dispatch: Pallas on TPU, XLA elsewhere (force='pallas'|'xla')."""
+    """Dispatch: the Pallas kernel is opt-in (MATHAUDIO_PALLAS=1 or
+    force='pallas') — it matches XLA to 1e-12 in interpret mode, but the
+    remote-compile service used by tunneled TPU sessions (axon) times out
+    on Mosaic kernels, so XLA is the default until compiled on a directly
+    attached chip."""
     use_pallas = force == "pallas" or (
         force == "auto"
         and jax.default_backend() == "tpu"
-        and os.environ.get("MATHAUDIO_NO_PALLAS") != "1"
+        and os.environ.get("MATHAUDIO_PALLAS") == "1"
     )
     if use_pallas:
         return pairwise_double_layer_pallas(x, yq, ny, w, k)

@@ -441,6 +441,23 @@ def differential_evolution(
         pop_new = jnp.where(improved[:, None], trial, pop)
         e_new = jnp.where(improved, trial_e, energies)
 
+        if ac.wls_enabled:
+            # Wrapper Local Search (mod.rs:479 / apply_wls): Cauchy-perturb
+            # the current best; replace the worst member on improvement.
+            k_extra, k_u = jax.random.split(k_extra)
+            best_new = pop_new[jnp.argmin(e_new)]
+            u_w = jax.random.uniform(k_u, (n,), minval=1e-6, maxval=1 - 1e-6)
+            step_w = ac.wls_scale * (ub - lb) * jnp.tan(jnp.pi * (u_w - 0.5))
+            cand = jnp.clip(best_new + step_w, lb, ub)
+            if integrality is not None:
+                cand = jnp.clip(jnp.where(integrality, jnp.round(cand), cand), lb, ub)
+            cand_e = energy(cand)
+            do_wls = jax.random.uniform(k_extra, ()) < ac.wls_prob
+            worst = jnp.argmax(e_new)
+            accept = do_wls & (cand_e < e_new[worst])
+            pop_new = jnp.where(accept, pop_new.at[worst].set(cand), pop_new)
+            e_new = jnp.where(accept, e_new.at[worst].set(cand_e), e_new)
+
         if adaptive_on:
             # JADE-style location update from successful parameters
             sf = jnp.where(improved[:, None], f * jnp.ones((npop, 1)), 0.0).squeeze(-1)

@@ -196,3 +196,12 @@ class TestDE:
             lines = fh.read().strip().split("\n")
         assert len(lines) == len(rows) + 1
         assert lines[0].startswith("eval_id,generation,x0,x1,f")
+
+    def test_wls_local_search(self):
+        from mathaudio_tpu.optim.de import AdaptiveConfig
+
+        cfg = DEConfig(maxiter=150, seed=12, tol=0.0,
+                       adaptive=AdaptiveConfig(wls_enabled=True, wls_prob=0.5,
+                                               wls_scale=0.05))
+        report = differential_evolution(F.rosenbrock, [(-2.0, 2.0)] * 2, config=cfg)
+        assert report.fun < 1e-3, report.fun
