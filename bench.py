@@ -22,8 +22,8 @@ import sys
 import time
 
 # Measured on this host: `python bench.py --device cpu --calibrate`
-# (n=20 mesh, 16 frequencies, f64, jax-CPU all cores, MG-preconditioned GMRES, avg 5 iters).
-BASELINE_CPU_DOF_PER_S = 2.105e4
+# (n=20, 16 freqs, f64 all cores, MG-GMRES restart=8, avg 5 iters).
+BASELINE_CPU_DOF_PER_S = 5.445e4
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
@@ -73,7 +73,7 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
         file=sys.stderr,
     )
 
-    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=30)
+    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=8)
     sweep = model.sweep_fn(config, mg_builder=mg.builder)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
