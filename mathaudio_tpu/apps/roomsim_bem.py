@@ -49,7 +49,15 @@ def run_bem_simulation(config: RoomConfig, verbose: int = 1):
             betas.append(0.0)
     beta = float(np.mean(betas))
 
-    method = "lu" if mesh.num_elements < 1000 or config.solver.method == "direct" else "gmres"
+    # reference solver-selection table (qa_suite.rs:9-14): direct for small,
+    # GMRES for medium, FMM-accelerated GMRES for large meshes
+    n = mesh.num_elements
+    if config.solver.method == "direct" or n < 1000:
+        method = "lu"
+    elif "fmm" in config.solver.method or n >= 4000:
+        method = "fmm"
+    else:
+        method = "gmres"
     lp = np.asarray([p.to_array() for p in sim.listening_positions])
 
     all_p = np.zeros((len(sim.frequencies), len(lp)), complex)
@@ -57,7 +65,10 @@ def run_bem_simulation(config: RoomConfig, verbose: int = 1):
     times = []
     for fi, f in enumerate(sim.frequencies):
         t0 = time.perf_counter()
-        sol = solve_room_bem(mesh, float(f), sim.sources, admittance=beta, method=method)
+        if method == "fmm":
+            sol = _solve_room_fmm(mesh, float(f), sim.sources, beta)
+        else:
+            sol = solve_room_bem(mesh, float(f), sim.sources, admittance=beta, method=method)
         p = np.asarray(sol.evaluate_pressure(jnp.asarray(lp)))
         all_p[fi] = p
         conv.append(bool(sol.info.get("converged", True)))
@@ -88,6 +99,36 @@ def run_bem_simulation(config: RoomConfig, verbose: int = 1):
         r.pressure_real = all_p[i].real.tolist()
         r.pressure_imag = all_p[i].imag.tolist()
     return results
+
+
+def _solve_room_fmm(mesh, frequency, sources, beta, speed_of_sound=343.0):
+    """FMM-accelerated interior solve (room_acoustics/solver.rs:975
+    solve_bem_fmm_gmres_ilu): matrix-free GMRES through the SLFMM
+    operator with a Jacobi-by-diagonal preconditioner."""
+    import numpy as np
+
+    from mathaudio_tpu.bem.fmm import build_room_fmm_system
+    from mathaudio_tpu.bem.room_acoustics import RoomBemSolution, _source_pressure
+    from mathaudio_tpu.solvers import KrylovConfig, gmres
+    from mathaudio_tpu.xtypes import default_float
+
+    dtype = default_float()
+    k = 2.0 * np.pi * frequency / speed_of_sound
+    op = build_room_fmm_system(mesh, k, admittance=beta)
+    rhs = _source_pressure(jnp.asarray(mesh.centers, dtype), sources, k, frequency, dtype)
+    # diagonal of the FMM system = diag_add (jump + self terms)
+    inv_diag = 1.0 / op.data.diag_add
+    sol = gmres(
+        op.matvec, rhs,
+        config=KrylovConfig(max_iterations=1000, tolerance=1e-7, restart=50),
+        preconditioner=lambda r: inv_diag * r,
+    )
+    beta_vec = jnp.broadcast_to(jnp.asarray(beta, dtype), (mesh.num_elements,))
+    return RoomBemSolution(
+        mesh, k, frequency, sol.x, beta_vec, sources,
+        {"method": "fmm", "converged": bool(sol.converged),
+         "iterations": int(sol.iterations), "n": mesh.num_elements},
+    )
 
 
 def main(argv=None):

@@ -449,3 +449,126 @@ def estimate_num_levels(n_elements: int, max_per_leaf: int = 32) -> int:
     import math
 
     return max(2, int(math.ceil(math.log(max(n_elements / max_per_leaf, 1), 8))) + 1)
+
+
+def build_room_fmm_system(
+    mesh: SurfaceMesh,
+    k: float,
+    admittance: float = 0.0,
+    max_per_leaf: int = 32,
+    separation_ratio: float = 2.0,
+    expansion_order: Optional[int] = None,
+    dtype=None,
+) -> SlfmmOperator:
+    """FMM operator for the *interior* room system
+    A = (1/2)I + D - ik beta S  (room_acoustics/solver.rs:909
+    build_fmm_system + solve_bem_fmm_gmres_ilu path).
+
+    The double layer and the admittance-scaled single layer share the
+    same translations/disaggregation, so they merge into one aggregation
+    factor (-ik s.n_j - ik beta) per source element.
+    """
+    dtype = dtype or default_float()
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    n = mesh.num_elements
+    centers = mesh.centers
+    normals = mesh.normals
+
+    tree = Octree.build(centers, max_per_leaf=max_per_leaf)
+    leaves = tree.leaves
+    c_count = len(leaves)
+    m = max(len(lf.indices) for lf in leaves)
+    clusters = np.zeros((c_count, m), np.int32)
+    mask = np.zeros((c_count, m))
+    c_centers = np.zeros((c_count, 3))
+    radii = np.zeros(c_count)
+    for ci, lf in enumerate(leaves):
+        idx = lf.indices
+        clusters[ci, : len(idx)] = idx
+        mask[ci, : len(idx)] = 1.0
+        c_centers[ci] = centers[idx].mean(axis=0)
+        radii[ci] = np.linalg.norm(centers[idx] - c_centers[ci], axis=1).max() + 1e-12
+
+    if expansion_order is None:
+        kr = k * radii.max()
+        expansion_order = int(np.ceil(kr + 4 * np.log(kr + np.pi) + 4))
+    dirs, w = unit_sphere_quadrature(expansion_order)
+    dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
+    far = dist > separation_ratio * (radii[:, None] + radii[None, :])
+
+    qp_e, qw_e = mesh.quad_points(2)
+    yg_rel = qp_e[clusters] - c_centers[:, None, None, :]
+    phase_g = np.einsum("qd,cmgd->cqmg", dirs, yg_rel)
+    agg = np.einsum("cqmg,cmg->cqm", np.exp(-1j * k * phase_g), qw_e[clusters])
+    s_dot_ny = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
+    # +D and -ik*beta*S merged: factor = (-ik s.n) + (-ik beta)
+    t_tensor = agg * ((-1j * k) * s_dot_ny + (-1j * k * admittance)) * mask[:, None, :]
+
+    y_rel = centers[clusters] - c_centers[:, None, :]
+    phase_y = np.einsum("qd,cmd->cqm", dirs, y_rel)
+    s_tensor = np.exp(1j * k * phase_y) * mask[:, None, :]
+
+    d_tensor = np.zeros((c_count, c_count, len(dirs)), complex)
+    fb, fa = np.where(far)
+    if len(fb):
+        d_tensor[fb, fa] = translation_operator(
+            k, c_centers[fb] - c_centers[fa], dirs, expansion_order
+        )
+
+    nb, na = np.where(~far)
+    near_blocks = _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype)
+
+    # self terms: (1/2) jump - ik beta S_ii (analytic radial)
+    from mathaudio_tpu.bem.assembly import single_layer_self_terms
+
+    s_self = np.asarray(single_layer_self_terms(mesh, k, dtype=dtype))
+    diag_add = 0.5 - 1j * k * admittance * s_self
+
+    data = SlfmmData(
+        clusters=jnp.asarray(clusters),
+        cluster_mask=jnp.asarray(mask, dtype),
+        t_tensor=jnp.asarray(t_tensor, cdtype),
+        s_tensor=jnp.asarray(s_tensor, cdtype),
+        d_tensor=jnp.asarray(d_tensor, cdtype),
+        quad_w=jnp.asarray(w, dtype),
+        near_a=jnp.asarray(na.astype(np.int32)),
+        near_b=jnp.asarray(nb.astype(np.int32)),
+        near_blocks=near_blocks,
+        diag_add=jnp.asarray(diag_add, cdtype),
+        # interior system adds +D (and the merged -ik beta S): positive sign
+        prefactor=jnp.asarray(1j * k / (16.0 * np.pi**2), cdtype),
+    )
+    return SlfmmOperator(data, n)
+
+
+def _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype):
+    """Near blocks of +D - ik beta S (off-diagonal entries)."""
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    qp, qw = mesh.quad_points(3)
+    centers = jnp.asarray(mesh.centers, dtype)
+    normals = jnp.asarray(mesh.normals, dtype)
+    qp = jnp.asarray(qp, dtype)
+    qw = jnp.asarray(qw, dtype)
+    cl = jnp.asarray(clusters)
+    mk = jnp.asarray(mask, dtype)
+
+    @jax.jit
+    def blocks(nb_d, na_d):
+        bi = cl[nb_d]
+        ai = cl[na_d]
+        x = centers[bi][:, :, None, None, :]
+        nx = normals[bi][:, :, None, None, :]
+        y = qp[ai][:, None, :, :, :]
+        ny = normals[ai][:, None, :, None, :]
+        dg, _ = _pair_kernels(x, nx, y, ny, k)
+        rv = y - x
+        r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+        rs = jnp.where(r < 1e-15, 1.0, r)
+        g = jnp.exp(1j * (k * rs).astype(cdtype)) / (4.0 * jnp.pi * rs)
+        w = qw[ai][:, None, :, :].astype(cdtype)
+        blk = jnp.sum((dg - 1j * k * admittance * g) * w, axis=-1)
+        same = bi[:, :, None] == ai[:, None, :]
+        blk = jnp.where(same, 0.0, blk)
+        return blk * mk[nb_d][:, :, None].astype(cdtype) * mk[na_d][:, None, :].astype(cdtype)
+
+    return blocks(jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))

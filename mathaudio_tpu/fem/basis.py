@@ -18,6 +18,7 @@ from mathaudio_tpu.fem.quadrature import hex_rule, quad_rule, tet_rule, triangle
 
 TRIANGLE6 = "triangle6"
 TET10 = "tet10"
+TRIANGLE10 = "triangle10"  # cubic P3
 
 
 def shape_functions(element_type: str, pts: np.ndarray):
@@ -49,6 +50,54 @@ def shape_functions(element_type: str, pts: np.ndarray):
             ],
             axis=1,
         )
+        return phi, grad
+    if element_type == TRIANGLE10:
+        # cubic Lagrange on the triangle; node order: 3 vertices, then two
+        # nodes per edge (at 1/3, 2/3 along 01, 12, 20), then the centroid
+        x, y = pts[:, 0], pts[:, 1]
+        l0, l1, l2 = 1 - x - y, x, y
+        g = [np.array([-1.0, -1.0]), np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+        ls = [l0, l1, l2]
+
+        def vert(i):
+            li = ls[i]
+            phi = 0.5 * li * (3 * li - 1) * (3 * li - 2)
+            dphi = 0.5 * (27 * li**2 - 18 * li + 2)
+            return phi, dphi[:, None] * g[i]
+
+        def edge(i, j, near):
+            li, lj = ls[i], ls[j]
+            # node at distance 1/3 from vertex `near` along edge i->j
+            if near == i:
+                phi = 4.5 * li * lj * (3 * li - 1)
+                dphi = (
+                    4.5 * ((6 * li - 1) * lj)[:, None] * g[i]
+                    + 4.5 * (li * (3 * li - 1))[:, None] * g[j]
+                )
+            else:
+                phi = 4.5 * li * lj * (3 * lj - 1)
+                dphi = (
+                    4.5 * (lj * (3 * lj - 1))[:, None] * g[i]
+                    + 4.5 * ((6 * lj - 1) * li)[:, None] * g[j]
+                )
+            return phi, dphi
+
+        def center():
+            phi = 27 * l0 * l1 * l2
+            dphi = 27 * (
+                (l1 * l2)[:, None] * g[0]
+                + (l0 * l2)[:, None] * g[1]
+                + (l0 * l1)[:, None] * g[2]
+            )
+            return phi, dphi
+
+        cols = [vert(0), vert(1), vert(2),
+                edge(0, 1, 0), edge(0, 1, 1),
+                edge(1, 2, 1), edge(1, 2, 2),
+                edge(2, 0, 2), edge(2, 0, 0),
+                center()]
+        phi = np.stack([c[0] for c in cols], axis=1)
+        grad = np.stack([c[1] for c in cols], axis=1)
         return phi, grad
     if element_type == TET10:
         x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -155,6 +204,7 @@ _RULES = {
     HEX: (hex_rule, 2, 8, 3),
     TRIANGLE6: (lambda order: triangle_rule_order(max(order * 2, 4)), 2, 6, 2),
     TET10: (lambda order: tet_rule_duffy(4), 2, 10, 3),
+    TRIANGLE10: (lambda order: triangle_rule_order(6), 2, 10, 2),
 }
 
 

@@ -178,3 +178,52 @@ def _lookup_midpoints(mesh: Mesh, all_nodes: np.ndarray, edges: np.ndarray) -> n
     new_nodes = all_nodes[n_old:]
     key = {tuple(np.round(p, 12)): n_old + i for i, p in enumerate(new_nodes)}
     return np.asarray([key[tuple(np.round(m, 12))] for m in mids], np.int64)
+
+
+def to_p3(mesh: Mesh) -> Mesh:
+    """Upgrade a P1 triangle mesh to cubic elements (two nodes per edge
+    at 1/3 and 2/3 plus the centroid bubble node) — the reference's P3
+    support (basis/lagrange.rs PolynomialDegree::P3)."""
+    assert mesh.element_type == TRIANGLE, "P3 implemented for triangles"
+    e = mesh.elements
+    p = mesh.nodes
+    v0, v1, v2 = p[e[:, 0]], p[e[:, 1]], p[e[:, 2]]
+    # per-element candidate nodes in basis order (after the 3 vertices)
+    cand = np.stack(
+        [
+            (2 * v0 + v1) / 3, (v0 + 2 * v1) / 3,
+            (2 * v1 + v2) / 3, (v1 + 2 * v2) / 3,
+            (2 * v2 + v0) / 3, (v2 + 2 * v0) / 3,
+            (v0 + v1 + v2) / 3,
+        ],
+        axis=1,
+    )  # (E, 7, dim)
+    flat = cand.reshape(-1, mesh.dim)
+    key = np.round(flat / 1e-9).astype(np.int64)
+    uniq, idx, inverse = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    new_ids = mesh.num_nodes + inverse.reshape(len(e), 7)
+    nodes = np.vstack([p, flat[np.sort(idx)]])
+    # np.unique sorts; remap inverse to the sorted-first-occurrence order
+    order = np.argsort(idx)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    new_ids = mesh.num_nodes + rank[inverse].reshape(len(e), 7)
+    elements = np.hstack([e, new_ids]).astype(np.int64)
+    out = Mesh(mesh.dim, nodes, elements, "triangle10")
+    if mesh.boundary_faces is not None:
+        out.boundary_faces = mesh.boundary_faces.copy()
+        out.boundary_markers = mesh.boundary_markers.copy()
+        # boundary edge nodes: the 1/3 and 2/3 points on boundary edges
+        bf = mesh.boundary_faces
+        extra = np.stack(
+            [(2 * p[bf[:, 0]] + p[bf[:, 1]]) / 3, (p[bf[:, 0]] + 2 * p[bf[:, 1]]) / 3],
+            axis=1,
+        ).reshape(-1, mesh.dim)
+        keymap = {tuple(r): mesh.num_nodes + i for i, r in enumerate(
+            np.round(flat[np.sort(idx)] / 1e-9).astype(np.int64))}
+        ids = np.asarray(
+            [keymap[tuple(r)] for r in np.round(extra / 1e-9).astype(np.int64)],
+            np.int64,
+        ).reshape(len(bf), 2)
+        out.boundary_faces = np.hstack([bf, ids])
+    return out

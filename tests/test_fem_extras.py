@@ -183,3 +183,48 @@ class TestP2Elements:
             u, info = solve_helmholtz(prob, "direct")
             errs[name] = float(l2_error_at_nodes(mesh, u, exact))
         assert errs["p2"] < errs["p1"] / 5.0, errs
+
+
+class TestP3Elements:
+    def test_p3_partition_of_unity(self):
+        from mathaudio_tpu.fem.basis import shape_functions
+        pts = np.array([[0.2, 0.3], [0.05, 0.9], [1 / 3, 1 / 3]])
+        phi, grad = shape_functions("triangle10", pts)
+        np.testing.assert_allclose(phi.sum(axis=1), 1.0, atol=1e-12)
+        np.testing.assert_allclose(grad.sum(axis=1), 0.0, atol=1e-12)
+
+    def test_p3_nodal_property(self):
+        # phi_i(node_j) = delta_ij on the reference element
+        from mathaudio_tpu.fem.basis import shape_functions
+        nodes = np.array(
+            [[0, 0], [1, 0], [0, 1],
+             [1/3, 0], [2/3, 0],
+             [2/3, 1/3], [1/3, 2/3],
+             [0, 2/3], [0, 1/3],
+             [1/3, 1/3]], float,
+        )
+        phi, _ = shape_functions("triangle10", nodes)
+        np.testing.assert_allclose(phi, np.eye(10), atol=1e-12)
+
+    def test_p3_beats_p2(self):
+        from mathaudio_tpu.fem import HelmholtzProblem, solve_helmholtz
+        from mathaudio_tpu.fem.boundary import DirichletBC
+        from mathaudio_tpu.fem.problem import l2_error_at_nodes
+        from mathaudio_tpu.fem.refinement import to_p2, to_p3
+
+        k = 2.0
+        kx, ky = k * 0.6, k * 0.8
+
+        def exact(x):
+            return jnp.exp(1j * (kx * x[..., 0] + ky * x[..., 1]))
+
+        errs = {}
+        for name, mesh in [
+            ("p2", to_p2(unit_square_triangles(6))),
+            ("p3", to_p3(unit_square_triangles(6))),
+        ]:
+            bcs = [DirichletBC(t, exact) for t in (1, 2, 3, 4)]
+            prob = HelmholtzProblem(mesh, k, dirichlet=bcs)
+            u, info = solve_helmholtz(prob, "direct")
+            errs[name] = float(l2_error_at_nodes(mesh, u, exact))
+        assert errs["p3"] < errs["p2"] / 3.0, errs

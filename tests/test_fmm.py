@@ -103,3 +103,31 @@ class TestMlfmm:
         rel = np.linalg.norm(y_fmm - y_dense) / np.linalg.norm(y_dense)
         assert rel < 0.05, rel
         assert estimate_num_levels(20000) >= 3
+
+
+class TestRoomFmm:
+    def test_interior_matvec_vs_dense(self):
+        from mathaudio_tpu.bem.fmm import build_room_fmm_system
+        from mathaudio_tpu.bem.room_acoustics import _room_matrix
+        from mathaudio_tpu.bem.assembly import _self_angular_rule
+        from mathaudio_tpu.xtypes import default_float
+
+        mesh = icosphere(1.0, 3)
+        k, beta = 2.0, 0.1
+        op = build_room_fmm_system(mesh, k, admittance=beta, max_per_leaf=64)
+        qp, qw = mesh.quad_points(3)
+        sr, sw = _self_angular_rule(mesh)
+        dt = default_float()
+        a_dense = _room_matrix(
+            jnp.asarray(mesh.centers, dt), jnp.asarray(mesh.normals, dt),
+            jnp.asarray(qp, dt), jnp.asarray(qw, dt),
+            jnp.asarray(sr, dt), jnp.asarray(sw, dt), k,
+            jnp.broadcast_to(jnp.asarray(beta, dt), (mesh.num_elements,)),
+        )
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal(mesh.num_elements)
+                        + 1j * rng.standard_normal(mesh.num_elements))
+        y_fmm = np.asarray(op.matvec(x))
+        y_dense = np.asarray(a_dense @ x)
+        rel = np.linalg.norm(y_fmm - y_dense) / np.linalg.norm(y_dense)
+        assert rel < 0.05, rel
