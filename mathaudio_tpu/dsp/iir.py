@@ -86,6 +86,22 @@ class Biquad:
             self.q = 1.0e-2
         self._compute_coeffs()
 
+    @classmethod
+    def try_new(cls, filter_type, freq, srate=SRATE, q=0.0, db_gain=0.0):
+        """Validating constructor (iir.rs:204 try_new): raises ValueError
+        for non-positive sample rates, frequencies outside (0, Nyquist),
+        negative Q (0 = use default), or non-finite gain."""
+        if not (srate > 0.0 and math.isfinite(srate)):
+            raise ValueError(f"invalid sample rate {srate}")
+        nyquist = srate / 2.0
+        if not (0.0 < freq < nyquist) or not math.isfinite(freq):
+            raise ValueError(f"invalid frequency {freq} (nyquist {nyquist})")
+        if q < 0.0 or (q != 0.0 and not math.isfinite(q)):
+            raise ValueError(f"invalid Q {q}")
+        if not math.isfinite(db_gain):
+            raise ValueError(f"invalid gain {db_gain}")
+        return cls(filter_type, freq, srate, q, db_gain)
+
     def _compute_coeffs(self):
         ft = self.filter_type
         a = 10.0 ** (self.db_gain / 40.0)

@@ -241,3 +241,18 @@ class TestFir:
         np.testing.assert_allclose(
             np.concatenate([np.asarray(y1), np.asarray(y2)]), np.asarray(y_full), atol=1e-12
         )
+
+
+class TestTryNew:
+    def test_validation(self):
+        import pytest as _pytest
+
+        Biquad.try_new(FT.PEAK, 1000.0, SRATE, 2.0, 3.0)  # valid
+        with _pytest.raises(ValueError):
+            Biquad.try_new(FT.PEAK, 30000.0, SRATE, 2.0, 0.0)  # above Nyquist
+        with _pytest.raises(ValueError):
+            Biquad.try_new(FT.PEAK, 1000.0, -1.0, 2.0, 0.0)
+        with _pytest.raises(ValueError):
+            Biquad.try_new(FT.PEAK, 1000.0, SRATE, -2.0, 0.0)
+        with _pytest.raises(ValueError):
+            Biquad.try_new(FT.PEAK, 1000.0, SRATE, 2.0, float("inf"))
