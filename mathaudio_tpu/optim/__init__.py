@@ -30,3 +30,4 @@ from mathaudio_tpu.optim.de import (  # noqa: F401
     differential_evolution,
 )
 from mathaudio_tpu.optim.recorder import RecordedEvaluation, run_recorded_differential_evolution  # noqa: F401
+from mathaudio_tpu.optim.peq_fit import PeqFitResult, fit_peq  # noqa: F401

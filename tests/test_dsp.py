@@ -256,3 +256,32 @@ class TestTryNew:
             Biquad.try_new(FT.PEAK, 1000.0, SRATE, -2.0, 0.0)
         with _pytest.raises(ValueError):
             Biquad.try_new(FT.PEAK, 1000.0, SRATE, 2.0, float("inf"))
+
+
+class TestAutoEq:
+    def test_fit_peq_recovers_target(self):
+        """End-to-end speaker-EQ flow: DE fits a 3-filter PEQ to a response
+        synthesized from a known PEQ; fitted curve within 0.35 dB RMS."""
+        from mathaudio_tpu.optim import fit_peq
+
+        truth = [
+            (1.0, Biquad(FT.LOWSHELF, 120.0, SRATE, 0.9, 4.0)),
+            (1.0, Biquad(FT.PEAK, 1800.0, SRATE, 1.5, -5.0)),
+            (1.0, Biquad(FT.HIGHSHELF, 9000.0, SRATE, 0.8, 2.5)),
+        ]
+        freqs = np.logspace(np.log10(20.0), np.log10(20000.0), 96)
+        target = np.asarray(peq_spl(jnp.asarray(freqs), truth))
+        res = fit_peq(freqs, target, n_filters=3, maxiter=500, seed=4)
+        assert res.rms_error_db < 0.35, res.rms_error_db
+        fitted = np.asarray(res.response_db(freqs))
+        np.testing.assert_allclose(fitted, target, atol=1.0)
+
+    def test_jax_response_matches_biquad(self):
+        from mathaudio_tpu.dsp.jax_response import biquad_response_db
+
+        freqs = jnp.logspace(jnp.log10(30.0), jnp.log10(18000.0), 50)
+        for kind, ft in [("PK", FT.PEAK), ("LS", FT.LOWSHELF), ("HS", FT.HIGHSHELF)]:
+            bq = Biquad(ft, 1500.0, SRATE, 1.1, 5.5)
+            ours = np.asarray(biquad_response_db(kind, 1500.0, 1.1, 5.5, freqs))
+            ref = np.asarray(bq.np_log_result(freqs))
+            np.testing.assert_allclose(ours, ref, atol=1e-10, err_msg=kind)
