@@ -307,7 +307,44 @@ class FemRoomSimulation:
             r.solve_time_s = float(times[i])
             r.pressure_real = all_p[i].real.tolist()
             r.pressure_imag = all_p[i].imag.tolist()
+        self._maybe_add_slices(results, freqs, ks, weights)
         return results
+
+    def _maybe_add_slices(self, results, freqs, ks, weights):
+        """Spatial SPL slices at listening height for selected frequencies
+        (output.rs:159 generate_spatial_slices; visualization config)."""
+        viz = self.config.visualization
+        if not viz.generate_slices:
+            return
+        idxs = viz.slice_frequency_indices or [len(freqs) // 2]
+        z = float(np.mean([p.to_array()[2] for p in self.sim.listening_positions]) or 1.2)
+        w, d, h = self.sim.geometry.dimensions()
+        kcfg = KrylovConfig(
+            max_iterations=self.config.solver.gmres.max_iter * 10,
+            tolerance=self.config.solver.gmres.tolerance,
+            restart=self.config.solver.gmres.restart,
+        )
+        sweep = jax.jit(self._sweep_fn(kcfg))
+        cd = self.assembler.cdtype
+        from mathaudio_tpu.common.output import generate_spatial_slices
+
+        for fi in idxs:
+            if fi >= len(freqs):
+                continue
+            x, _, _ = sweep(
+                jnp.asarray([ks[fi]]), jnp.asarray(weights[fi: fi + 1]),
+                jnp.zeros((1, self.mesh.num_nodes), cd),
+            )
+            u = np.asarray(x[0])
+
+            def pressure_at(pts, u=u):
+                d2 = ((self.mesh.nodes[None] - pts[:, None]) ** 2).sum(-1)
+                return u[np.argmin(d2, axis=1)]
+
+            sl = generate_spatial_slices(pressure_at, (w, d, h), z,
+                                         resolution=viz.slice_resolution)
+            sl["frequency"] = float(freqs[fi])
+            results.slices.append(sl)
 
 
 def run_fem_simulation(config: RoomConfig, verbose: int = 1, use_multigrid: bool = True,
