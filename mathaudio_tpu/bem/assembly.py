@@ -68,28 +68,29 @@ def _pair_kernels(x, nx, y, ny, k):
 def _self_angular_rule(mesh: SurfaceMesh, n_ang: int = 12):
     """Angular quadrature around each centroid: per element, per edge,
     Gauss points in the vertex-angle sector with exact edge distance
-    R(phi). Returns (R (N, 3*n_ang), w (N, 3*n_ang)) host arrays."""
-    pts = mesh.nodes[mesh.elements]  # (N, 3, 3)
+    R(phi). Returns (R (N, nv*n_ang), w (N, nv*n_ang)) host arrays."""
+    pts = mesh.nodes[mesh.elements]  # (N, nv, 3)
+    nv = pts.shape[1]
     c = mesh.centers  # (N, 3)
     n = mesh.normals
     # local in-plane orthonormal basis
     e1 = pts[:, 0] - c
     e1 = e1 / np.linalg.norm(e1, axis=1, keepdims=True)
     e2 = np.cross(n, e1)
-    # vertex coords in local 2D
+    # vertex coords in local 2D (quads: projected onto the mean plane)
     v2d = np.stack(
         [
             np.einsum("nd,nvd->nv", e1, pts - c[:, None, :]),
             np.einsum("nd,nvd->nv", e2, pts - c[:, None, :]),
         ],
         axis=-1,
-    )  # (N, 3, 2)
+    )  # (N, nv, 2)
     gx, gw = gauss_1d(n_ang)
     radii = []
     weights = []
-    for e in range(3):
+    for e in range(nv):
         a = v2d[:, e]  # (N, 2)
-        b = v2d[:, (e + 1) % 3]
+        b = v2d[:, (e + 1) % nv]
         phi_a = np.arctan2(a[:, 1], a[:, 0])
         phi_b = np.arctan2(b[:, 1], b[:, 0])
         dphi = np.mod(phi_b - phi_a, 2 * np.pi)  # sector sweep a -> b (ccw)
@@ -108,7 +109,7 @@ def _self_angular_rule(mesh: SurfaceMesh, n_ang: int = 12):
             r_phi = h / np.maximum(denom, 1e-12)
             radii.append(r_phi)
             weights.append(gw[q] / 2.0 * dphi)
-    radii = np.stack(radii, axis=1)  # (N, 3*n_ang)
+    radii = np.stack(radii, axis=1)  # (N, nv*n_ang)
     weights = np.stack(weights, axis=1)
     return radii, weights
 

@@ -17,21 +17,44 @@ from mathaudio_tpu.fem.quadrature import triangle_rule
 
 @dataclasses.dataclass
 class SurfaceMesh:
-    """Triangulated closed surface; normals point away from the body
-    (into the exterior acoustic domain)."""
+    """Closed surface of constant triangular (N, 3) or quadrilateral
+    (N, 4) elements (core/mesh/element.rs tri/quad support); normals
+    point away from the body (into the exterior acoustic domain)."""
 
     nodes: np.ndarray  # (Nn, 3)
-    elements: np.ndarray  # (N, 3) int
+    elements: np.ndarray  # (N, 3) or (N, 4) int
 
     def __post_init__(self):
-        pts = self.nodes[self.elements]  # (N, 3, 3)
-        v1 = pts[:, 1] - pts[:, 0]
-        v2 = pts[:, 2] - pts[:, 0]
-        cr = np.cross(v1, v2)
-        nrm = np.linalg.norm(cr, axis=1)
-        self.areas = 0.5 * nrm
-        self.normals = cr / np.maximum(nrm, 1e-300)[:, None]
+        pts = self.nodes[self.elements]
+        if self.elements.shape[1] == 3:
+            v1 = pts[:, 1] - pts[:, 0]
+            v2 = pts[:, 2] - pts[:, 0]
+            cr = np.cross(v1, v2)
+            nrm = np.linalg.norm(cr, axis=1)
+            self.areas = 0.5 * nrm
+            self.normals = cr / np.maximum(nrm, 1e-300)[:, None]
+        else:  # quad: normal from the diagonals, area from the two tris
+            d1 = pts[:, 2] - pts[:, 0]
+            d2 = pts[:, 3] - pts[:, 1]
+            cr = np.cross(d1, d2)
+            nrm = np.linalg.norm(cr, axis=1)
+            self.normals = cr / np.maximum(nrm, 1e-300)[:, None]
+            # bilinear-patch area via the tensor-Gauss Jacobian (exact for
+            # the patch; the two-triangle split differs for warped quads)
+            from mathaudio_tpu.fem.basis import shape_functions
+            from mathaudio_tpu.fem.quadrature import quad_rule
+
+            ref_pts, ref_w = quad_rule(2)
+            _, grad = shape_functions("quad", ref_pts)
+            jac = np.einsum("nvd,qvk->nqdk", pts, grad)
+            metric = np.einsum("nqdk,nqdl->nqkl", jac, jac)
+            det = np.sqrt(np.abs(np.linalg.det(metric)))
+            self.areas = det @ ref_w
         self.centers = pts.mean(axis=1)
+
+    @property
+    def nodes_per_element(self) -> int:
+        return self.elements.shape[1]
 
     @property
     def num_elements(self) -> int:
@@ -43,15 +66,28 @@ class SurfaceMesh:
     def quad_points(self, order: int = 3):
         """Gauss points/weights on every element: returns
         (points (N, nq, 3), weights (N, nq)) with weights including the
-        2*area Jacobian (so sum(w) = element area)."""
-        ref_pts, ref_w = triangle_rule(order)
-        pts = self.nodes[self.elements]  # (N, 3, 3)
-        l1 = ref_pts[:, 0]
-        l2 = ref_pts[:, 1]
-        l0 = 1.0 - l1 - l2
-        shape = np.stack([l0, l1, l2], axis=1)  # (nq, 3)
-        qp = np.einsum("qv,nvd->nqd", shape, pts)
-        qw = (2.0 * self.areas)[:, None] * ref_w[None, :]
+        Jacobian (so sum(w) = element area)."""
+        pts = self.nodes[self.elements]
+        if self.nodes_per_element == 3:
+            ref_pts, ref_w = triangle_rule(order)
+            l1 = ref_pts[:, 0]
+            l2 = ref_pts[:, 1]
+            l0 = 1.0 - l1 - l2
+            shape = np.stack([l0, l1, l2], axis=1)  # (nq, 3)
+            qp = np.einsum("qv,nvd->nqd", shape, pts)
+            qw = (2.0 * self.areas)[:, None] * ref_w[None, :]
+            return qp, qw
+        # bilinear quad: tensor Gauss with position-dependent Jacobian
+        from mathaudio_tpu.fem.basis import shape_functions
+        from mathaudio_tpu.fem.quadrature import quad_rule
+
+        ref_pts, ref_w = quad_rule(2)
+        phi, grad = shape_functions("quad", ref_pts)  # (nq, 4), (nq, 4, 2)
+        qp = np.einsum("qv,nvd->nqd", phi, pts)
+        jac = np.einsum("nvd,qvk->nqdk", pts, grad)  # (N, nq, 3, 2)
+        metric = np.einsum("nqdk,nqdl->nqkl", jac, jac)
+        det = np.sqrt(np.abs(np.linalg.det(metric)))
+        qw = det * ref_w[None, :]
         return qp, qw
 
     def orient_outward(self, interior_point=(0.0, 0.0, 0.0)) -> "SurfaceMesh":
@@ -59,7 +95,8 @@ class SurfaceMesh:
         to_center = self.centers - np.asarray(interior_point)[None, :]
         flip = np.einsum("nd,nd->n", to_center, self.normals) < 0
         elems = self.elements.copy()
-        elems[flip] = elems[flip][:, [0, 2, 1]]
+        rev = [0, 2, 1] if self.nodes_per_element == 3 else [0, 3, 2, 1]
+        elems[flip] = elems[flip][:, rev]
         return SurfaceMesh(self.nodes, elems)
 
 
@@ -134,3 +171,34 @@ def cylinder_mesh(
             faces.append([top_c, rings[-1][j], rings[-1][(j + 1) % n_circ]])
             faces.append([bot_c, rings[0][(j + 1) % n_circ], rings[0][j]])
     return SurfaceMesh(np.asarray(nodes, float), np.asarray(faces, np.int64)).orient_outward()
+
+
+def cube_sphere(radius: float = 1.0, n: int = 8) -> SurfaceMesh:
+    """All-quad sphere: cube faces projected onto the sphere (exercises
+    the quadrilateral constant-element path, element.rs quad support)."""
+    nodes = []
+    node_id = {}
+
+    def nid(p):
+        key = tuple(np.round(p, 12))
+        if key not in node_id:
+            node_id[key] = len(nodes)
+            nodes.append(p)
+        return node_id[key]
+
+    faces = []
+    axes = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+    for ax, u_ax, v_ax in axes:
+        for side in (-1.0, 1.0):
+            for i in range(n):
+                for j in range(n):
+                    quad = []
+                    for du, dv in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                        p = np.zeros(3)
+                        p[ax] = side
+                        p[u_ax] = -1 + 2 * (i + du) / n
+                        p[v_ax] = -1 + 2 * (j + dv) / n
+                        p = radius * p / np.linalg.norm(p)
+                        quad.append(nid(p))
+                    faces.append(quad)
+    return SurfaceMesh(np.asarray(nodes), np.asarray(faces, np.int64)).orient_outward()

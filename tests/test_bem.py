@@ -135,3 +135,35 @@ class TestSphereScattering:
         sol = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
         p = sol.evaluate_pressure(jnp.asarray([[2.0, 0.0, 0.0]]))
         assert np.isfinite(np.asarray(p)).all()
+
+
+class TestQuadElements:
+    def test_cube_sphere_geometry(self):
+        from mathaudio_tpu.bem.mesh import cube_sphere
+
+        m = cube_sphere(1.0, 8)
+        assert m.nodes_per_element == 4
+        assert m.num_elements == 6 * 64
+        np.testing.assert_allclose(m.areas.sum(), 4 * np.pi, rtol=0.02)
+        qp, qw = m.quad_points()
+        np.testing.assert_allclose(qw.sum(), m.areas.sum(), rtol=1e-6)
+        assert (np.einsum("nd,nd->n", m.centers, m.normals) > 0).all()
+
+    def test_quad_bem_vs_mie(self):
+        from mathaudio_tpu.bem.mesh import cube_sphere
+
+        ka = 1.0
+        mesh = cube_sphere(1.0, 8)
+        prob = BemProblem(
+            mesh=mesh,
+            physics=PhysicsParams.from_wave_number(ka),
+            incident=plane_wave((0.0, 0.0, 1.0)),
+        )
+        sol = BemSolver(BemSolverConfig(burton_miller=False)).solve(prob)
+        c = mesh.centers
+        r = np.linalg.norm(c, axis=1)
+        theta = np.arccos(np.clip(c[:, 2] / r, -1, 1))
+        exact = np.asarray(sphere_scattering_3d(ka, 1.0, 30, [1.0], theta).pressure)
+        p = np.asarray(sol.surface_pressure)
+        rel = np.linalg.norm(p - exact) / np.linalg.norm(exact)
+        assert rel < 0.1, rel
