@@ -106,7 +106,6 @@ class FemRoomSimulation:
         d2 = ((self.mesh.nodes[None] - lp[:, None]) ** 2).sum(-1)
         self.listen_idx = jnp.asarray(np.argmin(d2, axis=1))
 
-        self._sweep_jit = None
 
     def _robin_coeffs(self, k):
         """(T,) traced Robin alphas for the wall tags, order = WALL_TAGS."""
@@ -120,7 +119,6 @@ class FemRoomSimulation:
     def _sweep_fn(self, kcfg: KrylovConfig):
         asm = self.assembler
         mg_builder = self.mg.builder if self.mg is not None else None
-        avg_alpha = None
 
         def one(k, src_weights, x0):
             cd = asm.cdtype

@@ -19,9 +19,6 @@ direction-space factors (-ik s.n_y) and (ik s.n_x).
 
 from __future__ import annotations
 
-import dataclasses
-import math
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np

@@ -29,7 +29,7 @@ from mathaudio_tpu.xtypes import complex_dtype_for
 _PI4 = 4.0 * np.pi
 
 
-def _kernel(x_ref, nx_unused, yq_ref, ny_ref, w_ref, k_ref,
+def _kernel(x_ref, nx_unused, yq_ref, ny_ref, w_ref, k_ref,  # nx slot kept for the BM variant
             dkr_ref, dki_ref, d0_ref):
     # x: (TI, 3); yq: (TJ, nq, 3); ny: (TJ, 3); w: (TJ, nq)
     # Static Python loop over the nq quadrature points: every intermediate

@@ -210,3 +210,26 @@ class TestDeApps:
         rows = json.load(open(tmp_path / "summary.json"))
         assert len(rows) == 2
         assert all(r["error"] < 1e-3 for r in rows)
+
+
+class TestSlices:
+    def test_roomsim_fem_slices(self):
+        from mathaudio_tpu.apps.roomsim_fem import run_fem_simulation
+
+        cfg = RoomConfig.from_dict(
+            {
+                "room": {"type": "rectangular", "width": 2.0, "depth": 2.0, "height": 2.0},
+                "sources": [{"name": "s", "position": {"x": 0.5, "y": 0.5, "z": 1.0}}],
+                "listening_positions": [{"x": 1.2, "y": 1.4, "z": 1.0}],
+                "frequencies": {"min_freq": 50.0, "max_freq": 70.0, "num_points": 2},
+                "boundaries": {"walls": {"type": "absorption", "coefficient": 0.2}},
+                "solver": {"mesh_resolution": 4},
+                "visualization": {"generate_slices": True, "slice_resolution": 6,
+                                  "slice_frequency_indices": [0]},
+            }
+        )
+        results = run_fem_simulation(cfg, verbose=0)
+        assert len(results.slices) == 1
+        sl = results.slices[0]
+        assert np.isfinite(np.asarray(sl["spl_db"])).all()
+        assert sl["frequency"] == results.results[0].frequency
