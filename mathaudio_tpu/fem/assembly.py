@@ -108,20 +108,71 @@ def assemble_stiffness_mass(mesh: Mesh, dtype=None, quad_order: int = 2):
     return csr, k_vals, m_vals, meta
 
 
-_FACE_TYPE = {TRIANGLE: "segment", QUAD: "segment", TET: TRIANGLE, HEX: QUAD}
+_FACE_TYPE = {
+    TRIANGLE: "segment",
+    QUAD: "segment",
+    TET: TRIANGLE,
+    HEX: QUAD,
+    # higher-order volumes carry matching higher-order boundary faces
+    # (node orders fixed by refinement.to_p2/to_p3)
+    "triangle6": "segment3",
+    "triangle10": "segment4",
+    "tet10": "triangle6",
+    "tet20": "triangle10",
+}
+
+# 1D Lagrange node layouts on [0, 1]; order matches boundary_faces columns
+_SEGMENT_NODES = {
+    "segment": np.array([0.0, 1.0]),
+    "segment3": np.array([0.0, 1.0, 0.5]),
+    "segment4": np.array([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0]),
+}
+
+
+def _lagrange_1d(nodes: np.ndarray, x: np.ndarray):
+    """phi (nq, nv) and dphi (nq, nv) of the 1D Lagrange basis on `nodes`."""
+    nv = len(nodes)
+    phi = np.ones((len(x), nv))
+    dphi = np.zeros((len(x), nv))
+    for i in range(nv):
+        for j in range(nv):
+            if j == i:
+                continue
+            phi[:, i] *= (x - nodes[j]) / (nodes[i] - nodes[j])
+        for m in range(nv):
+            if m == i:
+                continue
+            term = np.ones(len(x)) / (nodes[i] - nodes[m])
+            for j in range(nv):
+                if j in (i, m):
+                    continue
+                term *= (x - nodes[j]) / (nodes[i] - nodes[j])
+            dphi[:, i] += term
+    return phi, dphi
 
 
 def _face_table(volume_type: str, order: int = 2):
     ft = _FACE_TYPE[volume_type]
-    if ft == "segment":
-        x, w = segment_rule(2)
-        pts = x[:, None]
-        phi = np.stack([1 - x, x], axis=1)
-        grad = np.broadcast_to(np.array([[-1.0], [1.0]]), (len(x), 2, 1)).copy()
-        return pts, w, phi, grad
+    if ft in _SEGMENT_NODES:
+        nv = len(_SEGMENT_NODES[ft])
+        x, w = segment_rule(nv)  # exact for the degree-2(nv-1) mass integrand
+        phi, dphi = _lagrange_1d(_SEGMENT_NODES[ft], x)
+        return x[:, None], w, phi, dphi[:, :, None]
     if ft == TRIANGLE:
         pts, w = triangle_rule(order)
         phi, grad = shape_functions(TRIANGLE, pts)
+        return pts, w, phi, grad
+    if ft == "triangle6":
+        from mathaudio_tpu.fem.quadrature import triangle_rule_order
+
+        pts, w = triangle_rule_order(4)
+        phi, grad = shape_functions("triangle6", pts)
+        return pts, w, phi, grad
+    if ft == "triangle10":
+        from mathaudio_tpu.fem.quadrature import triangle_rule_order
+
+        pts, w = triangle_rule_order(6)
+        phi, grad = shape_functions("triangle10", pts)
         return pts, w, phi, grad
     if ft == QUAD:
         from mathaudio_tpu.fem.quadrature import quad_rule

@@ -19,6 +19,7 @@ from mathaudio_tpu.fem.quadrature import hex_rule, quad_rule, tet_rule, triangle
 TRIANGLE6 = "triangle6"
 TET10 = "tet10"
 TRIANGLE10 = "triangle10"  # cubic P3
+TET20 = "tet20"  # cubic P3 (lagrange.rs: (Tetrahedron, P3) => 20 nodes)
 
 
 def shape_functions(element_type: str, pts: np.ndarray):
@@ -98,6 +99,59 @@ def shape_functions(element_type: str, pts: np.ndarray):
                 center()]
         phi = np.stack([c[0] for c in cols], axis=1)
         grad = np.stack([c[1] for c in cols], axis=1)
+        return phi, grad
+    if element_type == TET20:
+        # cubic Lagrange on the tetrahedron; node order: 4 vertices, then
+        # per edge (01 02 03 12 13 23) the 1/3-from-a and 1/3-from-b
+        # nodes, then the 4 face bubbles (012 013 023 123)
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        ls = [1 - x - y - z, x, y, z]
+        gs = [
+            np.array([-1.0, -1.0, -1.0]),
+            np.array([1.0, 0.0, 0.0]),
+            np.array([0.0, 1.0, 0.0]),
+            np.array([0.0, 0.0, 1.0]),
+        ]
+
+        def vert(i):
+            li = ls[i]
+            phi = 0.5 * li * (3 * li - 1) * (3 * li - 2)
+            return phi, (0.5 * (27 * li**2 - 18 * li + 2))[:, None] * gs[i]
+
+        def edge(a, b, near):
+            la, lb = ls[a], ls[b]
+            if near == a:
+                phi = 4.5 * la * lb * (3 * la - 1)
+                dphi = (
+                    4.5 * (lb * (6 * la - 1))[:, None] * gs[a]
+                    + 4.5 * (la * (3 * la - 1))[:, None] * gs[b]
+                )
+            else:
+                phi = 4.5 * la * lb * (3 * lb - 1)
+                dphi = (
+                    4.5 * (lb * (3 * lb - 1))[:, None] * gs[a]
+                    + 4.5 * (la * (6 * lb - 1))[:, None] * gs[b]
+                )
+            return phi, dphi
+
+        def face(a, b, c):
+            la, lb, lc = ls[a], ls[b], ls[c]
+            phi = 27 * la * lb * lc
+            dphi = 27 * (
+                (lb * lc)[:, None] * gs[a]
+                + (la * lc)[:, None] * gs[b]
+                + (la * lb)[:, None] * gs[c]
+            )
+            return phi, dphi
+
+        cols = [vert(i) for i in range(4)]
+        for a, b in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]:
+            cols.append(edge(a, b, a))
+            cols.append(edge(a, b, b))
+        for a, b, c in [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]:
+            cols.append(face(a, b, c))
+        phi = np.stack([cphi for cphi, _ in cols], axis=1)
+        grad = np.stack([cgrad for _, cgrad in cols], axis=1)
         return phi, grad
     if element_type == TET10:
         x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -205,6 +259,7 @@ _RULES = {
     TRIANGLE6: (lambda order: triangle_rule_order(max(order * 2, 4)), 2, 6, 2),
     TET10: (lambda order: tet_rule_duffy(4), 2, 10, 3),
     TRIANGLE10: (lambda order: triangle_rule_order(6), 2, 10, 2),
+    TET20: (lambda order: tet_rule_duffy(5), 2, 20, 3),
 }
 
 

@@ -279,9 +279,21 @@ def _coarse_solve(mgp: MgParams, r):
     return jax.lax.complex(x2[:n], x2[n:]).astype(r.dtype)
 
 
-def vcycle(mgp: MgParams, r, omega: float = 2.0 / 3.0, nu: int = 2, level: int = 0):
-    """One multigrid V-cycle: x ~ P^{-1} r (cycle.rs:23, Jacobi smoothing).
-    The recursion unrolls at trace time over static levels."""
+def mg_cycle(
+    mgp: MgParams,
+    r,
+    omega: float = 2.0 / 3.0,
+    nu: int = 2,
+    level: int = 0,
+    cycle: str = "v",
+):
+    """One multigrid cycle: x ~ P^{-1} r (cycle.rs:94/104/114 V/W/F
+    cycles, Jacobi smoothing). The recursion unrolls at trace time over
+    static levels — a W-cycle simply traces 2^depth coarse visits.
+
+    cycle: 'v' (one coarse visit), 'w' (two recursive visits), or 'f'
+    (one F visit followed by one V visit — the standard F-cycle).
+    """
     if level == len(mgp.levels):
         return _coarse_solve(mgp, r)
     lvl = mgp.levels[level]
@@ -295,17 +307,32 @@ def vcycle(mgp: MgParams, r, omega: float = 2.0 / 3.0, nu: int = 2, level: int =
         if level + 1 < len(mgp.levels)
         else mgp.coarse_lu.shape[0] // 2
     )
-    xc = vcycle(mgp, _restrict(lvl, res, n_coarse), omega, nu, level + 1)
+    rc = _restrict(lvl, res, n_coarse)
+    xc = mg_cycle(mgp, rc, omega, nu, level + 1, cycle)
+    if cycle in ("w", "f") and level + 1 < len(mgp.levels):
+        # second coarse visit on the updated residual (W: same cycle
+        # type; F: downgrade to a V-cycle). Skipped when the next level
+        # is the exact coarse solve.
+        rc2 = rc - _level_matvec(mgp.levels[level + 1], xc)
+        second = "v" if cycle == "f" else "w"
+        xc = xc + mg_cycle(mgp, rc2, omega, nu, level + 1, second)
     x = x + _prolong(lvl, xc)
     for _ in range(nu):
         x = x + om * lvl.inv_diag * (r - _level_matvec(lvl, x))
     return x
 
 
-def solve_multigrid(mgp: MgParams, b, tol: float = 1e-8, max_cycles: int = 50):
-    """Stand-alone MG solve by repeated V-cycles (SolverType::Multigrid).
-    Valid when the (shifted) operator is MG-amenable, e.g. k below the
-    first resonance or a damped shift."""
+def vcycle(mgp: MgParams, r, omega: float = 2.0 / 3.0, nu: int = 2, level: int = 0):
+    """One multigrid V-cycle (cycle.rs:23); see mg_cycle for W/F."""
+    return mg_cycle(mgp, r, omega, nu, level, "v")
+
+
+def solve_multigrid(
+    mgp: MgParams, b, tol: float = 1e-8, max_cycles: int = 50, cycle: str = "v"
+):
+    """Stand-alone MG solve by repeated cycles (SolverType::Multigrid,
+    cycle.rs CycleType V/W/F). Valid when the (shifted) operator is
+    MG-amenable, e.g. k below the first resonance or a damped shift."""
 
     def cond(state):
         x, r, i = state
@@ -313,7 +340,7 @@ def solve_multigrid(mgp: MgParams, b, tol: float = 1e-8, max_cycles: int = 50):
 
     def body(state):
         x, r, i = state
-        x = x + vcycle(mgp, r)
+        x = x + mg_cycle(mgp, r, cycle=cycle)
         r = b - _level_matvec(mgp.levels[0], x)
         return (x, r, i + 1)
 

@@ -181,10 +181,13 @@ def _lookup_midpoints(mesh: Mesh, all_nodes: np.ndarray, edges: np.ndarray) -> n
 
 
 def to_p3(mesh: Mesh) -> Mesh:
-    """Upgrade a P1 triangle mesh to cubic elements (two nodes per edge
-    at 1/3 and 2/3 plus the centroid bubble node) — the reference's P3
-    support (basis/lagrange.rs PolynomialDegree::P3)."""
-    assert mesh.element_type == TRIANGLE, "P3 implemented for triangles"
+    """Upgrade a P1 simplex mesh to cubic elements (two nodes per edge
+    at 1/3 and 2/3 plus bubble nodes: triangle centroid / tet face
+    centroids) — the reference's P3 support (basis/lagrange.rs
+    PolynomialDegree::P3; (Tet, P3) => 20 nodes)."""
+    if mesh.element_type == TET:
+        return _to_p3_tet(mesh)
+    assert mesh.element_type == TRIANGLE, "P3 implemented for simplices"
     e = mesh.elements
     p = mesh.nodes
     v0, v1, v2 = p[e[:, 0]], p[e[:, 1]], p[e[:, 2]]
@@ -226,4 +229,56 @@ def to_p3(mesh: Mesh) -> Mesh:
             np.int64,
         ).reshape(len(bf), 2)
         out.boundary_faces = np.hstack([bf, ids])
+    return out
+
+
+def _to_p3_tet(mesh: Mesh) -> Mesh:
+    """Tet P1 -> tet20: per basis order (fem/basis.py TET20), 4 vertices,
+    then per edge (01 02 03 12 13 23) the 1/3-from-a and 1/3-from-b
+    nodes, then the 4 face centroids (012 013 023 123)."""
+    e = mesh.elements
+    p = mesh.nodes
+    v = [p[e[:, i]] for i in range(4)]
+    cand = []
+    for a, b in _TET_EDGES:
+        cand.append((2 * v[a] + v[b]) / 3)
+        cand.append((v[a] + 2 * v[b]) / 3)
+    for a, b, c in [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]:
+        cand.append((v[a] + v[b] + v[c]) / 3)
+    cand = np.stack(cand, axis=1)  # (E, 16, 3)
+    flat = cand.reshape(-1, 3)
+    key = np.round(flat / 1e-9).astype(np.int64)
+    uniq, idx, inverse = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    order = np.argsort(idx)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    new_ids = mesh.num_nodes + rank[inverse].reshape(len(e), 16)
+    nodes = np.vstack([p, flat[np.sort(idx)]])
+    elements = np.hstack([e, new_ids]).astype(np.int64)
+    out = Mesh(mesh.dim, nodes, elements, "tet20")
+    if mesh.boundary_faces is not None:
+        # boundary tri faces gain 6 edge nodes + centroid in the
+        # triangle10 basis order (v0 v1 v2; per edge 01 12 20 the
+        # near-first then near-second node; centroid)
+        bf = mesh.boundary_faces
+        fa, fb, fc = p[bf[:, 0]], p[bf[:, 1]], p[bf[:, 2]]
+        extra = np.stack(
+            [
+                (2 * fa + fb) / 3, (fa + 2 * fb) / 3,
+                (2 * fb + fc) / 3, (fb + 2 * fc) / 3,
+                (2 * fc + fa) / 3, (fc + 2 * fa) / 3,
+                (fa + fb + fc) / 3,
+            ],
+            axis=1,
+        ).reshape(-1, 3)
+        keymap = {
+            tuple(r): mesh.num_nodes + i
+            for i, r in enumerate(np.round(nodes[mesh.num_nodes:] / 1e-9).astype(np.int64))
+        }
+        ids = np.asarray(
+            [keymap[tuple(r)] for r in np.round(extra / 1e-9).astype(np.int64)],
+            np.int64,
+        ).reshape(len(bf), 7)
+        out.boundary_faces = np.hstack([bf, ids])
+        out.boundary_markers = mesh.boundary_markers.copy()
     return out

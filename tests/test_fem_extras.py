@@ -228,3 +228,78 @@ class TestP3Elements:
             u, info = solve_helmholtz(prob, "direct")
             errs[name] = float(l2_error_at_nodes(mesh, u, exact))
         assert errs["p3"] < errs["p2"] / 3.0, errs
+
+
+class TestP3Tets:
+    def test_tet20_nodal_and_unity(self):
+        from mathaudio_tpu.fem.basis import shape_functions
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+        nodes = list(verts)
+        for a, b in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]:
+            nodes.append((2 * verts[a] + verts[b]) / 3)
+            nodes.append((verts[a] + 2 * verts[b]) / 3)
+        for a, b, c in [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]:
+            nodes.append((verts[a] + verts[b] + verts[c]) / 3)
+        phi, grad = shape_functions("tet20", np.asarray(nodes))
+        np.testing.assert_allclose(phi, np.eye(20), atol=1e-12)
+        pts = np.random.default_rng(0).random((6, 3)) * 0.25
+        phi, grad = shape_functions("tet20", pts)
+        np.testing.assert_allclose(phi.sum(axis=1), 1.0, atol=1e-12)
+        np.testing.assert_allclose(grad.sum(axis=1), 0.0, atol=1e-12)
+
+    def test_tet20_mass_and_stiffness(self):
+        from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+        from mathaudio_tpu.fem.refinement import to_p3
+        import scipy.sparse as sp
+
+        m = to_p3(unit_cube_tetrahedra(2))
+        asm = HelmholtzAssembler(m)
+        np.testing.assert_allclose(float(jnp.sum(asm.m_vals)), 1.0, atol=1e-12)
+        K = sp.csr_matrix(
+            (np.asarray(asm.k_vals), np.asarray(asm.csr.indices), np.asarray(asm.csr.indptr))
+        )
+        assert np.abs(K @ np.ones(m.num_nodes)).max() < 1e-12
+
+    def test_p3_beats_p2_3d(self):
+        from mathaudio_tpu.fem import HelmholtzProblem, solve_helmholtz
+        from mathaudio_tpu.fem.boundary import DirichletBC
+        from mathaudio_tpu.fem.problem import l2_error_at_nodes
+        from mathaudio_tpu.fem.refinement import to_p2, to_p3
+
+        k = 2.0
+        kd = k * np.array([0.48, 0.6, 0.64])
+
+        def exact(x):
+            return jnp.exp(
+                1j * (kd[0] * x[..., 0] + kd[1] * x[..., 1] + kd[2] * x[..., 2])
+            )
+
+        errs = {}
+        for name, mesh in [
+            ("p2", to_p2(unit_cube_tetrahedra(3))),
+            ("p3", to_p3(unit_cube_tetrahedra(3))),
+        ]:
+            bcs = [DirichletBC(t, exact) for t in (1, 2, 3, 4, 5, 6)]
+            u, info = solve_helmholtz(HelmholtzProblem(mesh, k, dirichlet=bcs), "direct")
+            errs[name] = float(l2_error_at_nodes(mesh, u, exact))
+        assert errs["p3"] < errs["p2"] / 3.0, errs
+
+
+class TestHighOrderBoundary:
+    def test_boundary_mass_totals(self):
+        """Robin/Neumann face mass on P2/P3 meshes: sum_ij B = |Gamma_tag|
+        (unit side faces of the unit square/cube)."""
+        from mathaudio_tpu.fem.assembly import HelmholtzAssembler, assemble_boundary_mass
+        from mathaudio_tpu.fem.refinement import to_p2, to_p3
+
+        cases = [
+            to_p2(unit_square_triangles(4)),
+            to_p3(unit_square_triangles(4)),
+            to_p2(unit_cube_tetrahedra(2)),
+            to_p3(unit_cube_tetrahedra(2)),
+        ]
+        for mesh in cases:
+            asm = HelmholtzAssembler(mesh)
+            b = assemble_boundary_mass(mesh, 1, asm.csr)
+            np.testing.assert_allclose(float(jnp.sum(b)), 1.0, atol=1e-9)

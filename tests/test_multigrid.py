@@ -101,3 +101,28 @@ class TestShiftedLaplacianGmres:
         np.testing.assert_allclose(
             np.asarray(sol.x[params.listen_idx]), np.asarray(p_jac[0]), rtol=1e-4, atol=1e-9
         )
+
+
+class TestCycleTypes:
+    def test_w_and_f_cycles_converge_faster(self):
+        """W/F cycles (cycle.rs CycleType::WCycle/FCycle) contract at
+        least as fast per cycle as V on a 3-level hierarchy."""
+        from mathaudio_tpu.fem.multigrid import mg_cycle
+
+        meshes = box_hierarchy(8, 3)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        k = 0.8
+        mgp = build_mg_params(mg.builder, k, robin_coeff=-1j * k * 0.3, shift=(1.0, 0.0))
+        n = meshes[0].num_nodes
+        rng = np.random.default_rng(2)
+        b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        res = {}
+        for cyc in ("v", "w", "f"):
+            x = mg_cycle(mgp, b, cycle=cyc)
+            res[cyc] = float(jnp.linalg.norm(b - _level_matvec(mgp.levels[0], x)))
+        assert res["w"] <= res["v"] * 1.001, res
+        assert res["f"] <= res["v"] * 1.001, res
+        # and the stand-alone solve accepts the cycle type
+        x, cycles_w = solve_multigrid(mgp, b, tol=1e-8, cycle="w")
+        _, cycles_v = solve_multigrid(mgp, b, tol=1e-8, cycle="v")
+        assert int(cycles_w) <= int(cycles_v), (int(cycles_w), int(cycles_v))
