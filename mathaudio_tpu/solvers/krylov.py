@@ -207,6 +207,9 @@ def gmres(
     matmuls), Givens-rotation least squares, relative-residual stopping.
     Batched use: ``jax.vmap(partial(gmres, config=...))(A_batch, b_batch)``.
     """
+    if isinstance(x0, KrylovConfig):
+        raise TypeError("pass the solver config as gmres(a, b, config=...); "
+                        "the third positional argument is the initial guess x0")
     a_mv, m_mv = _prep(a, preconditioner, b)
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
