@@ -131,3 +131,74 @@ class TestRoomFmm:
         y_dense = np.asarray(a_dense @ x)
         rel = np.linalg.norm(y_fmm - y_dense) / np.linalg.norm(y_dense)
         assert rel < 0.05, rel
+
+
+class TestMlfmmTree:
+    """True hierarchical MLFMM: M2M/L2L passes (mlfmm.rs:483)."""
+
+    def test_sphere_interp_exact_on_band(self):
+        from mathaudio_tpu.bem.fmm import (
+            _sph_harm_matrix,
+            sphere_interp_matrix,
+            unit_sphere_quadrature,
+        )
+
+        df, wf = unit_sphere_quadrature(6)
+        dt, wt = unit_sphere_quadrature(10)
+        for a, wa, b in [(df, wf, dt), (dt, wt, df)]:
+            u = sphere_interp_matrix(a, wa, b, 6)
+            ya = _sph_harm_matrix(a, 6)
+            yb = _sph_harm_matrix(b, 6)
+            assert np.abs(u @ ya - yb).max() < 1e-12
+
+    def test_matvec_vs_dense_three_levels(self):
+        from mathaudio_tpu.bem.fmm import build_mlfmm_tree_system
+
+        mesh = icosphere(1.0, 3)
+        k = 2.0
+        op = build_mlfmm_tree_system(mesh, k, max_per_leaf=4, separation_ratio=1.5)
+        assert len(op.data.levels) >= 3  # genuine M2M/L2L chain
+        assert all(int(lv.trans_op.shape[0]) > 0 for lv in op.data.levels)
+        a_dense = assemble_collocation_matrix(mesh, k)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(1280) + 1j * rng.standard_normal(1280))
+        y = np.asarray(op.matvec(x))
+        yd = np.asarray(a_dense @ x)
+        rel = np.linalg.norm(y - yd) / np.linalg.norm(yd)
+        assert rel < 0.05, rel
+
+    def test_low_frequency_demotes_gracefully(self):
+        """At small k the diagonal form is unstable for deep boxes; the
+        stability cap must route those pairs to exact near blocks and
+        keep the matvec accurate."""
+        from mathaudio_tpu.bem.fmm import build_mlfmm_tree_system
+
+        mesh = icosphere(1.0, 2)  # 320 elements
+        k = 0.5
+        op = build_mlfmm_tree_system(mesh, k, max_per_leaf=4, separation_ratio=2.0)
+        a_dense = assemble_collocation_matrix(mesh, k)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(320) + 1j * rng.standard_normal(320))
+        rel = float(
+            jnp.linalg.norm(op.matvec(x) - a_dense @ x) / jnp.linalg.norm(a_dense @ x)
+        )
+        assert rel < 0.05, rel
+
+    def test_solve_vs_dense_solution(self):
+        from mathaudio_tpu.bem.fmm import build_mlfmm_tree_system
+        from mathaudio_tpu.bem import plane_wave
+        from mathaudio_tpu.solvers import KrylovConfig, gmres
+
+        ka = 2.0
+        mesh = icosphere(1.0, 3)
+        op = build_mlfmm_tree_system(mesh, ka, max_per_leaf=4, separation_ratio=1.5)
+        rhs = plane_wave((0.0, 0.0, 1.0)).pressure(jnp.asarray(mesh.centers), ka)
+        sol = gmres(
+            op.matvec, rhs,
+            config=KrylovConfig(tolerance=1e-8, restart=60, max_iterations=600),
+        )
+        assert bool(sol.converged)
+        a = np.asarray(assemble_collocation_matrix(mesh, ka))
+        xd = np.linalg.solve(a, np.asarray(rhs))
+        rel = np.linalg.norm(np.asarray(sol.x) - xd) / np.linalg.norm(xd)
+        assert rel < 0.05, rel
