@@ -179,9 +179,12 @@ def build_slfmm_system(
     phase_y = np.einsum("qd,cmd->cqm", dirs, y_rel)
     s_tensor = np.exp(1j * k * phase_y) * mask[:, None, :]
     if beta != 0.0:
-        # Burton-Miller row factor: d/dn_x -> (ik s.n_x) in direction space
+        # Burton-Miller row factor: d/dn_x -> (ik s.n_x) in direction
+        # space. The global prefactor already carries the CBIE minus
+        # (S.D.T = -D), so +beta T needs the NEGATIVE factor here:
+        # (1 - beta ik s.n_x) * (-D-form) = -D + beta T.
         s_nx = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
-        s_tensor = s_tensor * (1.0 + beta * 1j * k * s_nx)
+        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
 
     # translations D (b <- a) for far pairs
     d_tensor = np.zeros((c_count, c_count, q), complex)
@@ -219,11 +222,50 @@ def build_slfmm_system(
     return SlfmmOperator(data, n)
 
 
-def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype):
+def _static_hyper_row_sums(mesh, quad_order: int = 3, chunk: int = 256):
+    """s0_i = sum_{j != i} T0_ij with the same quadrature the near blocks
+    use. On a closed surface the exact row sum of the static hypersingular
+    operator is zero, so the BM diagonal uses -s0 in place of the analytic
+    finite-part self term — absorbing the poorly-converging near-singular
+    quadrature error exactly as the dense path's row-sum correction
+    (tbem.rs:526) does. Chunked over rows; O(N^2) elementwise on device."""
+    dtype = default_float()
+    qp, qw = mesh.quad_points(quad_order)
+    centers = jnp.asarray(mesh.centers, dtype)
+    normals = jnp.asarray(mesh.normals, dtype)
+    qp = jnp.asarray(qp, dtype)
+    qw = jnp.asarray(qw, dtype)
+    n = mesh.num_elements
+
+    @jax.jit
+    def rows(i0):
+        idx = i0 + jnp.arange(chunk)
+        x = centers[idx][:, None, None, :]
+        nx = normals[idx][:, None, None, :]
+        y = qp[None, :, :, :]
+        ny = normals[None, :, None, :]
+        _, hyp0 = _static_pair_kernels(x, nx, y, ny)  # (chunk, N, nq)
+        s = jnp.sum(hyp0 * qw[None, :, :], axis=(-1, -2))
+        diag_term = jnp.sum(
+            jnp.where(idx[:, None, None] == jnp.arange(n)[None, :, None],
+                      hyp0 * qw[None, :, :], 0.0),
+            axis=(-1, -2),
+        )
+        return s - diag_term
+
+    out = np.zeros(n)
+    for i0 in range(0, n, chunk):
+        vals = np.asarray(rows(jnp.int32(i0)))
+        take = min(chunk, n - i0)
+        out[i0 : i0 + take] = vals[:take]
+    return out
+
+
+def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype, quad_order: int = 3):
     """Exact near-field blocks (P, m, m): minus double layer (+ BM),
     with the same static regularization self terms as the dense path."""
     cdtype = complex_dtype_for(jnp.dtype(dtype))
-    qp, qw = mesh.quad_points(3)
+    qp, qw = mesh.quad_points(quad_order)
     self_r, self_w = _self_angular_rule(mesh)
 
     centers = jnp.asarray(mesh.centers, dtype)
@@ -253,13 +295,19 @@ def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype):
         same = bi[:, :, None] == ai[:, None, :]
         blk = jnp.where(same, 0.0, blk)
         blk = blk * mk[nb_d][:, :, None].astype(cdtype) * mk[na_d][:, None, :].astype(cdtype)
-        # self terms on diagonal pairs
+        # self terms on diagonal pairs: analytic radial (T_k - T_0) self
+        # plus -s0 (global static row-sum correction) in place of the
+        # analytic static finite part — the dense path's exact-row-sum
+        # regularization (tbem.rs:526) carried over to the FMM near field.
         diag_pair = nb_d == na_d
         if beta != 0.0:
             ik = jnp.asarray(1j * k, cdtype)
             rr = self_r[cl[nb_d]].astype(cdtype)
             ww = self_w[cl[nb_d]].astype(cdtype)
-            t_self = jnp.sum(ww * (ik - jnp.exp(ik * rr) / rr), axis=-1) / (4 * jnp.pi)
+            t_diff_self = jnp.sum(
+                ww * (ik - (jnp.exp(ik * rr) - 1.0) / rr), axis=-1
+            ) / (4 * jnp.pi)
+            t_self = t_diff_self - s0_d[cl[nb_d]].astype(cdtype)
             eye = jnp.eye(blk.shape[1], dtype=cdtype)
             blk = blk + jnp.where(
                 diag_pair[:, None, None],
@@ -268,6 +316,11 @@ def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype):
             )
         return blk
 
+    s0_d = (
+        jnp.asarray(_static_hyper_row_sums(mesh, quad_order), dtype)
+        if beta != 0.0
+        else None
+    )
     return blocks(jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
 
 

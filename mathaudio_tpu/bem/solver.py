@@ -15,7 +15,7 @@ from mathaudio_tpu.bem.assembly import assemble_burton_miller, assemble_collocat
 from mathaudio_tpu.bem.incident import IncidentField, plane_wave
 from mathaudio_tpu.bem.mesh import SurfaceMesh, icosphere
 from mathaudio_tpu.bem.postprocess import FieldResult, evaluate_field
-from mathaudio_tpu.bem.types import BemSolverConfig, PhysicsParams, SolverMethod
+from mathaudio_tpu.bem.types import BemMethod, BemSolverConfig, PhysicsParams, SolverMethod
 from mathaudio_tpu.solvers import KrylovConfig, bicgstab, gmres, jacobi_preconditioner, lu_solve
 
 
@@ -81,6 +81,9 @@ class BemSolver:
         centers = jnp.asarray(mesh.centers)
         normals = jnp.asarray(mesh.normals)
 
+        if cfg.assembly in (BemMethod.SLFMM, BemMethod.MLFMM):
+            return self._solve_fmm(problem)
+
         if cfg.burton_miller:
             ka = k * float(np.linalg.norm(mesh.centers, axis=1).mean())
             scale = cfg.beta_scale or problem.physics.optimal_beta_scale(ka)
@@ -115,3 +118,51 @@ class BemSolver:
             info["converged"] = bool(sol.converged)
             info["iterations"] = int(sol.iterations)
         return BemSolution(problem, p, info)
+
+    def _solve_fmm(self, problem: BemProblem) -> BemSolution:
+        """Matrix-free FMM path (bem_solver.rs SLFMM/MLFMM assembly rows):
+        CBIE with GMRES; Burton–Miller rides the SLFMM direction-space
+        row factors. LU is impossible matrix-free, so it falls back to
+        GMRES (recorded in info)."""
+        from mathaudio_tpu.bem.fmm import build_mlfmm_tree_system, build_slfmm_system
+
+        cfg = self.config
+        mesh = problem.mesh
+        k = problem.physics.wave_number
+        centers = jnp.asarray(mesh.centers)
+        normals = jnp.asarray(mesh.normals)
+
+        rhs = problem.incident.pressure(centers, k)
+        use_bm = cfg.burton_miller and cfg.assembly == BemMethod.SLFMM
+        if use_bm:
+            ka = k * float(np.linalg.norm(mesh.centers, axis=1).mean())
+            scale = cfg.beta_scale or problem.physics.optimal_beta_scale(ka)
+            beta = problem.physics.burton_miller_beta_optimal(
+                mesh.avg_element_size()
+            ) * scale
+            op = build_slfmm_system(mesh, k, beta=beta, max_per_leaf=64,
+                                    separation_ratio=2.0)
+            rhs = rhs - jnp.asarray(beta, rhs.dtype) * problem.incident.normal_derivative(
+                centers, normals, k
+            )
+        elif cfg.assembly == BemMethod.SLFMM:
+            op = build_slfmm_system(mesh, k, max_per_leaf=64, separation_ratio=2.0)
+        else:
+            op = build_mlfmm_tree_system(mesh, k, max_per_leaf=16,
+                                         separation_ratio=2.0)
+
+        kcfg = KrylovConfig(
+            max_iterations=cfg.max_iterations,
+            tolerance=cfg.tolerance,
+            restart=cfg.restart,
+        )
+        sol = gmres(op.matvec, rhs, config=kcfg)
+        info = {
+            "method": "gmres",  # matrix-free: LU falls back to GMRES
+            "assembly": cfg.assembly.value,
+            "burton_miller": use_bm,
+            "n": mesh.num_elements,
+            "converged": bool(sol.converged),
+            "iterations": int(sol.iterations),
+        }
+        return BemSolution(problem, sol.x, info)

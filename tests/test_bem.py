@@ -167,3 +167,42 @@ class TestQuadElements:
         p = np.asarray(sol.surface_pressure)
         rel = np.linalg.norm(p - exact) / np.linalg.norm(exact)
         assert rel < 0.1, rel
+
+
+class TestFmmAssemblyDispatch:
+    """BemSolverConfig.assembly = SLFMM/MLFMM routes to matrix-free FMM
+    (bem_solver.rs assembly dispatch)."""
+
+    def test_slfmm_and_mlfmm_match_dense(self):
+        from mathaudio_tpu.bem.types import BemMethod
+
+        ka = 2.0
+        prob = BemProblem.rigid_sphere(ka, subdivisions=3)
+        dense = BemSolver(BemSolverConfig(burton_miller=False)).solve(prob)
+        for method in (BemMethod.SLFMM, BemMethod.MLFMM):
+            cfg = BemSolverConfig(assembly=method, burton_miller=False,
+                                  tolerance=1e-8, restart=60)
+            sol = BemSolver(cfg).solve(prob)
+            assert sol.info["converged"], sol.info
+            assert sol.info["assembly"] == method.value
+            rel = float(
+                jnp.linalg.norm(sol.surface_pressure - dense.surface_pressure)
+                / jnp.linalg.norm(dense.surface_pressure)
+            )
+            assert rel < 0.05, (method, rel)
+
+    def test_slfmm_burton_miller(self):
+        from mathaudio_tpu.bem.types import BemMethod
+
+        ka = 2.0
+        prob = BemProblem.rigid_sphere(ka, subdivisions=3)
+        cfg = BemSolverConfig(assembly=BemMethod.SLFMM, burton_miller=True,
+                              tolerance=1e-8, restart=60)
+        sol = BemSolver(cfg).solve(prob)
+        assert sol.info["converged"] and sol.info["burton_miller"]
+        dense = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
+        rel = float(
+            jnp.linalg.norm(sol.surface_pressure - dense.surface_pressure)
+            / jnp.linalg.norm(dense.surface_pressure)
+        )
+        assert rel < 0.1, rel
