@@ -127,8 +127,10 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
 
 
 # Measured once with `python bench.py --metric iir --device cpu --calibrate`
-# (64 channels x 10-biquad cascade x 48000 samples, f32, jax-CPU).
-BASELINE_CPU_IIR_MSAMPLES = 16.3
+# CPU-best configuration (the CPU peaks at 64 channels: 17.6 Msamples/s
+# and degrades with wider batches; the TPU scales with the channel batch:
+# 64 -> 342, 1024 -> 1381, 4096 -> 2249 Msamples/s). Baseline = CPU best.
+BASELINE_CPU_IIR_MSAMPLES = 17.6
 
 
 def run_iir(device: str, repeats: int, calibrate: bool):
@@ -146,7 +148,7 @@ def run_iir(device: str, repeats: int, calibrate: bool):
 
     from mathaudio_tpu.dsp import Biquad, BiquadFilterType, biquad_cascade_block, peq_coeff_matrix
 
-    channels, stages, t = 64, 10, 48000
+    channels, stages, t = (64 if device == "cpu" else 4096), 10, 48000
     peq = [
         (1.0, Biquad(BiquadFilterType.PEAK, 100.0 * (i + 1), 48000.0, 1.0, (-1.0) ** i * 3.0))
         for i in range(stages)
