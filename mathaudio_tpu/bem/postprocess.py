@@ -77,3 +77,142 @@ def evaluate_field(
     )
     p_inc = incident.pressure(points, k)
     return FieldResult(points=points, p_inc=p_inc, p_scat=p_scat)
+
+
+def evaluate_field_fmm(
+    mesh: SurfaceMesh,
+    p_surf,
+    points,
+    k: float,
+    incident: IncidentField,
+    quad_order: int = 3,
+    max_per_leaf: int = 32,
+    separation_ratio: float = 2.0,
+    dtype=None,
+) -> FieldResult:
+    """FMM-accelerated Kirchhoff–Helmholtz evaluation (pressure.rs field
+    sweep made O((N+M) log): octrees over surface elements and field
+    points; far cluster pairs go through the diagonal-form expansion
+    (aggregation shared with bem/fmm.py), near pairs use the exact
+    kernel. Unstable low-frequency pairs demote to exact evaluation
+    (same h_l blowup cap as the MLFMM builder)."""
+    from mathaudio_tpu.bem.fmm import (
+        _MLFMM_STABILITY_TAU,
+        _agg_disagg_tensors,
+        translation_operator_pairwise,
+        unit_sphere_quadrature,
+    )
+    from mathaudio_tpu.bem.octree import Octree
+    from mathaudio_tpu.wave.special.spherical import spherical_jn_yn_all
+
+    dtype = dtype or default_float()
+    cd = complex_dtype_for(jnp.dtype(dtype))
+    points = np.asarray(points, float)
+    m_pts = len(points)
+
+    # source clusters (surface elements)
+    src_tree = Octree.build(mesh.centers, max_per_leaf=max_per_leaf)
+    src = src_tree.leaves
+    ms = max(len(nd.indices) for nd in src)
+    s_cl = np.zeros((len(src), ms), np.int32)
+    s_mk = np.zeros((len(src), ms))
+    s_cc = np.zeros((len(src), 3))
+    s_rr = np.zeros(len(src))
+    for i, nd in enumerate(src):
+        s_cl[i, : len(nd.indices)] = nd.indices
+        s_mk[i, : len(nd.indices)] = 1.0
+        s_cc[i] = nd.indices_center(mesh.centers)
+        s_rr[i] = nd.radius(mesh.centers)
+
+    # target clusters (field points)
+    tgt_tree = Octree.build(points, max_per_leaf=max_per_leaf)
+    tgt = tgt_tree.leaves
+    mt = max(len(nd.indices) for nd in tgt)
+    t_cl = np.zeros((len(tgt), mt), np.int32)
+    t_mk = np.zeros((len(tgt), mt))
+    t_cc = np.zeros((len(tgt), 3))
+    t_rr = np.zeros(len(tgt))
+    for i, nd in enumerate(tgt):
+        t_cl[i, : len(nd.indices)] = nd.indices
+        t_mk[i, : len(nd.indices)] = 1.0
+        t_cc[i] = nd.indices_center(points)
+        t_rr[i] = nd.radius(points)
+
+    kr = k * max(s_rr.max(), t_rr.max())
+    order = int(np.ceil(kr + 4 * np.log(kr + np.pi) + 4))
+    dirs, w = unit_sphere_quadrature(order)
+
+    dist = np.linalg.norm(t_cc[:, None] - s_cc[None, :], axis=-1)
+    far = dist > separation_ratio * (t_rr[:, None] + s_rr[None, :])
+    fb, fa = np.where(far)
+    # stability cap (low-frequency h_l blowup -> exact evaluation)
+    if len(fb):
+        krp = k * (t_rr[fb] + s_rr[fa])
+        l_acc = np.ceil(krp + 4 * np.log(krp + np.pi) + 4).astype(int)
+        kd = k * dist[fb, fa]
+        j_all, y_all = spherical_jn_yn_all(int(l_acc.max()), jnp.asarray(kd))
+        h_abs = np.abs(np.asarray(j_all + 1j * y_all))
+        l = np.arange(h_abs.shape[0])
+        amp = np.where(l[:, None] <= l_acc[None, :], (2 * l + 1)[:, None] * h_abs, 0.0)
+        stable = amp.max(axis=0) <= _MLFMM_STABILITY_TAU
+        far[fb[~stable], fa[~stable]] = False
+        fb, fa = fb[stable], fa[stable]
+        l_pair = np.minimum(l_acc[stable], order)
+
+    t_tensor, _ = _agg_disagg_tensors(mesh, s_cl, s_mk, s_cc, k, dirs)
+    x_rel = points[t_cl] - t_cc[:, None, :]
+    s_field = np.exp(1j * k * np.einsum("qd,cmd->cqm", dirs, x_rel)) * t_mk[:, None, :]
+    if len(fb):
+        t_op = translation_operator_pairwise(k, t_cc[fb] - s_cc[fa], dirs, order, l_pair)
+    else:
+        t_op = np.zeros((0, len(dirs)), complex)
+
+    nb, na = np.where(~far)
+    p_surf = jnp.asarray(p_surf)
+    qp, qw = mesh.quad_points(quad_order)
+
+    @jax.jit
+    def field(p):
+        # far: aggregate, translate (pair-packed), disaggregate
+        xc = p[jnp.asarray(s_cl)] * jnp.asarray(s_mk, p.dtype)
+        mu = jnp.einsum("cqm,cm->cq", jnp.asarray(t_tensor, cd), xc)
+        lam = jnp.zeros((len(tgt), len(dirs)), cd)
+        if t_op.shape[0]:
+            lam = lam.at[jnp.asarray(fb)].add(
+                jnp.asarray(t_op, cd) * mu[jnp.asarray(fa)]
+            )
+        pref = jnp.asarray(1j * k / (16.0 * np.pi**2), cd)  # +D: no CBIE minus
+        p_far = pref * jnp.einsum(
+            "q,cqm,cq->cm", jnp.asarray(w, dtype), jnp.asarray(s_field, cd), lam
+        )
+        # near: exact kernel blocks per (target cluster, source cluster)
+        x = jnp.asarray(points[t_cl], dtype)[jnp.asarray(nb)][:, :, None, None, :]
+        y = jnp.asarray(qp, dtype)[jnp.asarray(s_cl)][jnp.asarray(na)][:, None, :, :, :]
+        ny = jnp.asarray(mesh.normals, dtype)[jnp.asarray(s_cl)][jnp.asarray(na)][
+            :, None, :, None, :
+        ]
+        rv = y - x
+        r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+        rs = jnp.where(r < 1e-15, 1.0, r)
+        g = jnp.exp(1j * (k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
+        ik = jnp.asarray(1j * k, cd)
+        dg = (ik - 1.0 / rs) * g * jnp.sum(rv * ny, axis=-1) / rs
+        wq = jnp.asarray(qw, dtype)[jnp.asarray(s_cl)][jnp.asarray(na)][:, None, :, :]
+        blocks = jnp.sum(dg * wq.astype(cd), axis=-1)  # (P, mt, ms)
+        blocks = blocks * jnp.asarray(t_mk, dtype)[jnp.asarray(nb)][:, :, None].astype(cd)
+        blocks = blocks * jnp.asarray(s_mk, dtype)[jnp.asarray(na)][:, None, :].astype(cd)
+        pa = p[jnp.asarray(s_cl)][jnp.asarray(na)] * jnp.asarray(s_mk, p.dtype)[jnp.asarray(na)]
+        near_vals = jnp.einsum("pij,pj->pi", blocks, pa)
+        out = jnp.zeros(m_pts, cd)
+        out = out.at[jnp.asarray(t_cl).reshape(-1)].add(
+            (p_far * jnp.asarray(t_mk, dtype).astype(cd)).reshape(-1)
+        )
+        out = out.at[jnp.asarray(t_cl)[jnp.asarray(nb)].reshape(-1)].add(
+            (near_vals * jnp.asarray(t_mk, dtype)[jnp.asarray(nb)].astype(cd)).reshape(-1)
+        )
+        return out
+
+    p_scat = field(p_surf.astype(cd))
+    pts_j = jnp.asarray(points, dtype)
+    p_inc = incident.pressure(pts_j, k)
+    return FieldResult(points=pts_j, p_inc=p_inc, p_scat=p_scat)

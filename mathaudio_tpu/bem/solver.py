@@ -54,10 +54,25 @@ class BemSolution:
     surface_pressure: jnp.ndarray  # (N,) at element centers
     info: dict
 
-    def evaluate_pressure(self, points, quad_order: int = 3) -> jnp.ndarray:
-        return self.evaluate_pressure_field(points, quad_order).p_total
+    def evaluate_pressure(self, points, quad_order: int = 3, method: str = "dense") -> jnp.ndarray:
+        return self.evaluate_pressure_field(points, quad_order, method).p_total
 
-    def evaluate_pressure_field(self, points, quad_order: int = 3) -> FieldResult:
+    def evaluate_pressure_field(
+        self, points, quad_order: int = 3, method: str = "dense"
+    ) -> FieldResult:
+        """method='fmm' uses the O((N+M) log) clustered evaluation
+        (postprocess.evaluate_field_fmm) — same result, for large grids."""
+        if method == "fmm":
+            from mathaudio_tpu.bem.postprocess import evaluate_field_fmm
+
+            return evaluate_field_fmm(
+                self.problem.mesh,
+                self.surface_pressure,
+                points,
+                self.problem.physics.wave_number,
+                self.problem.incident,
+                quad_order=quad_order,
+            )
         return evaluate_field(
             self.problem.mesh,
             self.surface_pressure,

@@ -202,3 +202,33 @@ class TestMlfmmTree:
         xd = np.linalg.solve(a, np.asarray(rhs))
         rel = np.linalg.norm(np.asarray(sol.x) - xd) / np.linalg.norm(xd)
         assert rel < 0.05, rel
+
+
+class TestFmmPostprocess:
+    def test_field_eval_fmm_matches_dense(self):
+        """evaluate_field_fmm (pressure.rs field sweep, FMM-accelerated)
+        agrees with the dense Kirchhoff-Helmholtz evaluation, including
+        the low-frequency demotion path."""
+        from mathaudio_tpu.bem import BemProblem, BemSolver, BemSolverConfig
+        from mathaudio_tpu.bem.postprocess import evaluate_field, evaluate_field_fmm
+
+        ka = 2.0
+        prob = BemProblem.rigid_sphere(ka, subdivisions=3)
+        sol = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((400, 3))
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        pts = pts * rng.uniform(2.0, 6.0, (400, 1))
+        for k in (ka, 0.3):  # 0.3 exercises the stability demotion
+            dense = evaluate_field(prob.mesh, sol.surface_pressure, pts, k, prob.incident)
+            fmm = evaluate_field_fmm(prob.mesh, sol.surface_pressure, pts, k, prob.incident)
+            rel = float(
+                jnp.linalg.norm(fmm.p_scat - dense.p_scat) / jnp.linalg.norm(dense.p_scat)
+            )
+            assert rel < 1e-4, (k, rel)
+        # and through the BemSolution front door
+        pf = sol.evaluate_pressure_field(pts[:50], method="fmm")
+        pd = sol.evaluate_pressure_field(pts[:50])
+        np.testing.assert_allclose(
+            np.asarray(pf.p_total), np.asarray(pd.p_total), rtol=1e-4, atol=1e-8
+        )
