@@ -92,8 +92,22 @@ class FemRoomSimulation:
                 # near field matches G = e^{ikr}/(4 pi r) (the BEM source)
                 norm = (2.0 * np.pi * sigma**2) ** 1.5
 
-                def source_fn(x, pos=pos, norm=norm):
-                    return jnp.exp(-jnp.sum((x - pos) ** 2, axis=-1) / sw) / norm
+                def source_fn(x, pos=pos, norm=norm, pat=s.directivity):
+                    # Gaussian envelope x per-point directivity
+                    # (room_simulator_fem.rs:2037 amplitude_towards: the
+                    # pattern varies over the blob; crossover stays the
+                    # per-frequency scalar weight)
+                    d = x - pos
+                    r2 = jnp.sum(d**2, axis=-1)
+                    env = jnp.exp(-r2 / sw) / norm
+                    r = jnp.sqrt(r2)
+                    rs = jnp.maximum(r, 1e-10)
+                    theta = jnp.arccos(jnp.clip(d[..., 2] / rs, -1.0, 1.0))
+                    phi = jnp.arctan2(d[..., 1], d[..., 0])
+                    fac = jnp.where(
+                        r < 1e-10, 1.0, pat.interpolate_array(theta, phi)
+                    )
+                    return env * fac
 
                 rhs_list.append(
                     assemble_rhs(self.mesh, source_fn).astype(self.assembler.cdtype)

@@ -277,6 +277,8 @@ class RoomConfig:
             dcfg = s.get("directivity", {"type": "omnidirectional"})
             if dcfg.get("type", "omnidirectional") == "omnidirectional":
                 patt = DirectivityPattern.omnidirectional()
+            elif dcfg.get("type") == "cardioid":  # convenience beyond the
+                patt = DirectivityPattern.cardioid()  # reference's omni/custom
             else:
                 patt = DirectivityPattern(
                     np.asarray(dcfg["horizontal_angles"], float),

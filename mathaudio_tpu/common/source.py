@@ -54,6 +54,30 @@ class DirectivityPattern:
         m1 = m10 * (1 - h_frac) + m11 * h_frac
         return float(m0 * (1 - v_frac) + m1 * v_frac)
 
+    def interpolate_array(self, theta, phi):
+        """Vectorized, jnp-traceable bilinear lookup (same semantics as
+        ``interpolate``) — used inside jitted FEM source assembly."""
+        import jax.numpy as jnp
+
+        mag = jnp.asarray(self.magnitude)
+        nh = len(self.horizontal_angles)
+        nv = len(self.vertical_angles)
+        theta_deg = jnp.rad2deg(theta)
+        phi_deg = jnp.rad2deg(phi) % 360.0
+        h_idx = jnp.minimum((phi_deg / 10.0).astype(jnp.int32), nh - 1)
+        v_idx = jnp.minimum((theta_deg / 10.0).astype(jnp.int32), nv - 1)
+        h_next = (h_idx + 1) % nh
+        v_next = jnp.minimum(v_idx + 1, nv - 1)
+        h_frac = phi_deg / 10.0 - h_idx
+        v_frac = theta_deg / 10.0 - v_idx
+        m00 = mag[v_idx, h_idx]
+        m01 = mag[v_idx, h_next]
+        m10 = mag[v_next, h_idx]
+        m11 = mag[v_next, h_next]
+        m0 = m00 * (1 - h_frac) + m01 * h_frac
+        m1 = m10 * (1 - h_frac) + m11 * h_frac
+        return m0 * (1 - v_frac) + m1 * v_frac
+
 
 @dataclasses.dataclass
 class CrossoverFilter:

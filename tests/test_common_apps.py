@@ -233,3 +233,41 @@ class TestSlices:
         sl = results.slices[0]
         assert np.isfinite(np.asarray(sl["spl_db"])).all()
         assert sl["frequency"] == results.results[0].frequency
+
+
+class TestDirectivitySources:
+    def test_interpolate_array_matches_scalar(self):
+        p = DirectivityPattern.cardioid()
+        rng = np.random.default_rng(0)
+        thetas = rng.uniform(0, np.pi, 50)
+        phis = rng.uniform(-np.pi, np.pi, 50)
+        vec = np.asarray(p.interpolate_array(jnp.asarray(thetas), jnp.asarray(phis)))
+        ref = np.asarray([p.interpolate(t, f) for t, f in zip(thetas, phis)])
+        np.testing.assert_allclose(vec, ref, atol=1e-6)
+
+    def test_fem_cardioid_front_back(self):
+        """A cardioid source (forward = +y) radiates more toward the
+        front listening position than the back
+        (room_simulator_fem.rs:2037 amplitude_towards in the RHS)."""
+        from mathaudio_tpu.apps.roomsim_fem import run_fem_simulation
+
+        cfg = RoomConfig.from_dict(
+            {
+                "room": {"type": "rectangular", "width": 3.0, "depth": 3.0, "height": 3.0},
+                "sources": [{
+                    "name": "s",
+                    "position": {"x": 1.5, "y": 1.5, "z": 1.5},
+                    "directivity": {"type": "cardioid"},
+                }],
+                "listening_positions": [
+                    {"x": 1.5, "y": 2.4, "z": 1.5},  # front (+y)
+                    {"x": 1.5, "y": 0.6, "z": 1.5},  # back
+                ],
+                "frequencies": {"min_freq": 60.0, "max_freq": 60.0, "num_points": 1},
+                "boundaries": {"walls": {"type": "absorption", "coefficient": 0.5}},
+                "solver": {"mesh_resolution": 5},
+            }
+        )
+        res = run_fem_simulation(cfg, verbose=0)
+        spl = np.asarray(res.results[0].spl_db)
+        assert spl[0] > spl[1] + 6.0, spl  # >6 dB front/back contrast
