@@ -103,6 +103,7 @@ def solve_helmholtz(
     """Dispatch table mirroring SolverType (solver/mod.rs:72-107).
 
     Supported: direct, gmres, gmres_jacobi, gmres_ilu (fixed-point),
+    gmres_ilu_colored (graph-coloring, exact sweeps),
     gmres_schwarz, gmres_amg, gmres_pipelined[_ilu|_amg] (aliases — see
     solvers.krylov.gmres_pipelined), gmres_shifted_laplacian (AMG V-cycle
     on the complex-shifted operator, solver/mod.rs:1438), bicgstab, cg.
@@ -117,6 +118,7 @@ def solve_helmholtz(
     solver = {
         "gmres_pipelined": "gmres",
         "gmres_pipelined_ilu": "gmres_ilu",
+        "gmres_ilu_coloring": "gmres_ilu_colored",
         "gmres_pipelined_amg": "gmres_amg",
     }.get(solver, solver)
 
@@ -161,6 +163,17 @@ def solve_helmholtz(
             problem.assembler.csr.shape,
         )
         pre = IluFixedPoint.from_csr(csr, sweeps=6)
+    elif solver == "gmres_ilu_colored":
+        from mathaudio_tpu.solvers import IluColored
+        from mathaudio_tpu.solvers.sparse import CsrMatrix
+
+        csr = CsrMatrix(
+            problem.assembler.csr.indptr,
+            problem.assembler.csr.indices,
+            np.asarray(problem.vals),
+            problem.assembler.csr.shape,
+        )
+        pre = IluColored.from_csr(csr)
     elif solver == "gmres_schwarz":
         from mathaudio_tpu.solvers import AdditiveSchwarz
         from mathaudio_tpu.solvers.sparse import CsrMatrix

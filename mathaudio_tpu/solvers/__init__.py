@@ -29,6 +29,7 @@ from mathaudio_tpu.solvers.direct import lu_solve, complex_solve, LuFactorizatio
 from mathaudio_tpu.solvers.preconditioners import (  # noqa: F401
     identity_preconditioner,
     jacobi_preconditioner,
+    IluColored,
     IluFixedPoint,
     BlockJacobi,
     AdditiveSchwarz,

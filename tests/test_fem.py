@@ -187,7 +187,8 @@ class TestHelmholtzValidation:
         prob = HelmholtzProblem(mesh, k, dirichlet=bcs)
         u_direct, _ = solve_helmholtz(prob, "direct")
         cfg = KrylovConfig(max_iterations=2000, restart=60, tolerance=1e-12)
-        for s in ["gmres", "gmres_jacobi", "gmres_ilu", "gmres_schwarz", "gmres_amg",
+        for s in ["gmres", "gmres_jacobi", "gmres_ilu", "gmres_ilu_colored",
+                  "gmres_schwarz", "gmres_amg",
                   "gmres_pipelined", "gmres_shifted_laplacian", "bicgstab"]:
             u, info = solve_helmholtz(prob, s, cfg)
             assert info["converged"], s

@@ -277,3 +277,61 @@ class TestPreconditioners:
         r = np.arange(1.0, 13.0)
         z = np.asarray(pre.matvec(jnp.asarray(r)))
         np.testing.assert_allclose(a @ z, r, atol=1e-9)
+
+
+class TestColoredIlu:
+    def test_exact_in_n_colors_sweeps(self):
+        """IluColored (ilu_parallel.rs graph-coloring variant): colored
+        permutation makes the fixed-point triangular sweeps EXACT —
+        matches scipy's sequential substitution on the same factors."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+        from mathaudio_tpu.fem.mesh import unit_cube_tetrahedra
+        from mathaudio_tpu.solvers.preconditioners.ilu import IluColored, ilu0_factor
+
+        m = unit_cube_tetrahedra(4)
+        asm = HelmholtzAssembler(m)
+        vals = np.asarray(asm.k_vals) - 4.0 * np.asarray(asm.m_vals)
+        csr = CsrMatrix(
+            np.asarray(asm.csr.indptr), np.asarray(asm.csr.indices), vals,
+            (m.num_nodes,) * 2,
+        )
+        pc = IluColored.from_csr(csr)
+        assert 2 <= pc.n_colors <= 64
+
+        perm = np.asarray(pc.perm)
+        a = sp.csr_matrix((csr.data, csr.indices, csr.indptr), shape=csr.shape)
+        ap = a[perm][:, perm].tocsr()
+        ap.sort_indices()
+        csr_p = CsrMatrix(
+            ap.indptr.astype(np.int64), ap.indices.astype(np.int64), ap.data, csr.shape
+        )
+        l_csr, u_csr = ilu0_factor(csr_p)
+        l_full = sp.csr_matrix(
+            (l_csr.data, l_csr.indices, l_csr.indptr), shape=csr.shape
+        ) + sp.eye(csr.shape[0])
+        u_full = sp.csr_matrix((u_csr.data, u_csr.indices, u_csr.indptr), shape=csr.shape)
+        rng = np.random.default_rng(0)
+        r = rng.standard_normal(m.num_nodes)
+        z = spla.spsolve_triangular(l_full.tocsr(), r[perm], lower=True)
+        x_exact = spla.spsolve_triangular(u_full.tocsr(), z, lower=False)
+        x_pc = np.asarray(pc.matvec(jnp.asarray(r)))[perm]
+        np.testing.assert_allclose(x_pc, x_exact, atol=1e-12)
+
+    def test_coloring_is_proper(self):
+        from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+        from mathaudio_tpu.fem.mesh import unit_square_triangles
+        from mathaudio_tpu.solvers.preconditioners.ilu import greedy_coloring
+
+        m = unit_square_triangles(6)
+        asm = HelmholtzAssembler(m)
+        csr = CsrMatrix(
+            np.asarray(asm.csr.indptr), np.asarray(asm.csr.indices),
+            np.asarray(asm.k_vals), (m.num_nodes,) * 2,
+        )
+        colors = greedy_coloring(csr)
+        rows = np.repeat(np.arange(m.num_nodes), np.diff(csr.indptr))
+        off = rows != csr.indices
+        assert (colors[rows[off]] != colors[csr.indices[off]]).all()
