@@ -206,3 +206,30 @@ class TestFmmAssemblyDispatch:
             / jnp.linalg.norm(dense.surface_pressure)
         )
         assert rel < 0.1, rel
+
+
+class TestBatchedSweep:
+    def test_sweep_matches_per_frequency_solver(self):
+        """bem/sweep.py: a band of frequencies assembled+solved in one
+        jit (audio_frequency_sweep.rs loop, batched) equals the
+        per-frequency BemSolver exactly."""
+        from mathaudio_tpu.bem import plane_wave
+        from mathaudio_tpu.bem.mesh import icosphere
+        from mathaudio_tpu.bem.sweep import bem_frequency_sweep
+        from mathaudio_tpu.bem.types import PhysicsParams
+
+        mesh = icosphere(1.0, 2)
+        inc = plane_wave((0.0, 0.0, 1.0))
+        ks = np.array([0.5, 1.0, 2.0])
+        for bm in (False, True):
+            p_sweep = np.asarray(
+                bem_frequency_sweep(mesh, ks, inc, burton_miller=bm, beta_scale=1.0)
+            )
+            for i, k in enumerate(ks):
+                prob = BemProblem(mesh, PhysicsParams.from_wave_number(k), inc)
+                sol = BemSolver(
+                    BemSolverConfig(burton_miller=bm, beta_scale=1.0)
+                ).solve(prob)
+                ref = np.asarray(sol.surface_pressure)
+                rel = np.linalg.norm(p_sweep[i] - ref) / np.linalg.norm(ref)
+                assert rel < 1e-12, (bm, k, rel)

@@ -53,3 +53,28 @@ class TestShardedSweep:
             e = np.asarray(eval_fn(pop))
         ref = np.asarray(jax.vmap(F.rastrigin)(pop))
         np.testing.assert_allclose(e, ref, rtol=1e-12)
+
+
+class TestBemSweepSharding:
+    def test_bem_sweep_frequency_sharded(self):
+        """The batched BEM sweep shards over the frequency axis
+        (embarrassingly parallel — one dense system per device slice)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from mathaudio_tpu.bem import plane_wave
+        from mathaudio_tpu.bem.mesh import icosphere
+        from mathaudio_tpu.bem.sweep import sweep_fn
+
+        surf = icosphere(1.0, 1)  # 80 elements
+        inc = plane_wave((0.0, 0.0, 1.0))
+        ks = jnp.linspace(0.5, 2.0, 8)
+        betas = jnp.zeros_like(ks).astype(jnp.complex128)
+        centers = jnp.asarray(surf.centers)
+        rhs = jax.vmap(lambda k: inc.pressure(centers, k))(ks)
+        fn = sweep_fn(surf, burton_miller=False)
+        ref = jax.jit(fn)(ks, betas, rhs)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("freq",))
+        sh = NamedSharding(mesh, P("freq"))
+        out = jax.jit(fn, in_shardings=(sh, sh, sh))(ks, betas, rhs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
