@@ -132,6 +132,10 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
 # 64 -> 342, 1024 -> 1381, 4096 -> 2249 Msamples/s). Baseline = CPU best.
 BASELINE_CPU_IIR_MSAMPLES = 17.6
 
+# Measured: `python bench.py --device cpu --metric bem --calibrate`
+# (icosphere subdiv 3 = 1280 elements, f64, batched assembly + LU).
+BASELINE_CPU_BEM_SOLVES_PER_S = 0.98
+
 
 def run_iir(device: str, repeats: int, calibrate: bool):
     """Secondary metric (BASELINE.md): biquad-cascade Msamples/s/chip.
@@ -185,10 +189,70 @@ def run_iir(device: str, repeats: int, calibrate: bool):
     )
 
 
+def run_bem(device: str, repeats: int, calibrate: bool):
+    """Third metric: dense BEM solves/s — a band of scattering problems
+    (collocation assembly + LU, 1280 elements each) batched in one jit
+    (bem/sweep.py; the reference's audio_frequency_sweep.rs loop).
+    Complex values never cross the host boundary (the tunneled TPU
+    transport has no complex serialization): the jit takes real
+    wavenumbers and returns |p|."""
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mathaudio_tpu.bem import plane_wave
+    from mathaudio_tpu.bem.mesh import icosphere
+    from mathaudio_tpu.bem.sweep import sweep_apply, sweep_statics
+
+    surf = icosphere(1.0, 3)  # 1280 elements
+    inc = plane_wave((0.0, 0.0, 1.0))
+    statics = sweep_statics(surf)
+    cdt = jnp.complex128 if device == "cpu" else jnp.complex64
+
+    def run_abs(s, ks):
+        betas = jnp.zeros_like(ks).astype(cdt)
+        rhs = jax.vmap(lambda k: inc.pressure(s.centers, k))(ks)
+        return jnp.abs(sweep_apply(s, ks, betas, rhs))
+
+    fn = jax.jit(run_abs)
+    nf = 4 if device == "cpu" else 64
+    ks = jnp.linspace(0.5, 3.0, nf)
+    np.asarray(fn(statics, ks))  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(fn(statics, ks))
+        times.append(time.perf_counter() - t0)
+    rate = nf / min(times)
+    print(
+        f"# bem sweep: {min(times)*1e3:.0f} ms for {nf} x 1280-element "
+        f"assembly+LU -> {rate:.1f} solves/s",
+        file=sys.stderr,
+    )
+    if calibrate:
+        print(f"# BASELINE_CPU_BEM_SOLVES_PER_S = {rate:.2f}", file=sys.stderr)
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "bem_dense_solves_per_s",
+                "value": round(rate, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(rate / BASELINE_CPU_BEM_SOLVES_PER_S, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
-    ap.add_argument("--metric", default="fem", choices=["fem", "iir"])
+    ap.add_argument("--metric", default="fem", choices=["fem", "iir", "bem"])
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
     ap.add_argument("--freqs", type=int, default=1024)
     ap.add_argument("--repeats", type=int, default=3)
@@ -196,5 +260,7 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.metric == "iir":
         run_iir(args.device, args.repeats, args.calibrate)
+    elif args.metric == "bem":
+        run_bem(args.device, args.repeats, args.calibrate)
     else:
         run(args.device, args.n, args.freqs, args.repeats, args.calibrate)

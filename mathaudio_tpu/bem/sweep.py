@@ -25,30 +25,60 @@ from mathaudio_tpu.solvers.direct import complex_solve
 from mathaudio_tpu.xtypes import default_float
 
 
+from typing import NamedTuple
+
+
+class SweepStatics(NamedTuple):
+    """Frequency-independent mesh tensors, passed as jit ARGUMENTS (not
+    closure captures — tunneled TPU backends reject captured device
+    constants)."""
+
+    centers: jnp.ndarray
+    normals: jnp.ndarray
+    qp: jnp.ndarray
+    qw: jnp.ndarray
+    self_r: jnp.ndarray
+    self_w: jnp.ndarray
+
+
+def sweep_statics(mesh: SurfaceMesh, quad_order: int = 3, dtype=None) -> SweepStatics:
+    dtype = dtype or default_float()
+    qp, qw = mesh.quad_points(quad_order)
+    self_r, self_w = _self_angular_rule(mesh)
+    return SweepStatics(
+        jnp.asarray(mesh.centers, dtype),
+        jnp.asarray(mesh.normals, dtype),
+        jnp.asarray(qp, dtype),
+        jnp.asarray(qw, dtype),
+        jnp.asarray(self_r, dtype),
+        jnp.asarray(self_w, dtype),
+    )
+
+
+def sweep_apply(statics: SweepStatics, ks, betas, rhs, burton_miller: bool = False):
+    """(F, N) pressures; jit with ``static_argnames=('burton_miller',)``
+    or via :func:`sweep_fn`."""
+
+    def one(k, beta, r):
+        a = _assemble_jit(statics.centers, statics.normals, statics.qp,
+                          statics.qw, statics.self_r, statics.self_w, k, beta,
+                          burton_miller)
+        return complex_solve(a, r)
+
+    return jax.vmap(one)(ks, betas, rhs)
+
+
 def sweep_fn(mesh: SurfaceMesh, quad_order: int = 3, burton_miller: bool = False,
              dtype=None):
-    """Returns a jittable ``(ks, betas, rhs) -> (F, N) pressures``.
+    """Returns ``(ks, betas, rhs) -> (F, N) pressures`` with the mesh
+    statics bound as leading pytree arguments internally.
 
     ``betas``: per-frequency Burton–Miller couplings ((F,) complex; pass
     zeros with burton_miller=False). ``rhs``: (F, N) incident values
     (already combined with -beta * dp/dn for Burton–Miller).
     """
-    dtype = dtype or default_float()
-    centers = jnp.asarray(mesh.centers, dtype)
-    normals = jnp.asarray(mesh.normals, dtype)
-    qp, qw = mesh.quad_points(quad_order)
-    qp = jnp.asarray(qp, dtype)
-    qw = jnp.asarray(qw, dtype)
-    self_r, self_w = _self_angular_rule(mesh)
-    self_r = jnp.asarray(self_r, dtype)
-    self_w = jnp.asarray(self_w, dtype)
-
-    def one(k, beta, rhs):
-        a = _assemble_jit(centers, normals, qp, qw, self_r, self_w, k, beta,
-                          burton_miller)
-        return complex_solve(a, rhs)
-
-    return jax.vmap(one)
+    statics = sweep_statics(mesh, quad_order, dtype)
+    return partial(sweep_apply, statics, burton_miller=burton_miller)
 
 
 def bem_frequency_sweep(
@@ -77,5 +107,6 @@ def bem_frequency_sweep(
     else:
         betas = jnp.zeros_like(ks).astype(jnp.result_type(1j * ks))
         rhs = jax.vmap(lambda k: incident.pressure(centers, k))(ks)
-    fn = jax.jit(sweep_fn(mesh, quad_order, burton_miller, dtype))
-    return fn(ks, betas, rhs)
+    statics = sweep_statics(mesh, quad_order, dtype)
+    fn = jax.jit(sweep_apply, static_argnames=("burton_miller",))
+    return fn(statics, ks, betas, rhs, burton_miller=burton_miller)
