@@ -233,3 +233,58 @@ class TestBatchedSweep:
                 ref = np.asarray(sol.surface_pressure)
                 rel = np.linalg.norm(p_sweep[i] - ref) / np.linalg.norm(ref)
                 assert rel < 1e-12, (bm, k, rel)
+
+
+class TestAccuracyParity:
+    """Parity with test_accuracy_parity.rs: forward/backscatter ratio,
+    pressure phase, and mesh convergence against the Mie series."""
+
+    @pytest.fixture(scope="class")
+    def solution(self):
+        prob = BemProblem.rigid_sphere(1.0, subdivisions=3)
+        return prob, BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
+
+    def test_forward_backscatter_ratio(self, solution):
+        from mathaudio_tpu.wave.analytical import sphere_scattering_3d
+
+        prob, sol = solution
+        r_eval = 3.0
+        pts = jnp.asarray([[0.0, 0.0, r_eval], [0.0, 0.0, -r_eval]])
+        p = np.abs(np.asarray(sol.evaluate_pressure(pts)))
+        ana_f = np.abs(np.asarray(sphere_scattering_3d(1.0, 1.0, 40, [r_eval], [0.0]).pressure))[0]
+        ana_b = np.abs(np.asarray(sphere_scattering_3d(1.0, 1.0, 40, [r_eval], [np.pi]).pressure))[0]
+        # each direction within 5% and the ratio within 5% (rs asserts 15%)
+        assert abs(p[0] - ana_f) / ana_f < 0.05, (p[0], ana_f)
+        assert abs(p[1] - ana_b) / ana_b < 0.05, (p[1], ana_b)
+        assert abs(p[0] / p[1] - ana_f / ana_b) / (ana_f / ana_b) < 0.05
+
+    def test_pressure_phase(self, solution):
+        from mathaudio_tpu.wave.analytical import sphere_scattering_3d
+
+        prob, sol = solution
+        r_eval = 2.0
+        thetas = np.pi * np.arange(9) / 8.0
+        pts = jnp.asarray(
+            np.stack([r_eval * np.sin(thetas), np.zeros(9), r_eval * np.cos(thetas)], 1)
+        )
+        p = np.asarray(sol.evaluate_pressure(pts))
+        ana = np.asarray(sphere_scattering_3d(1.0, 1.0, 40, [r_eval], thetas).pressure)
+        dphi = np.angle(p * np.conj(ana))  # phase difference per point
+        assert np.abs(dphi).max() < 0.1, dphi  # < ~6 degrees everywhere
+
+    def test_mesh_convergence(self):
+        """Surface error decreases monotonically with refinement
+        (test_accuracy_parity.rs test_mesh_convergence)."""
+        from mathaudio_tpu.wave.analytical import sphere_scattering_3d
+
+        errs = []
+        for sub in (1, 2, 3):
+            prob = BemProblem.rigid_sphere(1.0, subdivisions=sub)
+            sol = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
+            c = prob.mesh.centers
+            th = np.arccos(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1))
+            exact = np.asarray(sphere_scattering_3d(1.0, 1.0, 30, [1.0], th).pressure)
+            p = np.asarray(sol.surface_pressure)
+            errs.append(np.linalg.norm(p - exact) / np.linalg.norm(exact))
+        assert errs[0] > errs[1] > errs[2], errs
+        assert errs[2] < 0.02, errs
