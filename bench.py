@@ -25,9 +25,10 @@ import time
 # (n=20, f64 all cores, MG-GMRES restart=8, avg 5 iters). The CPU runs
 # BEST at 16-frequency batches (5.445e4 DoF/s; it degrades to 2.8e4 at
 # 128) — the baseline uses the CPU's best configuration, not the matched
-# batch, to keep the ratio conservative. TPU throughput saturates with
-# the frequency batch (128 -> 3.1M, 256 -> 3.6M, 512 -> 4.0M,
-# 1024 -> 4.7M, 2048 -> 4.8M DoF-solves/s); the default batch is 1024.
+# batch, to keep the ratio conservative (restart=6 does not help the CPU:
+# 5.29e4, re-measured). TPU throughput scales with the frequency batch
+# (128 -> 3.1M, 1024 -> 4.7M at restart=8; 5.6M at restart=6) and the
+# default is 1024 frequencies, restart=6.
 BASELINE_CPU_DOF_PER_S = 5.445e4
 
 
@@ -78,7 +79,10 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
         file=sys.stderr,
     )
 
-    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=8)
+    # restart=6: the whole 0.55-2.2 band converges in <=6 MG-GMRES
+    # iterations (measured max 6 of a 1024-freq sweep), so one 6-step
+    # cycle suffices -- 25% less masked Arnoldi work than restart=8.
+    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=6)
     sweep = model.sweep_fn(config, mg_builder=mg.builder)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
