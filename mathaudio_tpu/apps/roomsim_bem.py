@@ -107,7 +107,7 @@ def _solve_room_fmm(mesh, frequency, sources, beta, speed_of_sound=343.0):
     operator with a Jacobi-by-diagonal preconditioner."""
     import numpy as np
 
-    from mathaudio_tpu.bem.fmm import build_room_fmm_system
+    from mathaudio_tpu.bem.fmm import build_room_fmm_system, near_ilu_preconditioner
     from mathaudio_tpu.bem.room_acoustics import RoomBemSolution, _source_pressure
     from mathaudio_tpu.solvers import KrylovConfig, gmres
     from mathaudio_tpu.xtypes import default_float
@@ -116,12 +116,13 @@ def _solve_room_fmm(mesh, frequency, sources, beta, speed_of_sound=343.0):
     k = 2.0 * np.pi * frequency / speed_of_sound
     op = build_room_fmm_system(mesh, k, admittance=beta)
     rhs = _source_pressure(jnp.asarray(mesh.centers, dtype), sources, k, frequency, dtype)
-    # diagonal of the FMM system = diag_add (jump + self terms)
-    inv_diag = 1.0 / op.data.diag_add
+    # ILU(0) of the sparse near-field matrix (solver.rs:975
+    # solve_bem_fmm_gmres_ilu's nearfield preconditioner)
+    pre = near_ilu_preconditioner(op)
     sol = gmres(
         op.matvec, rhs,
         config=KrylovConfig(max_iterations=1000, tolerance=1e-7, restart=50),
-        preconditioner=lambda r: inv_diag * r,
+        preconditioner=pre,
     )
     beta_vec = jnp.broadcast_to(jnp.asarray(beta, dtype), (mesh.num_elements,))
     return RoomBemSolution(

@@ -936,3 +936,40 @@ def build_mlfmm_tree_system(
         levels=tuple(levels),
     )
     return MlfmmTreeOperator(data, n)
+
+
+def near_field_csr(data: SlfmmData):
+    """Sparse near-field matrix of an SLFMM system (host CSR): the exact
+    near blocks plus the diagonal jump/self terms — the
+    `nearfield_matrix` the reference hands to its ILU-preconditioned
+    GMRES (room_acoustics/solver.rs:1015
+    gmres_solve_with_ilu_operator)."""
+    from mathaudio_tpu.solvers.sparse import CsrMatrix
+
+    cl = np.asarray(data.clusters)
+    mk = np.asarray(data.cluster_mask)
+    nb = np.asarray(data.near_b)
+    na = np.asarray(data.near_a)
+    blocks = np.asarray(data.near_blocks)
+    n = data.diag_add.shape[0]
+    m = cl.shape[1]
+    rows = np.repeat(cl[nb][:, :, None], m, axis=2).reshape(-1)
+    cols = np.repeat(cl[na][:, None, :], m, axis=1).reshape(-1)
+    valid = (
+        np.repeat(mk[nb][:, :, None], m, axis=2)
+        * np.repeat(mk[na][:, None, :], m, axis=1)
+    ).reshape(-1) > 0
+    vals = blocks.reshape(-1)
+    tri_rows = np.concatenate([rows[valid], np.arange(n)])
+    tri_cols = np.concatenate([cols[valid], np.arange(n)])
+    tri_vals = np.concatenate([vals[valid], np.asarray(data.diag_add)])
+    return CsrMatrix.from_triplets(tri_rows, tri_cols, tri_vals, (n, n))
+
+
+def near_ilu_preconditioner(op, sweeps: int = 6):
+    """ILU(0) of the near-field matrix as a preconditioner for the FMM
+    GMRES (solver.rs:975 solve_bem_fmm_gmres_ilu)."""
+    from mathaudio_tpu.solvers.preconditioners.ilu import IluFixedPoint
+
+    data = op.data if isinstance(op.data, SlfmmData) else op.data.leaf
+    return IluFixedPoint.from_csr(near_field_csr(data), sweeps=sweeps)
