@@ -973,3 +973,69 @@ def near_ilu_preconditioner(op, sweeps: int = 6):
 
     data = op.data if isinstance(op.data, SlfmmData) else op.data.leaf
     return IluFixedPoint.from_csr(near_field_csr(data), sweeps=sweeps)
+
+
+@jax.tree_util.register_pytree_node_class
+class ClusterBlockPreconditioner(LinearOperator):
+    """Hierarchical block-diagonal preconditioner (solver.rs:1046
+    solve_bem_fmm_gmres_hierarchical): the diagonal (self) near-field
+    block of every leaf cluster, LU-factorized in one batch. O(N)
+    setup, and the apply is a single batched triangular solve on the
+    MXU (complex handled via the real 2m x 2m embedding)."""
+
+    def __init__(self, lu, piv, clusters, mask, n):
+        self.lu = lu  # (C, 2m, 2m)
+        self.piv = piv
+        self.clusters = clusters
+        self.mask = mask
+        self.n = n
+
+    @classmethod
+    def from_operator(cls, op) -> "ClusterBlockPreconditioner":
+        data = op.data if isinstance(op.data, SlfmmData) else op.data.leaf
+        cl = np.asarray(data.clusters)
+        mk = np.asarray(data.cluster_mask)
+        nb = np.asarray(data.near_b)
+        na = np.asarray(data.near_a)
+        blocks = np.asarray(data.near_blocks)
+        diag_add = np.asarray(data.diag_add)
+        c, m = cl.shape
+        self_blocks = np.zeros((c, m, m), blocks.dtype)
+        for p in np.where(nb == na)[0]:
+            self_blocks[nb[p]] = blocks[p]
+        ar = np.arange(m)
+        self_blocks[:, ar, ar] += diag_add[cl] * mk
+        # padded slots: identity row/col so the block stays invertible
+        pad = mk == 0.0
+        for ci in range(c):
+            idx = np.where(pad[ci])[0]
+            self_blocks[ci, idx, :] = 0.0
+            self_blocks[ci, :, idx] = 0.0
+            self_blocks[ci, idx, idx] = 1.0
+        # real 2m x 2m embedding: [[Re, -Im], [Im, Re]]
+        re, im = self_blocks.real, self_blocks.imag
+        emb = np.block([[re, -im], [im, re]])  # (c, 2m, 2m)
+        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(jnp.asarray(emb))
+        n = int(data.diag_add.shape[0])
+        # padded slots scatter out of bounds (dropped) instead of
+        # clobbering element 0
+        cl_safe = np.where(mk > 0, cl, n)
+        return cls(lu, piv, jnp.asarray(cl_safe), jnp.asarray(mk), n)
+
+    def matvec(self, r):
+        rc = r[jnp.minimum(self.clusters, self.n - 1)] * self.mask.astype(r.dtype)
+        b2 = jnp.concatenate([jnp.real(rc), jnp.imag(rc)], axis=1)  # (C, 2m)
+        x2 = jax.vmap(jax.scipy.linalg.lu_solve)((self.lu, self.piv), b2)
+        m = self.clusters.shape[1]
+        xc = jax.lax.complex(x2[:, :m], x2[:, m:]).astype(r.dtype)
+        out = jnp.zeros(self.n, r.dtype)
+        return out.at[self.clusters.reshape(-1)].set(
+            (xc * self.mask.astype(r.dtype)).reshape(-1), mode="drop"
+        )
+
+    def tree_flatten(self):
+        return (self.lu, self.piv, self.clusters, self.mask), self.n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
