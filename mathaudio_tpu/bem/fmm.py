@@ -775,11 +775,16 @@ _MLFMM_STABILITY_TAU = 1.0e8
 def build_mlfmm_tree_system(
     mesh: SurfaceMesh,
     k: float,
+    beta: complex = 0.0,
     max_per_leaf: int = 16,
     separation_ratio: float = 2.0,
     dtype=None,
 ) -> MlfmmTreeOperator:
-    """Hierarchical MLFMM for the exterior CBIE A = (1/2)I - D.
+    """Hierarchical MLFMM for the exterior CBIE A = (1/2)I - D
+    (+ beta T Burton-Miller when beta != 0: the direction-space row
+    factor applies at leaf disaggregation, covering every level's
+    translations; near blocks get the exact hypersingular kernel with
+    the static row-sum self correction).
 
     Levels follow the octree depths; shallow leaves continue virtually
     (a leaf is its own child at every deeper depth, with zero-shift M2M)
@@ -876,6 +881,11 @@ def build_mlfmm_tree_system(
     t_tensor, s_tensor = _agg_disagg_tensors(
         mesh, clusters, mask, cc[depth_max], k, dirs_leaf
     )
+    if beta != 0.0:
+        # (1 - beta ik s.n_x): the prefactor carries the CBIE minus, so
+        # this yields -D + beta T (see build_slfmm_system)
+        s_nx = np.einsum("qd,cmd->cqm", dirs_leaf, mesh.normals[clusters])
+        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
 
     levels = []
     for d in range(d_top, depth_max + 1):
@@ -921,7 +931,7 @@ def build_mlfmm_tree_system(
         )
 
     nb, na = np.where(near)
-    near_blocks = _near_blocks(mesh, clusters, mask, nb, na, k, 0.0, dtype)
+    near_blocks = _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype)
     data = MlfmmTreeData(
         clusters=jnp.asarray(clusters),
         cluster_mask=jnp.asarray(mask, dtype),

@@ -148,22 +148,22 @@ class BemSolver:
         normals = jnp.asarray(mesh.normals)
 
         rhs = problem.incident.pressure(centers, k)
-        use_bm = cfg.burton_miller and cfg.assembly == BemMethod.SLFMM
+        use_bm = cfg.burton_miller
+        beta = 0.0
         if use_bm:
             ka = k * float(np.linalg.norm(mesh.centers, axis=1).mean())
             scale = cfg.beta_scale or problem.physics.optimal_beta_scale(ka)
             beta = problem.physics.burton_miller_beta_optimal(
                 mesh.avg_element_size()
             ) * scale
-            op = build_slfmm_system(mesh, k, beta=beta, max_per_leaf=64,
-                                    separation_ratio=2.0)
             rhs = rhs - jnp.asarray(beta, rhs.dtype) * problem.incident.normal_derivative(
                 centers, normals, k
             )
-        elif cfg.assembly == BemMethod.SLFMM:
-            op = build_slfmm_system(mesh, k, max_per_leaf=64, separation_ratio=2.0)
+        if cfg.assembly == BemMethod.SLFMM:
+            op = build_slfmm_system(mesh, k, beta=beta, max_per_leaf=64,
+                                    separation_ratio=2.0)
         else:
-            op = build_mlfmm_tree_system(mesh, k, max_per_leaf=16,
+            op = build_mlfmm_tree_system(mesh, k, beta=beta, max_per_leaf=16,
                                          separation_ratio=2.0)
 
         kcfg = KrylovConfig(

@@ -191,21 +191,22 @@ class TestFmmAssemblyDispatch:
             )
             assert rel < 0.05, (method, rel)
 
-    def test_slfmm_burton_miller(self):
+    def test_fmm_burton_miller(self):
         from mathaudio_tpu.bem.types import BemMethod
 
         ka = 2.0
         prob = BemProblem.rigid_sphere(ka, subdivisions=3)
-        cfg = BemSolverConfig(assembly=BemMethod.SLFMM, burton_miller=True,
-                              tolerance=1e-8, restart=60)
-        sol = BemSolver(cfg).solve(prob)
-        assert sol.info["converged"] and sol.info["burton_miller"]
         dense = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
-        rel = float(
-            jnp.linalg.norm(sol.surface_pressure - dense.surface_pressure)
-            / jnp.linalg.norm(dense.surface_pressure)
-        )
-        assert rel < 0.1, rel
+        for method in (BemMethod.SLFMM, BemMethod.MLFMM):
+            cfg = BemSolverConfig(assembly=method, burton_miller=True,
+                                  tolerance=1e-8, restart=60)
+            sol = BemSolver(cfg).solve(prob)
+            assert sol.info["converged"] and sol.info["burton_miller"]
+            rel = float(
+                jnp.linalg.norm(sol.surface_pressure - dense.surface_pressure)
+                / jnp.linalg.norm(dense.surface_pressure)
+            )
+            assert rel < 0.05, (method, rel)
 
 
 class TestBatchedSweep:
