@@ -16,7 +16,7 @@ from mathaudio_tpu.bem.incident import IncidentField, plane_wave
 from mathaudio_tpu.bem.mesh import SurfaceMesh, icosphere
 from mathaudio_tpu.bem.postprocess import FieldResult, evaluate_field
 from mathaudio_tpu.bem.types import BemMethod, BemSolverConfig, PhysicsParams, SolverMethod
-from mathaudio_tpu.solvers import KrylovConfig, bicgstab, gmres, jacobi_preconditioner, lu_solve
+from mathaudio_tpu.solvers import KrylovConfig, bicgstab, cgs, gmres, jacobi_preconditioner, lu_solve, qmrcgstab
 
 
 @dataclasses.dataclass
@@ -127,6 +127,10 @@ class BemSolver:
             pre = jacobi_preconditioner(jnp.diagonal(a))
             if cfg.method == SolverMethod.BICGSTAB:
                 sol = bicgstab(a, rhs, config=kcfg, preconditioner=pre)
+            elif cfg.method == SolverMethod.CGS:
+                sol = cgs(a, rhs, config=kcfg, preconditioner=pre)
+            elif cfg.method == SolverMethod.QMRCGSTAB:
+                sol = qmrcgstab(a, rhs, config=kcfg, preconditioner=pre)
             else:
                 sol = gmres(a, rhs, config=kcfg, preconditioner=pre)
             p = sol.x

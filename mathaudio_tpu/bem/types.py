@@ -69,10 +69,15 @@ class BemMethod(enum.Enum):
 
 
 class SolverMethod(enum.Enum):
+    """types.rs:588 SolverMethod (Cgs/QmrCgstab/BiCgstab/Direct) plus
+    the GMRES variants the reference reaches via room_acoustics."""
+
     LU = "lu"
     GMRES = "gmres"
     GMRES_ILU = "gmres_ilu"
     BICGSTAB = "bicgstab"
+    CGS = "cgs"
+    QMRCGSTAB = "qmrcgstab"
 
 
 @dataclasses.dataclass

@@ -23,6 +23,7 @@ from mathaudio_tpu.solvers.krylov import (  # noqa: F401
     cg,
     bicgstab,
     cgs,
+    qmrcgstab,
     gmres,
 )
 from mathaudio_tpu.solvers.direct import lu_solve, complex_solve, LuFactorization  # noqa: F401

@@ -194,6 +194,71 @@ def _givens(a, b):
     return c, s, r
 
 
+def qmrcgstab(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None):
+    """QMR-CGSTAB (Chan/Gallopoulos/Simoncini/Szeto/Tong 1994): BiCGStab
+    with quasi-minimal-residual smoothing — smoother convergence on the
+    indefinite BEM systems (reference SolverMethod::QmrCgstab,
+    core/types.rs:588)."""
+    a_mv, m_mv = _prep(a, preconditioner, b)
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    b_norm = jnp.maximum(_norm(b), 1e-30)
+    tol = config.tolerance * b_norm + config.atol
+
+    r0 = b - a_mv(x0)
+    r_hat = r0
+    one = jnp.ones((), r0.dtype)
+    zero_v = jnp.zeros_like(r0)
+    rdt = _norm(r0).dtype
+
+    def cond(state):
+        tau, k, stag = state[8], state[11], state[12]
+        # ||r_k|| <= tau * sqrt(2k+1) (QMR bound); stop when the bound
+        # clears the tolerance, exact residual re-checked at exit
+        bound = tau * jnp.sqrt(2.0 * k.astype(tau.dtype) + 1.0)
+        return (bound > tol) & (k < config.max_iterations) & (~stag)
+
+    def body(state):
+        x, r, p, v, d, rho, alpha, omega, tau, theta, eta, k, _ = state
+        rho_new = _vdot(r_hat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        p_hat = m_mv(p)
+        v = a_mv(p_hat)
+        alpha = rho_new / _vdot(r_hat, v)
+        s = r - alpha * v
+        # first quasi-minimization half-step
+        theta1 = _norm(s) / tau
+        c1 = 1.0 / jnp.sqrt(1.0 + theta1**2)
+        tau1 = tau * theta1 * c1
+        eta1 = (c1**2) * alpha
+        d1 = p_hat + d * ((theta**2) * eta / alpha)
+        x = x + eta1 * d1
+        s_hat = m_mv(s)
+        t = a_mv(s_hat)
+        tt = _vdot(t, t)
+        omega = jnp.where(jnp.abs(tt) > 0, _vdot(t, s) / tt, jnp.zeros((), r.dtype))
+        r = s - omega * t
+        # second quasi-minimization half-step
+        theta_n = _norm(r) / tau1
+        c2 = 1.0 / jnp.sqrt(1.0 + theta_n**2)
+        tau_n = tau1 * theta_n * c2
+        eta_n = (c2**2) * omega
+        d_n = s_hat + d1 * ((theta1**2) * eta1 / omega)
+        x = x + eta_n * d_n
+        stag = (jnp.abs(rho_new) < 1e-30) | (jnp.abs(omega) < 1e-30)
+        return (x, r, p, v, d_n, rho_new, alpha, omega, tau_n, theta_n, eta_n,
+                k + 1, stag)
+
+    tau0 = _norm(r0)
+    init = (x0, r0, zero_v, zero_v, zero_v, one, one, one, tau0,
+            jnp.zeros((), rdt), jnp.zeros((), r0.dtype), jnp.int32(0),
+            jnp.asarray(False))
+    x, r, *_, k, _ = jax.lax.while_loop(cond, body, init)
+    res = _norm(b - a_mv(x))
+    return KrylovSolution(x, k, res / b_norm, res <= tol)
+
+
 def gmres(
     a,
     b,

@@ -335,3 +335,37 @@ class TestColoredIlu:
         rows = np.repeat(np.arange(m.num_nodes), np.diff(csr.indptr))
         off = rows != csr.indices
         assert (colors[rows[off]] != colors[csr.indices[off]]).all()
+
+
+class TestQmrCgstab:
+    def test_matches_direct_on_complex_system(self):
+        """QMR-CGSTAB (types.rs:588 SolverMethod::QmrCgstab): converges
+        on a complex diagonally-dominant system to the direct solution."""
+        from mathaudio_tpu.solvers import KrylovConfig, qmrcgstab
+
+        rng = np.random.default_rng(0)
+        n = 150
+        a = np.eye(n) * 4 + 0.1 * rng.standard_normal((n, n)) \
+            + 0.05j * rng.standard_normal((n, n))
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        sol = qmrcgstab(jnp.asarray(a), jnp.asarray(b),
+                        config=KrylovConfig(tolerance=1e-10, max_iterations=400))
+        assert bool(sol.converged)
+        np.testing.assert_allclose(np.asarray(sol.x), np.linalg.solve(a, b),
+                                   atol=1e-8)
+
+    def test_bem_solver_matrix(self):
+        """Every SolverMethod row solves the sphere problem to the same
+        answer (the reference's solver matrix in qa_suite)."""
+        from mathaudio_tpu.bem import BemProblem, BemSolver, BemSolverConfig
+        from mathaudio_tpu.bem.types import SolverMethod
+
+        prob = BemProblem.rigid_sphere(1.0, subdivisions=2)
+        ref = BemSolver(BemSolverConfig(method=SolverMethod.LU)).solve(prob)
+        for m in (SolverMethod.GMRES, SolverMethod.BICGSTAB,
+                  SolverMethod.CGS, SolverMethod.QMRCGSTAB):
+            sol = BemSolver(BemSolverConfig(method=m, tolerance=1e-10)).solve(prob)
+            assert sol.info["converged"], m
+            np.testing.assert_allclose(
+                np.asarray(sol.surface_pressure),
+                np.asarray(ref.surface_pressure), atol=1e-7, err_msg=str(m))
