@@ -62,6 +62,10 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.greedy_coloring.restype = None
+        lib.greedy_coloring.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         _LIB = lib
     except Exception as e:  # no compiler / sandbox: fall back to Python
         print(f"mathaudio_tpu.native: falling back to Python ({e})", file=sys.stderr)
@@ -100,3 +104,19 @@ def pmis_coarsen(indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray):
         state.ctypes.data, n,
     )
     return state == 1
+
+
+def greedy_coloring(indptr: np.ndarray, indices: np.ndarray):
+    """Native greedy graph coloring; returns int32 colors or None for
+    the Python fallback."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(indptr) - 1
+    indptr64 = np.ascontiguousarray(indptr, np.int64)
+    indices32 = np.ascontiguousarray(indices, np.int32)
+    colors = np.zeros(n, np.int32)
+    lib.greedy_coloring(
+        indptr64.ctypes.data, indices32.ctypes.data, colors.ctypes.data, n
+    )
+    return colors

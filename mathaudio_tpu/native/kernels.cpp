@@ -99,4 +99,29 @@ void pmis_coarsen(
     }
 }
 
+// Greedy multicoloring of a (symmetrized) sparsity graph: adjacent rows
+// get different colors. Used by the colored-ILU preconditioner.
+void greedy_coloring(
+    const int64_t* indptr,
+    const int32_t* indices,
+    int32_t* colors_out,
+    int64_t n)
+{
+    for (int64_t i = 0; i < n; ++i) colors_out[i] = -1;
+    std::vector<int64_t> used_stamp;
+    std::vector<int64_t> stamp(256, -1);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            int32_t cj = colors_out[indices[p]];
+            if (cj >= 0) {
+                if ((size_t)cj >= stamp.size()) stamp.resize(cj + 64, -1);
+                stamp[cj] = i;
+            }
+        }
+        int32_t c = 0;
+        while ((size_t)c < stamp.size() && stamp[c] == i) ++c;
+        colors_out[i] = c;
+    }
+}
+
 }  // extern "C"

@@ -137,6 +137,13 @@ def greedy_coloring(csr: CsrMatrix) -> np.ndarray:
         (np.ones_like(csr.data, dtype=np.int8), csr.indices, csr.indptr), shape=csr.shape
     )
     s = (a + a.T).tocsr()
+
+    from mathaudio_tpu import native
+
+    colors = native.greedy_coloring(s.indptr, s.indices)
+    if colors is not None:
+        return colors
+
     colors = np.full(n, -1, np.int32)
     for i in range(n):
         nbr = s.indices[s.indptr[i] : s.indptr[i + 1]]
