@@ -78,3 +78,48 @@ class TestBemSweepSharding:
         sh = NamedSharding(mesh, P("freq"))
         out = jax.jit(fn, in_shardings=(sh, sh, sh))(ks, betas, rhs)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
+class TestDofSharding:
+    def test_freq_x_dof_sharded_sweep_matches_unsharded(self):
+        """The (freq x dof) sharded FEM sweep (tensor-parallel row
+        partition of the ELL operator + data-parallel frequency axis)
+        produces the same pressures as the single-device run."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from mathaudio_tpu.fem.mesh import unit_cube_tetrahedra
+        from mathaudio_tpu.models import RoomSweepModel
+        from mathaudio_tpu.models.helmholtz_room import sweep_pressure
+        from mathaudio_tpu.solvers import KrylovConfig
+
+        model = RoomSweepModel(
+            unit_cube_tetrahedra(5), wall_tags=(1, 2, 3, 4, 5, 6),
+            absorption=0.1,
+            listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
+        )
+        config = KrylovConfig(max_iterations=40, tolerance=1e-8, restart=10)
+        params = model.params()
+
+        def step(p, ks):
+            out, its, conv = sweep_pressure(
+                p, ks, absorption=model.absorption, config=config,
+                num_nodes=model.num_nodes, ell_width=model.ell_width,
+            )
+            return out
+
+        ks = jnp.linspace(0.8, 2.5, 8, dtype=model.dtype)
+        ref = jax.jit(step)(params, ks)
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("freq", "dof"))
+        with mesh:
+            sh_freq = NamedSharding(mesh, P("freq"))
+            sh_repl = NamedSharding(mesh, P())
+            sh_dof = NamedSharding(mesh, P("dof"))
+            ks_s = jax.device_put(ks, sh_freq)
+            params_s = params._replace(
+                rhs=jax.device_put(params.rhs, sh_dof),
+                ell_indices=jax.device_put(params.ell_indices, sh_dof),
+            )
+            out = jax.jit(step, out_shardings=sh_freq)(params_s, ks_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-8, atol=1e-10)
