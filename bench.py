@@ -22,14 +22,14 @@ import sys
 import time
 
 # Measured on this host: `python bench.py --device cpu --calibrate`
-# (n=20, f64 all cores, MG-GMRES restart=8, avg 5 iters). The CPU runs
-# BEST at 16-frequency batches (5.445e4 DoF/s; it degrades to 2.8e4 at
-# 128) — the baseline uses the CPU's best configuration, not the matched
-# batch, to keep the ratio conservative (restart=6 does not help the CPU:
-# 5.29e4, re-measured). TPU throughput scales with the frequency batch
-# (128 -> 3.1M, 1024 -> 4.7M at restart=8; 5.6M at restart=6) and the
-# default is 1024 frequencies, restart=6.
-BASELINE_CPU_DOF_PER_S = 5.445e4
+# (n=20, f64 all cores, identical algorithm incl. restart=6 and the
+# explicit-inverse coarse solve; the CPU runs BEST at 16-frequency
+# batches and the baseline uses the CPU's best configuration, not the
+# matched batch). TPU throughput milestones on the same workload:
+# 3.1M (128 freqs, restart=8) -> 5.6M (1024, restart=6) -> 9.6M
+# (+ explicit-inverse coarse solve; triangular substitution was the
+# V-cycle bottleneck on TPU).
+BASELINE_CPU_DOF_PER_S = 6.343e4
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):

@@ -10,7 +10,9 @@ TPU shaping:
   multilinear interpolation stencils stored as padded ELL operators,
 - smoothing is damped Jacobi (omega = 2/3) — pure elementwise + SpMV,
 - the V-cycle recursion is unrolled over static levels inside jit,
-- the coarsest complex solve is a real-embedded dense LU (direct.py),
+- the coarsest complex solve applies a real-embedded explicit inverse
+  (one MXU matmul per visit — batched triangular substitution is
+  latency-bound on TPU and dominated the V-cycle),
 - all state is pytrees of arrays (no static ints as leaves), and
   ``build_mg_params`` is a *pure jittable function of k*, so the whole
   preconditioner construction vmaps over a frequency batch.
@@ -136,8 +138,7 @@ class MgLevel(NamedTuple):
 
 class MgParams(NamedTuple):
     levels: Tuple[MgLevel, ...]
-    coarse_lu: jnp.ndarray  # (2Nc, 2Nc) real-embedded LU
-    coarse_piv: jnp.ndarray
+    coarse_inv: jnp.ndarray  # (2Nc, 2Nc) real-embedded explicit inverse
 
 
 class MgBuilderLevel(NamedTuple):
@@ -251,9 +252,8 @@ def build_mg_params(
             dense = jnp.zeros((n_nodes, n_nodes), cd).at[bl.row_of_slot, bl.col_of_slot].add(vals)
             ar, ai = jnp.real(dense), jnp.imag(dense)
             embedded = jnp.block([[ar, -ai], [ai, ar]])
-            lu, piv = jax.scipy.linalg.lu_factor(embedded)
-            coarse = (lu, piv)
-    return MgParams(tuple(levels), coarse[0], coarse[1])
+            coarse = jnp.linalg.inv(embedded)
+    return MgParams(tuple(levels), coarse)
 
 
 def _level_matvec(level: MgLevel, x):
@@ -273,9 +273,11 @@ def _restrict(level: MgLevel, rf, n_coarse: int):
 
 
 def _coarse_solve(mgp: MgParams, r):
-    n = mgp.coarse_lu.shape[0] // 2
+    n = mgp.coarse_inv.shape[0] // 2
     b2 = jnp.concatenate([jnp.real(r), jnp.imag(r)])
-    x2 = jax.scipy.linalg.lu_solve((mgp.coarse_lu, mgp.coarse_piv), b2)
+    # explicit inverse: one MXU matmul instead of sequential triangular
+    # substitution (the batched lu_solve dominated V-cycle time on TPU)
+    x2 = mgp.coarse_inv @ b2
     return jax.lax.complex(x2[:n], x2[n:]).astype(r.dtype)
 
 
@@ -305,7 +307,7 @@ def mg_cycle(
     n_coarse = (
         mgp.levels[level + 1].ell_indices.shape[0]
         if level + 1 < len(mgp.levels)
-        else mgp.coarse_lu.shape[0] // 2
+        else mgp.coarse_inv.shape[0] // 2
     )
     rc = _restrict(lvl, res, n_coarse)
     xc = mg_cycle(mgp, rc, omega, nu, level + 1, cycle)

@@ -240,10 +240,8 @@ class AmgPreconditioner(LinearOperator):
         dense = np.asarray(cur.todense())
         ar, ai = dense.real, dense.imag
         embedded = np.block([[ar, -ai], [ai, ar]])
-        import jax.scipy.linalg as jsl
-
-        lu, piv = jsl.lu_factor(jnp.asarray(embedded, default_float()))
-        self.mgp = MgParams(tuple(levels), lu, piv)
+        inv = jnp.linalg.inv(jnp.asarray(embedded, default_float()))
+        self.mgp = MgParams(tuple(levels), inv)
         self.grid_complexity = sum(sizes) / sizes[0]
         self.operator_complexity = (
             sum(op.nnz for op, _ in ops) + cur.nnz
