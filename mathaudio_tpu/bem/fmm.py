@@ -993,9 +993,8 @@ class ClusterBlockPreconditioner(LinearOperator):
     setup, and the apply is a single batched triangular solve on the
     MXU (complex handled via the real 2m x 2m embedding)."""
 
-    def __init__(self, lu, piv, clusters, mask, n):
-        self.lu = lu  # (C, 2m, 2m)
-        self.piv = piv
+    def __init__(self, inv, clusters, mask, n):
+        self.inv = inv  # (C, 2m, 2m) explicit embedded inverses
         self.clusters = clusters
         self.mask = mask
         self.n = n
@@ -1022,20 +1021,21 @@ class ClusterBlockPreconditioner(LinearOperator):
             self_blocks[ci, idx, :] = 0.0
             self_blocks[ci, :, idx] = 0.0
             self_blocks[ci, idx, idx] = 1.0
-        # real 2m x 2m embedding: [[Re, -Im], [Im, Re]]
+        # real 2m x 2m embedding: [[Re, -Im], [Im, Re]]; explicit
+        # inverses so the apply is one batched GEMM on the MXU
         re, im = self_blocks.real, self_blocks.imag
         emb = np.block([[re, -im], [im, re]])  # (c, 2m, 2m)
-        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(jnp.asarray(emb))
+        inv = jnp.asarray(np.linalg.inv(emb))
         n = int(data.diag_add.shape[0])
         # padded slots scatter out of bounds (dropped) instead of
         # clobbering element 0
         cl_safe = np.where(mk > 0, cl, n)
-        return cls(lu, piv, jnp.asarray(cl_safe), jnp.asarray(mk), n)
+        return cls(inv, jnp.asarray(cl_safe), jnp.asarray(mk), n)
 
     def matvec(self, r):
         rc = r[jnp.minimum(self.clusters, self.n - 1)] * self.mask.astype(r.dtype)
         b2 = jnp.concatenate([jnp.real(rc), jnp.imag(rc)], axis=1)  # (C, 2m)
-        x2 = jax.vmap(jax.scipy.linalg.lu_solve)((self.lu, self.piv), b2)
+        x2 = jnp.einsum("cij,cj->ci", self.inv.astype(b2.dtype), b2)
         m = self.clusters.shape[1]
         xc = jax.lax.complex(x2[:, :m], x2[:, m:]).astype(r.dtype)
         out = jnp.zeros(self.n, r.dtype)
