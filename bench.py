@@ -22,14 +22,14 @@ import sys
 import time
 
 # Measured on this host: `python bench.py --device cpu --calibrate`
-# (n=20, f64 all cores, identical algorithm incl. restart=6 and the
-# explicit-inverse coarse solve; the CPU runs BEST at 16-frequency
-# batches and the baseline uses the CPU's best configuration, not the
-# matched batch). TPU throughput milestones on the same workload:
-# 3.1M (128 freqs, restart=8) -> 5.6M (1024, restart=6) -> 9.6M
-# (+ explicit-inverse coarse solve; triangular substitution was the
-# V-cycle bottleneck on TPU).
-BASELINE_CPU_DOF_PER_S = 6.343e4
+# (n=20, f64 all cores, identical final algorithm incl. nu=1/restart=7
+# and the explicit-inverse coarse solve; the CPU runs BEST at
+# 16-frequency batches and the baseline uses the CPU's best
+# configuration, not the matched batch). TPU milestones on the same
+# workload: 3.1M (128 freqs, restart=8, nu=2) -> 5.6M (1024-freq batch,
+# one-cycle restart) -> 9.6M (explicit-inverse coarse solve) -> 10.6M
+# (nu=1 smoothing).
+BASELINE_CPU_DOF_PER_S = 7.692e4
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
@@ -79,11 +79,12 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
         file=sys.stderr,
     )
 
-    # restart=6: the whole 0.55-2.2 band converges in <=6 MG-GMRES
-    # iterations (measured max 6 of a 1024-freq sweep), so one 6-step
-    # cycle suffices -- 25% less masked Arnoldi work than restart=8.
-    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=6)
-    sweep = model.sweep_fn(config, mg_builder=mg.builder)
+    # nu=1 smoothing + restart=7: the whole 0.55-2.2 band converges in
+    # <=7 single-smoothing MG-GMRES iterations (measured max over a
+    # 1024-freq sweep), so one 7-step cycle with the cheaper V-cycle
+    # beats nu=2/restart=6 by ~10%.
+    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=7)
+    sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
     fn = jax.jit(sweep)

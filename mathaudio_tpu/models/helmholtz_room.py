@@ -77,6 +77,7 @@ def sweep_pressure(
     ell_width: int,
     mg_builder=None,
     mg_shift=(1.0, 0.5),
+    mg_nu: int = 2,
 ):
     """Pure batched sweep: (F,) wavenumbers -> pressure (F, L) complex,
     iterations (F,), converged (F,). jit/shard_map-ready.
@@ -95,7 +96,7 @@ def sweep_pressure(
             mgp = build_mg_params(
                 mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
             )
-            pre = lambda r: vcycle(mgp, r)
+            pre = lambda r: vcycle(mgp, r, nu=mg_nu)
         else:
             inv_diag = jacobi_of(params, vals, num_nodes)
             pre = lambda x: inv_diag * x
@@ -162,7 +163,8 @@ class RoomSweepModel:
     def params(self) -> RoomParams:
         return self._params
 
-    def sweep_fn(self, config: Optional[KrylovConfig] = None, mg_builder=None):
+    def sweep_fn(self, config: Optional[KrylovConfig] = None, mg_builder=None,
+                 mg_nu: int = 2):
         """(params, ks) -> (pressure, iterations, converged); jit this.
         Pass an fem.multigrid.MgBuilder for shifted-Laplacian V-cycle
         preconditioning (built per frequency inside the jit)."""
@@ -174,6 +176,7 @@ class RoomSweepModel:
             num_nodes=self.num_nodes,
             ell_width=self.ell_width,
             mg_builder=mg_builder,
+            mg_nu=mg_nu,
         )
 
     def sweep(self, ks, config: Optional[KrylovConfig] = None):
