@@ -13,6 +13,12 @@ TPU shaping: leaf clusters padded to one uniform size; T (aggregation),
 D (diagonal translation) and S (disaggregation) are dense padded tensors
 so the matvec is three einsums (MXU) plus one batched near-field GEMM —
 the reference's SlfmmMatvecWorkspace turned into static-shape algebra.
+
+Deployment note: the operator pytrees hold complex device arrays built
+on the host. Transports without complex serialization (e.g. tunneled
+dev TPUs) cannot ship them — on such hosts run the FMM paths on CPU, or
+ship real/imag pairs and recombine in-trace (see
+.claude/skills/verify/SKILL.md).
 Kernel variants: double layer (CBIE) and Burton-Miller combination via
 direction-space factors (-ik s.n_y) and (ik s.n_x).
 """
