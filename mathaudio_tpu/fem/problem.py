@@ -119,6 +119,7 @@ def solve_helmholtz(
         "gmres_pipelined": "gmres",
         "gmres_pipelined_ilu": "gmres_ilu",
         "gmres_ilu_coloring": "gmres_ilu_colored",
+        "gmres_ilu_fixed_point": "gmres_ilu",
         "gmres_pipelined_amg": "gmres_amg",
     }.get(solver, solver)
 
