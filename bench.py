@@ -27,9 +27,10 @@ import time
 # 16-frequency batches and the baseline uses the CPU's best
 # configuration, not the matched batch). TPU milestones on the same
 # workload: 3.1M (128 freqs, restart=8, nu=2) -> 5.6M (1024-freq batch,
-# one-cycle restart) -> 9.6M (explicit-inverse coarse solve) -> 10.6M
-# (nu=1 smoothing).
-BASELINE_CPU_DOF_PER_S = 7.692e4
+# one-cycle restart) -> 9.6M (explicit-inverse coarse solve) -> 11.0M
+# (omega=1, nu=1 smoothing). The CPU baseline runs the identical tuned
+# algorithm (its best: 16-freq batches, 1.035e5 DoF/s).
+BASELINE_CPU_DOF_PER_S = 1.035e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
@@ -79,12 +80,12 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
         file=sys.stderr,
     )
 
-    # nu=1 smoothing + restart=7: the whole 0.55-2.2 band converges in
-    # <=7 single-smoothing MG-GMRES iterations (measured max over a
-    # 1024-freq sweep), so one 7-step cycle with the cheaper V-cycle
-    # beats nu=2/restart=6 by ~10%.
-    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=7)
-    sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1)
+    # Tuned preconditioner: undamped (omega=1) single-smoothing V-cycles
+    # converge the whole 0.55-2.2 band in <=6 MG-GMRES iterations
+    # (measured max over a 1024-freq sweep), so one 6-step cycle
+    # suffices. The library default stays the robust omega=2/3, nu=2.
+    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=6)
+    sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
     fn = jax.jit(sweep)

@@ -78,6 +78,7 @@ def sweep_pressure(
     mg_builder=None,
     mg_shift=(1.0, 0.5),
     mg_nu: int = 2,
+    mg_omega: float = 2.0 / 3.0,
 ):
     """Pure batched sweep: (F,) wavenumbers -> pressure (F, L) complex,
     iterations (F,), converged (F,). jit/shard_map-ready.
@@ -96,7 +97,7 @@ def sweep_pressure(
             mgp = build_mg_params(
                 mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
             )
-            pre = lambda r: vcycle(mgp, r, nu=mg_nu)
+            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu)
         else:
             inv_diag = jacobi_of(params, vals, num_nodes)
             pre = lambda x: inv_diag * x
@@ -164,7 +165,7 @@ class RoomSweepModel:
         return self._params
 
     def sweep_fn(self, config: Optional[KrylovConfig] = None, mg_builder=None,
-                 mg_nu: int = 2):
+                 mg_nu: int = 2, mg_omega: float = 2.0 / 3.0):
         """(params, ks) -> (pressure, iterations, converged); jit this.
         Pass an fem.multigrid.MgBuilder for shifted-Laplacian V-cycle
         preconditioning (built per frequency inside the jit)."""
@@ -177,6 +178,7 @@ class RoomSweepModel:
             ell_width=self.ell_width,
             mg_builder=mg_builder,
             mg_nu=mg_nu,
+            mg_omega=mg_omega,
         )
 
     def sweep(self, ks, config: Optional[KrylovConfig] = None):
