@@ -18,7 +18,9 @@ a port of the C++ NumCalc/Mesh2HRTF solver). TPU architecture:
 
 from mathaudio_tpu.bem.types import (  # noqa: F401
     PhysicsParams,
+    BCType,
     BemMethod,
+    BoundaryCondition,
     SolverMethod,
     BemSolverConfig,
 )
@@ -29,6 +31,10 @@ from mathaudio_tpu.bem.mesh import (  # noqa: F401
     cylinder_mesh,
 )
 from mathaudio_tpu.bem.incident import IncidentField, plane_wave, point_source  # noqa: F401
-from mathaudio_tpu.bem.assembly import assemble_collocation_matrix, assemble_burton_miller  # noqa: F401
+from mathaudio_tpu.bem.assembly import (  # noqa: F401
+    assemble_collocation_matrix,
+    assemble_burton_miller,
+    assemble_mixed_system,
+)
 from mathaudio_tpu.bem.solver import BemProblem, BemSolver, BemSolution  # noqa: F401
 from mathaudio_tpu.bem.postprocess import evaluate_field, FieldResult  # noqa: F401

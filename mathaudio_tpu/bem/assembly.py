@@ -219,6 +219,147 @@ def assemble_burton_miller(
     )
 
 
+@partial(jax.jit, static_argnames=("with_bm",))
+def _assemble_mixed_jit(
+    centers, normals, qp, qw, self_r, self_w, k, beta, unknown_p, p_known, q_known,
+    rhs_inc, with_bm,
+):
+    """Mixed velocity/pressure BC system (tbem.rs:323 BC-dependent column
+    assembly, re-derived for our sign conventions and validated against
+    the pulsating-sphere oracle). Exterior, e^{-i omega t}, outgoing G:
+
+        CBIE:  (1/2) p - D[p] + S[q] = p_inc
+        HBIE:  (1/2) q - T[p] + K'[q] = dp_inc/dn        (q = dp/dn)
+
+    Burton–Miller combination CBIE - beta HBIE (matching _assemble_jit's
+    rigid-case convention A = 1/2 I - D + beta T, b = p_inc - beta dp_inc/dn):
+
+        Ap = 1/2 I - D + beta T        (coefficients of p)
+        Aq = S - beta (1/2 I + K')     (coefficients of q)
+
+    Velocity elements (unknown_p=1): column from Ap, prescribed q moves
+    to the RHS through Aq; pressure elements vice versa."""
+    n = centers.shape[0]
+    cd = complex_dtype_for(centers.dtype)
+    x = centers[:, None, None, :]
+    nx = normals[:, None, None, :]
+    y = qp[None, :, :, :]
+    ny = normals[None, :, None, :]
+    dg, hyp = _pair_kernels(x, nx, y, ny, k)
+    dg0, hyp0 = _static_pair_kernels(x, nx, y, ny)
+    w = qw[None, :, :].astype(cd)
+    w0 = qw[None, :, :]
+    eye = jnp.eye(n, dtype=cd)
+    off = 1.0 - eye
+    ik = jnp.asarray(1j * k, cd)
+    rr = self_r.astype(cd)
+    ww = self_w.astype(cd)
+
+    # double layer D (regularized, exact static row sums; see _assemble_jit)
+    d_diff = jnp.sum((dg - dg0.astype(cd)) * w, axis=-1) * off
+    d0 = jnp.sum(dg0 * w0, axis=-1).astype(cd) * off
+    d0 = d0 + jnp.diag(-0.5 - jnp.sum(d0, axis=1))
+    d_mat = d_diff + d0
+    ap = 0.5 * eye - d_mat
+
+    # single layer S: Gauss off-diagonal + analytic-radial self term
+    rv = y - x
+    r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+    rs = jnp.where(r < 1e-15, 1.0, r)
+    g = jnp.exp(1j * (k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
+    s_mat = jnp.sum(g * w, axis=-1) * off
+    s_self = jnp.sum(ww * (jnp.exp(ik * rr) - 1.0) / ik, axis=1) / (4.0 * jnp.pi)
+    s_mat = s_mat + jnp.diag(s_self)
+    aq = s_mat
+
+    if with_bm:
+        # hypersingular T (regularized as in _assemble_jit)
+        t_diff = jnp.sum((hyp - hyp0.astype(cd)) * w, axis=-1) * off
+        t_diff_self = jnp.sum(
+            ww * (ik - (jnp.exp(ik * rr) - 1.0) / rr), axis=1
+        ) / (4.0 * jnp.pi)
+        t_diff = t_diff + jnp.diag(t_diff_self)
+        t0 = jnp.sum(hyp0 * w0, axis=-1) * off
+        t0 = t0.astype(cd) + jnp.diag(-jnp.sum(t0, axis=1).astype(cd))
+        ap = ap + jnp.asarray(beta, cd) * (t_diff + t0)
+        # adjoint double layer K' (kernel dG/dn_x; flat-element self = 0)
+        r_dot_nx = jnp.sum(rv * nx, axis=-1)
+        kp = -(ik - 1.0 / rs) * g * r_dot_nx / rs
+        kp_mat = jnp.sum(kp * w, axis=-1) * off
+        aq = aq - jnp.asarray(beta, cd) * (0.5 * eye + kp_mat)
+
+    m = unknown_p.astype(cd)  # 1 where p is the unknown (velocity BC)
+    a = ap * m[None, :] + aq * (1.0 - m)[None, :]
+    b = rhs_inc - aq @ (q_known * m) - ap @ (p_known * (1.0 - m))
+    return a, b
+
+
+def assemble_mixed_system(
+    mesh: SurfaceMesh,
+    k: float,
+    bc,
+    beta: complex = 0.0,
+    incident=None,
+    quad_order: int = 4,
+    density: float = 1.204,
+    speed_of_sound: float = 343.0,
+    dtype=None,
+):
+    """Dense BEM system for per-element velocity/pressure BCs
+    (tbem.rs:96 build_tbem_system_with_beta with BoundaryCondition rows).
+
+    Returns (A, b, unknown_p) where the solution vector of A u = b holds
+    the surface pressure on velocity elements and dp/dn on pressure
+    elements (unknown_p marks which). Prescribed velocities convert via
+    dp/dn = i omega rho v_n (e^{-i omega t}). ``incident=None`` is a pure
+    radiation problem; with an incident field the unknowns are total-field
+    quantities."""
+    import numpy as np_
+
+    dtype = dtype or default_float()
+    cd = complex_dtype_for(jnp.dtype(dtype))
+    n = mesh.num_elements
+    bc_types = np_.asarray(bc.types, np_.int32)
+    bc_values = np_.asarray(bc.values, complex)
+    assert bc_types.shape == (n,) and bc_values.shape == (n,)
+    unknown_p = jnp.asarray(bc_types == 0, dtype)
+    omega = k * speed_of_sound
+    q_known = jnp.asarray(
+        np_.where(bc_types == 0, 1j * omega * density * bc_values, 0.0), cd
+    )
+    p_known = jnp.asarray(np_.where(bc_types == 1, bc_values, 0.0), cd)
+
+    centers = jnp.asarray(mesh.centers, dtype)
+    normals = jnp.asarray(mesh.normals, dtype)
+    if incident is not None:
+        rhs_inc = incident.pressure(centers, k).astype(cd)
+        if beta != 0.0:
+            rhs_inc = rhs_inc - jnp.asarray(beta, cd) * incident.normal_derivative(
+                centers, normals, k
+            ).astype(cd)
+    else:
+        rhs_inc = jnp.zeros(n, cd)
+
+    qp, qw = mesh.quad_points(quad_order)
+    self_r, self_w = _self_angular_rule(mesh)
+    a, b = _assemble_mixed_jit(
+        centers,
+        normals,
+        jnp.asarray(qp, dtype),
+        jnp.asarray(qw, dtype),
+        jnp.asarray(self_r, dtype),
+        jnp.asarray(self_w, dtype),
+        k,
+        beta,
+        unknown_p,
+        p_known,
+        q_known,
+        rhs_inc,
+        beta != 0.0,
+    )
+    return a, b, np_.asarray(bc_types == 0)
+
+
 def single_layer_self_terms(mesh: SurfaceMesh, k: float, dtype=None):
     """S_ii = (1/4pi) sum w (e^{ikR}-1)/(ik): weakly-singular self
     integral of G, analytic radial part (used by Dirichlet problems)."""

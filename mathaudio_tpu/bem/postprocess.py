@@ -9,6 +9,7 @@ For a rigid scatterer (dp/dn = 0 on the surface):
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
@@ -54,28 +55,59 @@ def _scattered_at(points, qp, qw, normals, p_surf, k):
     return d_me @ p_surf
 
 
+@jax.jit
+def _radiated_at(points, qp, qw, normals, p_surf, q_surf, k):
+    """Full Kirchhoff–Helmholtz with both layers:
+    p(x) = int [p dG/dn_y - G q] dS (q = dp/dn; rigid q = 0 reduces to
+    _scattered_at)."""
+    cd = p_surf.dtype
+    x = points[:, None, None, :]
+    y = qp[None, :, :, :]
+    rv = y - x
+    r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+    rs = jnp.where(r < 1e-15, 1.0, r)
+    g = jnp.exp(1j * (k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
+    ik = jnp.asarray(1j * k, cd)
+    r_dot_ny = jnp.sum(rv * normals[None, :, None, :], axis=-1)
+    dg = (ik - 1.0 / rs) * g * r_dot_ny / rs
+    w = qw[None, :, :].astype(cd)
+    d_me = jnp.sum(dg * w, axis=-1)
+    s_me = jnp.sum(g * w, axis=-1)
+    return d_me @ p_surf - s_me @ q_surf
+
+
 def evaluate_field(
     mesh: SurfaceMesh,
     p_surf,
     points,
     k: float,
-    incident: IncidentField,
+    incident: Optional[IncidentField] = None,
     quad_order: int = 3,
     dtype=None,
+    q_surf=None,
 ) -> FieldResult:
-    """Total/scattered pressure at exterior points (compute_total_field)."""
+    """Total/scattered pressure at exterior points (compute_total_field).
+    ``q_surf`` (dp/dn at element centers) adds the single-layer term for
+    radiating / non-rigid surfaces; ``incident=None`` means pure
+    radiation (p_inc = 0)."""
     dtype = dtype or default_float()
     points = jnp.asarray(points, dtype)
     qp, qw = mesh.quad_points(quad_order)
-    p_scat = _scattered_at(
+    args = (
         points,
         jnp.asarray(qp, dtype),
         jnp.asarray(qw, dtype),
         jnp.asarray(mesh.normals, dtype),
         jnp.asarray(p_surf),
-        k,
     )
-    p_inc = incident.pressure(points, k)
+    if q_surf is None:
+        p_scat = _scattered_at(*args, k)
+    else:
+        p_scat = _radiated_at(*args, jnp.asarray(q_surf, args[-1].dtype), k)
+    if incident is not None:
+        p_inc = incident.pressure(points, k)
+    else:
+        p_inc = jnp.zeros_like(p_scat)
     return FieldResult(points=points, p_inc=p_inc, p_scat=p_scat)
 
 

@@ -11,21 +11,36 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from mathaudio_tpu.bem.assembly import assemble_burton_miller, assemble_collocation_matrix
+from mathaudio_tpu.bem.assembly import (
+    assemble_burton_miller,
+    assemble_collocation_matrix,
+    assemble_mixed_system,
+)
 from mathaudio_tpu.bem.incident import IncidentField, plane_wave
 from mathaudio_tpu.bem.mesh import SurfaceMesh, icosphere
 from mathaudio_tpu.bem.postprocess import FieldResult, evaluate_field
-from mathaudio_tpu.bem.types import BemMethod, BemSolverConfig, PhysicsParams, SolverMethod
+from mathaudio_tpu.bem.types import (
+    BCType,
+    BemMethod,
+    BemSolverConfig,
+    BoundaryCondition,
+    PhysicsParams,
+    SolverMethod,
+)
 from mathaudio_tpu.solvers import KrylovConfig, bicgstab, cgs, gmres, jacobi_preconditioner, lu_solve, qmrcgstab
 
 
 @dataclasses.dataclass
 class BemProblem:
-    """Scattering problem: rigid body + incident field (bem_solver.rs:86)."""
+    """Scattering/radiation problem (bem_solver.rs:86): a surface with
+    per-element boundary conditions plus an optional incident field.
+    ``bc=None`` means rigid (zero normal velocity everywhere);
+    ``incident=None`` means pure radiation (BC excitation only)."""
 
     mesh: SurfaceMesh
     physics: PhysicsParams
-    incident: IncidentField
+    incident: Optional[IncidentField] = None
+    bc: Optional[BoundaryCondition] = None
 
     @classmethod
     def rigid_sphere(
@@ -45,14 +60,37 @@ class BemProblem:
             incident=incident or plane_wave((0.0, 0.0, 1.0)),
         )
 
+    @classmethod
+    def radiating_sphere(
+        cls,
+        ka: float,
+        radius: float = 1.0,
+        velocity: complex = 1.0,
+        subdivisions: Optional[int] = None,
+    ) -> "BemProblem":
+        """Pulsating sphere: uniform radial velocity, no incident field
+        (qa_suite.rs:328 run_pulsating_sphere_test setup)."""
+        if subdivisions is None:
+            subdivisions = 2 if ka < 2.0 else 3
+        mesh = icosphere(radius, subdivisions)
+        return cls(
+            mesh=mesh,
+            physics=PhysicsParams.from_wave_number(ka / radius),
+            incident=None,
+            bc=BoundaryCondition.velocity(velocity, mesh.num_elements),
+        )
+
 
 @dataclasses.dataclass
 class BemSolution:
-    """Surface pressure + evaluation (bem_solver.rs:500 BemSolution)."""
+    """Surface pressure + evaluation (bem_solver.rs:500 BemSolution).
+    ``surface_q`` (dp/dn at element centers) is set for non-rigid
+    problems and feeds the single-layer term of the field evaluation."""
 
     problem: BemProblem
     surface_pressure: jnp.ndarray  # (N,) at element centers
     info: dict
+    surface_q: Optional[jnp.ndarray] = None
 
     def evaluate_pressure(self, points, quad_order: int = 3, method: str = "dense") -> jnp.ndarray:
         return self.evaluate_pressure_field(points, quad_order, method).p_total
@@ -65,6 +103,11 @@ class BemSolution:
         if method == "fmm":
             from mathaudio_tpu.bem.postprocess import evaluate_field_fmm
 
+            if self.surface_q is not None:
+                raise NotImplementedError(
+                    "FMM field evaluation currently supports rigid surfaces "
+                    "(q = 0); use method='dense' for mixed-BC solutions"
+                )
             return evaluate_field_fmm(
                 self.problem.mesh,
                 self.surface_pressure,
@@ -80,6 +123,7 @@ class BemSolution:
             self.problem.physics.wave_number,
             self.problem.incident,
             quad_order=quad_order,
+            q_surf=self.surface_q,
         )
 
 
@@ -95,6 +139,14 @@ class BemSolver:
         k = problem.physics.wave_number
         centers = jnp.asarray(mesh.centers)
         normals = jnp.asarray(mesh.normals)
+
+        if problem.bc is not None:
+            if cfg.assembly in (BemMethod.SLFMM, BemMethod.MLFMM):
+                raise NotImplementedError(
+                    "mixed boundary conditions require dense assembly "
+                    "(BemMethod.TBEM); the FMM paths assume a rigid surface"
+                )
+            return self._solve_mixed(problem)
 
         if cfg.assembly in (BemMethod.SLFMM, BemMethod.MLFMM):
             return self._solve_fmm(problem)
@@ -137,6 +189,58 @@ class BemSolver:
             info["converged"] = bool(sol.converged)
             info["iterations"] = int(sol.iterations)
         return BemSolution(problem, p, info)
+
+    def _solve_mixed(self, problem: BemProblem) -> BemSolution:
+        """Dense solve with per-element velocity/pressure BCs
+        (tbem.rs BC-dependent rows; see assembly.assemble_mixed_system).
+        The solution vector mixes p (velocity elements) and dp/dn
+        (pressure elements); both full fields are reconstructed."""
+        cfg = self.config
+        mesh = problem.mesh
+        ph = problem.physics
+        k = ph.wave_number
+        beta = 0.0
+        if cfg.burton_miller:
+            beta = ph.burton_miller_beta_optimal(mesh.avg_element_size())
+        a, b, unknown_p = assemble_mixed_system(
+            mesh,
+            k,
+            problem.bc,
+            beta=beta,
+            incident=problem.incident,
+            quad_order=max(cfg.quad_order, 4),
+            density=ph.density,
+            speed_of_sound=ph.speed_of_sound,
+        )
+        info = {"method": cfg.method.value, "burton_miller": cfg.burton_miller,
+                "mixed_bc": True, "n": mesh.num_elements}
+        if cfg.method == SolverMethod.LU:
+            u = lu_solve(a, b)
+            info["converged"] = True
+        else:
+            kcfg = KrylovConfig(
+                max_iterations=cfg.max_iterations,
+                tolerance=cfg.tolerance,
+                restart=cfg.restart,
+            )
+            pre = jacobi_preconditioner(jnp.diagonal(a))
+            sol = gmres(a, b, config=kcfg, preconditioner=pre)
+            u = sol.x
+            info["converged"] = bool(sol.converged)
+            info["iterations"] = int(sol.iterations)
+
+        bc_types = np.asarray(problem.bc.types)
+        bc_values = np.asarray(problem.bc.values, complex)
+        up = jnp.asarray(unknown_p)
+        omega = k * ph.speed_of_sound
+        q_known = jnp.asarray(
+            np.where(bc_types == 0, 1j * omega * ph.density * bc_values, 0.0),
+            u.dtype,
+        )
+        p_known = jnp.asarray(np.where(bc_types == 1, bc_values, 0.0), u.dtype)
+        p_full = jnp.where(up, u, p_known)
+        q_full = jnp.where(up, q_known, u)
+        return BemSolution(problem, p_full, info, surface_q=q_full)
 
     def _solve_fmm(self, problem: BemProblem) -> BemSolution:
         """Matrix-free FMM path (bem_solver.rs SLFMM/MLFMM assembly rows):

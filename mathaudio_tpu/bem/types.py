@@ -62,6 +62,49 @@ class PhysicsParams:
         return 1.0
 
 
+class BCType(enum.IntEnum):
+    """Per-element boundary-condition kind (types.rs:269
+    BoundaryCondition discriminants; transfer admittance is a no-op in
+    the reference's dense assembly and is not ported)."""
+
+    VELOCITY = 0  # prescribed normal velocity (Neumann); unknown is p
+    PRESSURE = 1  # prescribed pressure (Dirichlet); unknown is dp/dn
+
+
+@dataclasses.dataclass
+class BoundaryCondition:
+    """SoA per-element boundary data (types.rs:269 BoundaryCondition,
+    flattened for TPU): ``types[i]`` in BCType, ``values[i]`` the
+    prescribed velocity [m/s] (VELOCITY) or pressure [Pa] (PRESSURE).
+    ``admittance[i]`` is reserved for VelocityWithAdmittance parity."""
+
+    types: "object"  # (N,) int array-like
+    values: "object"  # (N,) complex array-like
+
+    @staticmethod
+    def _expand(values, n):
+        import numpy as np
+
+        v = np.atleast_1d(np.asarray(values, complex))
+        if n is not None:
+            v = np.array(np.broadcast_to(v, (n,)))
+        return v
+
+    @classmethod
+    def velocity(cls, values, n: int | None = None) -> "BoundaryCondition":
+        import numpy as np
+
+        v = cls._expand(values, n)
+        return cls(types=np.zeros(len(v), np.int32), values=v)
+
+    @classmethod
+    def pressure(cls, values, n: int | None = None) -> "BoundaryCondition":
+        import numpy as np
+
+        p = cls._expand(values, n)
+        return cls(types=np.full(len(p), 1, np.int32), values=p)
+
+
 class BemMethod(enum.Enum):
     TBEM = "tbem"  # dense collocation
     SLFMM = "slfmm"  # single-level FMM

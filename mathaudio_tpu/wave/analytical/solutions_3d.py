@@ -167,6 +167,43 @@ def plane_wave_3d(wave_number: float, theta: float, phi: float, points):
     )
 
 
+def pulsating_sphere_3d(
+    wave_number: float,
+    radius: float,
+    points,
+    velocity: complex = 1.0,
+    density: float = 1.204,
+    speed_of_sound: float = 343.0,
+):
+    """Radiating (breathing-mode) sphere: uniform radial surface velocity
+    v0 on r = a. With e^{-i omega t} and outgoing e^{+ikr}/r waves,
+
+        p(r) = i rho c v0 * (ka/(i ka - 1)) * (a/r) * e^{ik(r-a)},
+
+    so the surface pressure is i ka rho c v0 / (i ka - 1)
+    (math-bem/bin/qa_suite.rs:328 run_pulsating_sphere_test oracle)."""
+    points = jnp.asarray(points, default_float())
+    r = jnp.linalg.norm(points, axis=-1)
+    ka = wave_number * radius
+    cdt = default_complex()
+    coef = (
+        1j
+        * jnp.asarray(density * speed_of_sound * velocity, cdt)
+        * ka
+        / (1j * ka - 1.0)
+    )
+    p = coef * (radius / r) * jnp.exp(1j * (wave_number * (r - radius)).astype(cdt))
+    return AnalyticalSolution(
+        name=f"3D Pulsating Sphere (ka={ka})",
+        dimensions=3,
+        positions=points,
+        pressure=p,
+        wave_number=wave_number,
+        frequency=frequency_of(wave_number),
+        metadata={"radius": radius, "velocity": complex(velocity)},
+    )
+
+
 def point_source_3d(wave_number: float, source, points):
     """Monopole G(r) = exp(ikr)/(4 pi r) (solutions_3d.rs:357)."""
     from mathaudio_tpu.wave.special.helmholtz import greens_function_3d
