@@ -222,7 +222,7 @@ def assemble_burton_miller(
 @partial(jax.jit, static_argnames=("with_bm",))
 def _assemble_mixed_jit(
     centers, normals, qp, qw, self_r, self_w, k, beta, unknown_p, p_known, q_known,
-    rhs_inc, with_bm,
+    adm, rhs_inc, with_bm,
 ):
     """Mixed velocity/pressure BC system (tbem.rs:323 BC-dependent column
     assembly, re-derived for our sign conventions and validated against
@@ -289,7 +289,10 @@ def _assemble_mixed_jit(
         aq = aq - jnp.asarray(beta, cd) * (0.5 * eye + kp_mat)
 
     m = unknown_p.astype(cd)  # 1 where p is the unknown (velocity BC)
-    a = ap * m[None, :] + aq * (1.0 - m)[None, :]
+    # surface admittance couples q back to the unknown p on velocity
+    # elements: q = i omega rho v_n - i k adm * p, so the -ik adm part of
+    # the q coefficient lands in the p column.
+    a = (ap + aq * (-ik * adm)[None, :]) * m[None, :] + aq * (1.0 - m)[None, :]
     b = rhs_inc - aq @ (q_known * m) - ap @ (p_known * (1.0 - m))
     return a, b
 
@@ -328,6 +331,11 @@ def assemble_mixed_system(
         np_.where(bc_types == 0, 1j * omega * density * bc_values, 0.0), cd
     )
     p_known = jnp.asarray(np_.where(bc_types == 1, bc_values, 0.0), cd)
+    adm = getattr(bc, "admittance", None)
+    if adm is None:
+        adm_arr = jnp.zeros(n, cd)
+    else:
+        adm_arr = jnp.asarray(np_.broadcast_to(np_.asarray(adm, complex), (n,)), cd)
 
     centers = jnp.asarray(mesh.centers, dtype)
     normals = jnp.asarray(mesh.normals, dtype)
@@ -354,6 +362,7 @@ def assemble_mixed_system(
         unknown_p,
         p_known,
         q_known,
+        adm_arr,
         rhs_inc,
         beta != 0.0,
     )

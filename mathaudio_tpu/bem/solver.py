@@ -240,6 +240,13 @@ class BemSolver:
         p_known = jnp.asarray(np.where(bc_types == 1, bc_values, 0.0), u.dtype)
         p_full = jnp.where(up, u, p_known)
         q_full = jnp.where(up, q_known, u)
+        adm = getattr(problem.bc, "admittance", None)
+        if adm is not None:
+            # velocity-with-admittance: q = i omega rho v - i k adm * p
+            adm_j = jnp.asarray(
+                np.broadcast_to(np.asarray(adm, complex), bc_types.shape), u.dtype
+            )
+            q_full = jnp.where(up, q_known - 1j * k * adm_j * p_full, q_full)
         return BemSolution(problem, p_full, info, surface_q=q_full)
 
     def _solve_fmm(self, problem: BemProblem) -> BemSolution:

@@ -64,8 +64,8 @@ class PhysicsParams:
 
 class BCType(enum.IntEnum):
     """Per-element boundary-condition kind (types.rs:269
-    BoundaryCondition discriminants; transfer admittance is a no-op in
-    the reference's dense assembly and is not ported)."""
+    BoundaryCondition discriminants; transfer admittance is a no-op even
+    in the reference's dense assembly, tbem.rs:301, and is not ported)."""
 
     VELOCITY = 0  # prescribed normal velocity (Neumann); unknown is p
     PRESSURE = 1  # prescribed pressure (Dirichlet); unknown is dp/dn
@@ -76,10 +76,18 @@ class BoundaryCondition:
     """SoA per-element boundary data (types.rs:269 BoundaryCondition,
     flattened for TPU): ``types[i]`` in BCType, ``values[i]`` the
     prescribed velocity [m/s] (VELOCITY) or pressure [Pa] (PRESSURE).
-    ``admittance[i]`` is reserved for VelocityWithAdmittance parity."""
+
+    ``admittance[i]`` (normalized, beta = rho c Y) couples a velocity
+    element to a locally-reacting absorber: dp/dn = i omega rho v_n
+    - i k beta p (absorbing for Re beta > 0, normals into the fluid; the
+    same -ik beta convention as the FEM absorbing Robin BC). This makes
+    types.rs VelocityWithAdmittance actually work — the reference's
+    dense assembly drops the admittance (tbem.rs:238 maps it to plain
+    Velocity)."""
 
     types: "object"  # (N,) int array-like
     values: "object"  # (N,) complex array-like
+    admittance: "object" = None  # (N,) complex, velocity elements only
 
     @staticmethod
     def _expand(values, n):
@@ -96,6 +104,19 @@ class BoundaryCondition:
 
         v = cls._expand(values, n)
         return cls(types=np.zeros(len(v), np.int32), values=v)
+
+    @classmethod
+    def velocity_with_admittance(
+        cls, values, admittance, n: int | None = None
+    ) -> "BoundaryCondition":
+        """types.rs VelocityWithAdmittance: structural velocity plus a
+        normalized surface admittance (see class docstring for the sign
+        convention)."""
+        import numpy as np
+
+        v = cls._expand(values, n)
+        a = cls._expand(admittance, len(v))
+        return cls(types=np.zeros(len(v), np.int32), values=v, admittance=a)
 
     @classmethod
     def pressure(cls, values, n: int | None = None) -> "BoundaryCondition":

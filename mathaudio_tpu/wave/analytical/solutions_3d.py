@@ -204,6 +204,50 @@ def pulsating_sphere_3d(
     )
 
 
+def impedance_sphere_3d(
+    wave_number: float,
+    radius: float,
+    points,
+    velocity: complex = 1.0,
+    admittance: complex = 0.0,
+    density: float = 1.204,
+    speed_of_sound: float = 343.0,
+):
+    """Pulsating sphere with a locally-reacting surface of normalized
+    admittance beta: dp/dn = i omega rho v0 - i k beta p on r = a
+    (same -ik beta convention as the FEM absorbing Robin BC). Outgoing
+    monopole ansatz p = A e^{ikr}/r gives the surface pressure
+
+        p(a) = i rho c ka v0 / (i ka (1 + beta) - 1),
+
+    reducing to the rigid-driven pulsating sphere at beta = 0 and to a
+    pressure-release surface (p -> 0) as |beta| -> inf."""
+    points = jnp.asarray(points, default_float())
+    r = jnp.linalg.norm(points, axis=-1)
+    ka = wave_number * radius
+    cdt = default_complex()
+    p_a = (
+        1j
+        * jnp.asarray(density * speed_of_sound * velocity, cdt)
+        * ka
+        / (1j * ka * (1.0 + jnp.asarray(admittance, cdt)) - 1.0)
+    )
+    p = p_a * (radius / r) * jnp.exp(1j * (wave_number * (r - radius)).astype(cdt))
+    return AnalyticalSolution(
+        name=f"3D Impedance Sphere (ka={ka}, beta={admittance})",
+        dimensions=3,
+        positions=points,
+        pressure=p,
+        wave_number=wave_number,
+        frequency=frequency_of(wave_number),
+        metadata={
+            "radius": radius,
+            "velocity": complex(velocity),
+            "admittance": complex(admittance),
+        },
+    )
+
+
 def point_source_3d(wave_number: float, source, points):
     """Monopole G(r) = exp(ikr)/(4 pi r) (solutions_3d.rs:357)."""
     from mathaudio_tpu.wave.special.helmholtz import greens_function_3d

@@ -138,6 +138,48 @@ def test_zero_velocity_bc_matches_rigid_path():
     assert np.abs(np.asarray(sol_bc.surface_q)).max() == 0.0
 
 
+@pytest.mark.parametrize("beta", [0.3, 1.0, 2.0 + 0.5j])
+def test_velocity_with_admittance_sphere(beta):
+    """Locally-reacting pulsating sphere vs the impedance-sphere oracle
+    (exceeds the reference: its dense assembly drops the admittance of
+    VelocityWithAdmittance, tbem.rs:238)."""
+    from mathaudio_tpu.wave.analytical.solutions_3d import impedance_sphere_3d
+
+    ka = 1.0
+    prob = BemProblem.radiating_sphere(ka, subdivisions=2)
+    prob = dataclasses.replace(
+        prob,
+        bc=BoundaryCondition.velocity_with_admittance(
+            1.0, beta, prob.mesh.num_elements
+        ),
+    )
+    sol = BemSolver(BemSolverConfig(burton_miller=False)).solve(prob)
+    ex = np.asarray(
+        impedance_sphere_3d(ka, 1.0, prob.mesh.centers, admittance=beta).pressure
+    )
+    err = np.abs(np.asarray(sol.surface_pressure) - ex).max() / np.abs(ex).max()
+    assert err < 0.05, f"beta={beta}: {err}"
+    pts = np.array([[0.0, 0.0, 2.5]])
+    f = np.asarray(sol.evaluate_pressure_field(pts, quad_order=4).p_total)[0]
+    exf = np.asarray(impedance_sphere_3d(ka, 1.0, pts, admittance=beta).pressure)[0]
+    assert abs(f - exf) / abs(exf) < 0.05
+
+
+def test_admittance_zero_matches_pulsating_and_absorbs_with_beta():
+    from mathaudio_tpu.wave.analytical.solutions_3d import impedance_sphere_3d
+
+    pts = np.array([[1.0, 0.0, 0.0]])
+    p0 = np.asarray(impedance_sphere_3d(1.0, 1.0, pts, admittance=0.0).pressure)[0]
+    p_puls = np.asarray(pulsating_sphere_3d(1.0, 1.0, pts).pressure)[0]
+    assert abs(p0 - p_puls) < 1e-12 * abs(p_puls)
+    # monotone pressure reduction with growing real admittance
+    mags = [
+        abs(np.asarray(impedance_sphere_3d(1.0, 1.0, pts, admittance=b).pressure)[0])
+        for b in (0.0, 0.5, 1.0, 4.0)
+    ]
+    assert all(a > b for a, b in zip(mags, mags[1:]))
+
+
 def test_bc_factories():
     bc = BoundaryCondition.velocity(2.0 + 1.0j, 5)
     assert bc.types.shape == (5,) and (bc.types == 0).all()
