@@ -98,6 +98,37 @@ def cavity_case(ka: float, subdivisions: int, out_dir: str, verbose: int = 1):
     return vr
 
 
+def pulsating_case(ka: float, subdivisions: int, out_dir: str, verbose: int = 1):
+    """Radiating pulsating sphere, v0 = 1 m/s, vs the analytic monopole
+    surface pressure (qa_suite.rs:328 run_pulsating_sphere_test)."""
+    from mathaudio_tpu.wave.analytical.solutions_3d import pulsating_sphere_3d
+
+    prob = BemProblem.radiating_sphere(ka, subdivisions=subdivisions)
+    n = prob.mesh.num_elements
+    cfg = BemSolverConfig(method=select_solver(n), burton_miller=True)
+    t0 = time.perf_counter()
+    sol = BemSolver(cfg).solve(prob)
+    wall = time.perf_counter() - t0
+    exact = np.asarray(pulsating_sphere_3d(ka, 1.0, prob.mesh.centers).pressure)
+    vr = ValidationResult.create(
+        name=f"pulsating_sphere_ka{ka:g}",
+        positions=prob.mesh.centers,
+        computed_pressure=np.asarray(sol.surface_pressure),
+        analytical_pressure=exact,
+        parameters={"ka": ka, "subdivisions": subdivisions, "n_elements": n},
+        metadata=ExecutionMetadata(
+            backend=jax.default_backend(),
+            wall_time_s=wall,
+            solver=cfg.method.value,
+            num_dofs=n,
+        ),
+    )
+    vr.save_json(os.path.join(out_dir, f"pulsating_ka{ka:g}.json"))
+    if verbose:
+        vr.print_summary()
+    return vr
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="qa-suite-bem")
     ap.add_argument("-o", "--out-dir", default="qa_bem_results")
@@ -118,6 +149,8 @@ def main(argv=None):
         results.append(sphere_case(ka, sub, args.out_dir))
     for ka in [1.0, 2.0]:
         results.append(cavity_case(ka, 3 if not args.fast else 2, args.out_dir))
+    for ka in [0.5, 1.0] if args.fast else [0.5, 1.0, 2.0, np.pi]:
+        results.append(pulsating_case(ka, 2, args.out_dir))
 
     passed = [r.passed(args.threshold) for r in results]
     summary = {
