@@ -28,8 +28,9 @@ import time
 # configuration, not the matched batch). TPU milestones on the same
 # workload: 3.1M (128 freqs, restart=8, nu=2) -> 5.6M (1024-freq batch,
 # one-cycle restart) -> 9.6M (explicit-inverse coarse solve) -> 11.0M
-# (omega=1, nu=1 smoothing). The CPU baseline runs the identical tuned
-# algorithm (its best: 16-freq batches, 1.035e5 DoF/s).
+# (omega=1, nu=1 smoothing) -> 11.75M (2048-freq batch; 4096 exceeds the
+# 16G HBM at 26G, n=24 mesh is slower per DoF). The CPU baseline runs
+# the identical tuned algorithm (its best: 16-freq batches, 1.035e5 DoF/s).
 BASELINE_CPU_DOF_PER_S = 1.035e5
 
 
@@ -260,7 +261,7 @@ if __name__ == "__main__":
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--metric", default="fem", choices=["fem", "iir", "bem"])
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
-    ap.add_argument("--freqs", type=int, default=1024)
+    ap.add_argument("--freqs", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
