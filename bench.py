@@ -29,12 +29,17 @@ import time
 # workload: 3.1M (128 freqs, restart=8, nu=2) -> 5.6M (1024-freq batch,
 # one-cycle restart) -> 9.6M (explicit-inverse coarse solve) -> 11.0M
 # (omega=1, nu=1 smoothing) -> 11.75M (2048-freq batch; 4096 exceeds the
-# 16G HBM at 26G, n=24 mesh is slower per DoF). The CPU baseline runs
-# the identical tuned algorithm (its best: 16-freq batches, 1.035e5 DoF/s).
+# 16G HBM at 26G, n=24 mesh is slower per DoF) -> 21.4M (64 anchored
+# coarse inverses shared across the batch; the batched per-frequency
+# 432^2 inverse was 48% of sweep time). The CPU baseline runs the same
+# harness at the CPU's best configuration (16-freq batches, per-frequency
+# exact coarse inverses — anchor sharing is a wash on CPU where the small
+# inverse is cheap and the gather copies are not; measured 1.035e5 DoF/s,
+# best across sessions; --anchors 0 reproduces it).
 BASELINE_CPU_DOF_PER_S = 1.035e5
 
 
-def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
+def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64):
     import os
 
     import jax
@@ -86,7 +91,8 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool):
     # (measured max over a 1024-freq sweep), so one 6-step cycle
     # suffices. The library default stays the robust omega=2/3, nu=2.
     config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=6)
-    sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0)
+    sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
+                           mg_coarse_anchors=min(anchors, n_freq))
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
     fn = jax.jit(sweep)
@@ -263,6 +269,8 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
     ap.add_argument("--freqs", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--anchors", type=int, default=64,
+                    help="coarse-inverse anchors shared across the frequency batch")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.metric == "iir":
@@ -270,4 +278,4 @@ if __name__ == "__main__":
     elif args.metric == "bem":
         run_bem(args.device, args.repeats, args.calibrate)
     else:
-        run(args.device, args.n, args.freqs, args.repeats, args.calibrate)
+        run(args.device, args.n, args.freqs, args.repeats, args.calibrate, args.anchors)

@@ -217,6 +217,63 @@ class GeometricMultigrid:
         self.builder = MgBuilder(tuple(lvls))
 
 
+def _level_values(bl: MgBuilderLevel, k, robin_coeff, shift):
+    b1, b2 = shift
+    cd = complex_dtype_for(bl.k_vals.dtype)
+    zshift = jnp.asarray(b1 + 1j * b2, cd)
+    return (
+        bl.k_vals.astype(cd)
+        - zshift * jnp.asarray(k**2).astype(cd) * bl.m_vals.astype(cd)
+        + jnp.asarray(robin_coeff, cd) * bl.b_sum.astype(cd)
+    )
+
+
+def build_mg_levels(
+    builder: MgBuilder,
+    k,
+    robin_coeff=0.0,
+    shift: Tuple[float, float] = (1.0, 0.5),
+) -> Tuple[MgLevel, ...]:
+    """The ELL smoothing levels of the shifted preconditioner (everything
+    except the coarse dense inverse); pure in k."""
+    levels = []
+    for bl in builder.levels[:-1]:
+        vals = _level_values(bl, k, robin_coeff, shift)
+        cd = vals.dtype
+        n_nodes = bl.ell_indices.shape[0]
+        width = bl.ell_indices.shape[1]
+        diag_slots = bl.row_of_slot == bl.col_of_slot
+        diag = jnp.zeros(n_nodes, cd).at[bl.row_of_slot].add(jnp.where(diag_slots, vals, 0.0))
+        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+        ell_vals = (
+            jnp.zeros(n_nodes * width, cd).at[bl.csr2ell].set(vals).reshape(n_nodes, width)
+        )
+        levels.append(MgLevel(bl.ell_indices, ell_vals, inv_diag, bl.p_idx, bl.p_w))
+    return tuple(levels)
+
+
+def build_coarse_inv(
+    builder: MgBuilder,
+    k,
+    robin_coeff=0.0,
+    shift: Tuple[float, float] = (1.0, 0.5),
+) -> jnp.ndarray:
+    """Explicit real-embedded inverse of the coarsest shifted operator;
+    pure in k. This is by far the most expensive piece of the
+    per-frequency preconditioner build (a dense n_c^3 inverse), which is
+    why batched sweeps share it across nearby frequencies (see
+    models.helmholtz_room sweep_pressure mg_coarse_anchors)."""
+    bl = builder.levels[-1]
+    vals = _level_values(bl, k, robin_coeff, shift)
+    n_nodes = bl.ell_indices.shape[0]
+    dense = jnp.zeros((n_nodes, n_nodes), vals.dtype).at[
+        bl.row_of_slot, bl.col_of_slot
+    ].add(vals)
+    ar, ai = jnp.real(dense), jnp.imag(dense)
+    embedded = jnp.block([[ar, -ai], [ai, ar]])
+    return jnp.linalg.inv(embedded)
+
+
 def build_mg_params(
     builder: MgBuilder,
     k,
@@ -226,34 +283,10 @@ def build_mg_params(
     """Pure function of k: MgParams for P = K - (b1+i b2) k^2 M
     + robin_coeff * B. jit/vmap over k to get per-frequency
     preconditioners in a batched sweep."""
-    b1, b2 = shift
-    levels = []
-    coarse = None
-    n_levels = len(builder.levels)
-    for l, bl in enumerate(builder.levels):
-        cd = complex_dtype_for(bl.k_vals.dtype)
-        zshift = jnp.asarray(b1 + 1j * b2, cd)
-        vals = (
-            bl.k_vals.astype(cd)
-            - zshift * jnp.asarray(k**2).astype(cd) * bl.m_vals.astype(cd)
-            + jnp.asarray(robin_coeff, cd) * bl.b_sum.astype(cd)
-        )
-        n_nodes = bl.ell_indices.shape[0]
-        width = bl.ell_indices.shape[1]
-        diag_slots = bl.row_of_slot == bl.col_of_slot
-        diag = jnp.zeros(n_nodes, cd).at[bl.row_of_slot].add(jnp.where(diag_slots, vals, 0.0))
-        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
-        if l < n_levels - 1:
-            ell_vals = (
-                jnp.zeros(n_nodes * width, cd).at[bl.csr2ell].set(vals).reshape(n_nodes, width)
-            )
-            levels.append(MgLevel(bl.ell_indices, ell_vals, inv_diag, bl.p_idx, bl.p_w))
-        else:
-            dense = jnp.zeros((n_nodes, n_nodes), cd).at[bl.row_of_slot, bl.col_of_slot].add(vals)
-            ar, ai = jnp.real(dense), jnp.imag(dense)
-            embedded = jnp.block([[ar, -ai], [ai, ar]])
-            coarse = jnp.linalg.inv(embedded)
-    return MgParams(tuple(levels), coarse)
+    return MgParams(
+        build_mg_levels(builder, k, robin_coeff, shift),
+        build_coarse_inv(builder, k, robin_coeff, shift),
+    )
 
 
 def _level_matvec(level: MgLevel, x):

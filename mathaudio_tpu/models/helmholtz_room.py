@@ -79,6 +79,7 @@ def sweep_pressure(
     mg_shift=(1.0, 0.5),
     mg_nu: int = 2,
     mg_omega: float = 2.0 / 3.0,
+    mg_coarse_anchors: int = 0,
 ):
     """Pure batched sweep: (F,) wavenumbers -> pressure (F, L) complex,
     iterations (F,), converged (F,). jit/shard_map-ready.
@@ -86,7 +87,48 @@ def sweep_pressure(
     With ``mg_builder`` (fem.multigrid.MgBuilder) the solve is GMRES
     preconditioned by a shifted-Laplacian V-cycle built per frequency
     inside the jit; otherwise Jacobi.
+
+    ``mg_coarse_anchors > 0`` shares the coarse-level dense inverse — by
+    far the dominant per-frequency build cost — across chunks of
+    adjacent frequencies: only that many inverses are computed, each at
+    its chunk's mean wavenumber. The coarse operator varies O(k dk)
+    within a chunk, a small perturbation of an already-inexact
+    (shifted) preconditioner; GMRES iteration counts are essentially
+    unchanged for bands split into >= 32 chunks. Assumes ``ks`` is
+    sorted so chunks are contiguous in k.
     """
+
+    if mg_builder is not None and mg_coarse_anchors:
+        from mathaudio_tpu.fem.multigrid import (
+            MgParams,
+            build_coarse_inv,
+            build_mg_levels,
+            vcycle,
+        )
+
+        n_f = ks.shape[0]
+        n_anchor = min(int(mg_coarse_anchors), n_f)
+        anchor_ids = (jnp.arange(n_f) * n_anchor) // n_f
+        counts = jax.ops.segment_sum(jnp.ones_like(ks), anchor_ids, n_anchor)
+        anchor_ks = jax.ops.segment_sum(ks, anchor_ids, n_anchor) / counts
+        anchor_inv = jax.vmap(
+            lambda ak: build_coarse_inv(
+                mg_builder, ak, robin_coeff=-1j * ak * absorption, shift=mg_shift
+            )
+        )(anchor_ks)
+
+        def one_anchored(k, coarse_inv):
+            vals = system_values_of(params, k, absorption)
+            op = operator_of(params, vals, num_nodes, ell_width)
+            levels = build_mg_levels(
+                mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
+            )
+            mgp = MgParams(levels, coarse_inv)
+            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu)
+            sol = gmres(op.matvec, params.rhs, config=config, preconditioner=pre)
+            return sol.x[params.listen_idx], sol.iterations, sol.converged
+
+        return jax.vmap(one_anchored)(ks, anchor_inv[anchor_ids])
 
     def one(k):
         vals = system_values_of(params, k, absorption)
@@ -165,10 +207,13 @@ class RoomSweepModel:
         return self._params
 
     def sweep_fn(self, config: Optional[KrylovConfig] = None, mg_builder=None,
-                 mg_nu: int = 2, mg_omega: float = 2.0 / 3.0):
+                 mg_nu: int = 2, mg_omega: float = 2.0 / 3.0,
+                 mg_coarse_anchors: int = 0):
         """(params, ks) -> (pressure, iterations, converged); jit this.
         Pass an fem.multigrid.MgBuilder for shifted-Laplacian V-cycle
-        preconditioning (built per frequency inside the jit)."""
+        preconditioning (built per frequency inside the jit);
+        ``mg_coarse_anchors`` shares coarse inverses across frequency
+        chunks (see sweep_pressure)."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
         return partial(
             sweep_pressure,
@@ -179,6 +224,7 @@ class RoomSweepModel:
             mg_builder=mg_builder,
             mg_nu=mg_nu,
             mg_omega=mg_omega,
+            mg_coarse_anchors=mg_coarse_anchors,
         )
 
     def sweep(self, ks, config: Optional[KrylovConfig] = None):
