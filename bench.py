@@ -31,7 +31,15 @@ import time
 # (omega=1, nu=1 smoothing) -> 11.75M (2048-freq batch; 4096 exceeds the
 # 16G HBM at 26G, n=24 mesh is slower per DoF) -> 21.4M (64 anchored
 # coarse inverses shared across the batch; the batched per-frequency
-# 432^2 inverse was 48% of sweep time). The CPU baseline runs the same
+# 432^2 inverse was 48% of sweep time) -> 29.5M (GMRES reuses M*b as the
+# initial residual and each cycle-end residual as the next cycle's
+# start, cutting a V-cycle + matvec per solve; per-frequency system/
+# level values built by one fused combine of frequency-shared ELL
+# tables instead of batched scatters; anchor inverses via a
+# Newton-Schulz chain instead of latency-bound batched LU inversion;
+# convergence decided on the Givens residual so no marginal lane drags
+# the whole vmapped batch through a second restart cycle). The CPU
+# baseline runs the same
 # harness at the CPU's best configuration (16-freq batches, per-frequency
 # exact coarse inverses — anchor sharing is a wash on CPU where the small
 # inverse is cheap and the gather copies are not; measured 1.035e5 DoF/s,

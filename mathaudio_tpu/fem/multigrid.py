@@ -235,21 +235,66 @@ def build_mg_levels(
     shift: Tuple[float, float] = (1.0, 0.5),
 ) -> Tuple[MgLevel, ...]:
     """The ELL smoothing levels of the shifted preconditioner (everything
-    except the coarse dense inverse); pure in k."""
+    except the coarse dense inverse); pure in k.
+
+    The k-independent ELL/diagonal tables of K, M and B are scattered
+    once (they carry no batch dimension under a frequency vmap); the
+    per-frequency values are then one fused elementwise combine of those
+    tables — the batched scatter of per-frequency values this replaces
+    was ~10% of sweep wall-clock at bench scale."""
+    b1, b2 = shift
     levels = []
     for bl in builder.levels[:-1]:
-        vals = _level_values(bl, k, robin_coeff, shift)
-        cd = vals.dtype
+        cd = complex_dtype_for(bl.k_vals.dtype)
+        cm = jnp.asarray(b1 + 1j * b2, cd) * jnp.asarray(k**2).astype(cd)
+        cb = jnp.asarray(robin_coeff, cd) + jnp.zeros((), cd)
         n_nodes = bl.ell_indices.shape[0]
         width = bl.ell_indices.shape[1]
-        diag_slots = bl.row_of_slot == bl.col_of_slot
-        diag = jnp.zeros(n_nodes, cd).at[bl.row_of_slot].add(jnp.where(diag_slots, vals, 0.0))
-        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+
+        def ell_table(vals):
+            return (
+                jnp.zeros(n_nodes * width, vals.dtype)
+                .at[bl.csr2ell]
+                .set(vals)
+                .reshape(n_nodes, width)
+            )
+
+        def diag_table(vals):
+            diag_slots = bl.row_of_slot == bl.col_of_slot
+            return jnp.zeros(n_nodes, vals.dtype).at[bl.row_of_slot].add(
+                jnp.where(diag_slots, vals, 0.0)
+            )
+
         ell_vals = (
-            jnp.zeros(n_nodes * width, cd).at[bl.csr2ell].set(vals).reshape(n_nodes, width)
+            ell_table(bl.k_vals).astype(cd)
+            - cm * ell_table(bl.m_vals).astype(cd)
+            + cb * ell_table(bl.b_sum).astype(cd)
         )
+        diag = (
+            diag_table(bl.k_vals).astype(cd)
+            - cm * diag_table(bl.m_vals).astype(cd)
+            + cb * diag_table(bl.b_sum).astype(cd)
+        )
+        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
         levels.append(MgLevel(bl.ell_indices, ell_vals, inv_diag, bl.p_idx, bl.p_w))
     return tuple(levels)
+
+
+def coarse_embedded(
+    builder: MgBuilder,
+    k,
+    robin_coeff=0.0,
+    shift: Tuple[float, float] = (1.0, 0.5),
+) -> jnp.ndarray:
+    """(2Nc, 2Nc) real-embedded dense coarsest shifted operator; pure in k."""
+    bl = builder.levels[-1]
+    vals = _level_values(bl, k, robin_coeff, shift)
+    n_nodes = bl.ell_indices.shape[0]
+    dense = jnp.zeros((n_nodes, n_nodes), vals.dtype).at[
+        bl.row_of_slot, bl.col_of_slot
+    ].add(vals)
+    ar, ai = jnp.real(dense), jnp.imag(dense)
+    return jnp.block([[ar, -ai], [ai, ar]])
 
 
 def build_coarse_inv(
@@ -263,15 +308,42 @@ def build_coarse_inv(
     per-frequency preconditioner build (a dense n_c^3 inverse), which is
     why batched sweeps share it across nearby frequencies (see
     models.helmholtz_room sweep_pressure mg_coarse_anchors)."""
-    bl = builder.levels[-1]
-    vals = _level_values(bl, k, robin_coeff, shift)
-    n_nodes = bl.ell_indices.shape[0]
-    dense = jnp.zeros((n_nodes, n_nodes), vals.dtype).at[
-        bl.row_of_slot, bl.col_of_slot
-    ].add(vals)
-    ar, ai = jnp.real(dense), jnp.imag(dense)
-    embedded = jnp.block([[ar, -ai], [ai, ar]])
-    return jnp.linalg.inv(embedded)
+    return jnp.linalg.inv(coarse_embedded(builder, k, robin_coeff, shift))
+
+
+def build_coarse_inv_chain(
+    builder: MgBuilder,
+    anchor_ks,
+    robin_coeffs,
+    shift: Tuple[float, float] = (1.0, 0.5),
+    newton_steps: int = 3,
+) -> jnp.ndarray:
+    """Explicit inverses for a *sorted* chain of anchor wavenumbers:
+    only the first is inverted directly; each subsequent inverse is
+    obtained by Newton-Schulz refinement X <- X (2I - A X) seeded from
+    its neighbor's inverse. Adjacent anchor operators differ by
+    O(k dk), so ||I - A_{i+1} X_i|| is far inside the quadratic
+    convergence basin and ``newton_steps`` squarings drive it below the
+    f32 accuracy of a direct ``linalg.inv`` (measured: 8e-3 vs 1.2e-2
+    max-norm residual at bench scale). On TPU the chain is 2x faster
+    than batched LU inversion — 3 small MXU matmuls per anchor replace a
+    latency-bound 432-step panel factorization.
+
+    ``anchor_ks``: (n_anchor,) ascending; ``robin_coeffs``: (n_anchor,)
+    complex (e.g. -i k alpha). Returns (n_anchor, 2Nc, 2Nc)."""
+    a_batch = jax.vmap(
+        lambda ak, rc: coarse_embedded(builder, ak, robin_coeff=rc, shift=shift)
+    )(anchor_ks, robin_coeffs)
+    x0 = jnp.linalg.inv(a_batch[0])
+    eye = jnp.eye(a_batch.shape[1], dtype=a_batch.dtype)
+
+    def step(x, a_i):
+        for _ in range(newton_steps):
+            x = x @ (2.0 * eye - a_i @ x)
+        return x, x
+
+    _, inverses = jax.lax.scan(step, x0, a_batch)
+    return inverses
 
 
 def build_mg_params(
