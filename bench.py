@@ -38,13 +38,16 @@ import time
 # tables instead of batched scatters; anchor inverses via a
 # Newton-Schulz chain instead of latency-bound batched LU inversion;
 # convergence decided on the Givens residual so no marginal lane drags
-# the whole vmapped batch through a second restart cycle). The CPU
-# baseline runs the same
-# harness at the CPU's best configuration (16-freq batches, per-frequency
-# exact coarse inverses — anchor sharing is a wash on CPU where the small
-# inverse is cheap and the gather copies are not; measured 1.035e5 DoF/s,
-# best across sessions; --anchors 0 reproduces it).
-BASELINE_CPU_DOF_PER_S = 1.035e5
+# the whole vmapped batch through a second restart cycle) -> 30.8M
+# (16 anchors = 128-frequency chunks: nested anchor x chunk vmap keeps
+# the chunk in whole 128-lane tiles and turns the coarse apply into an
+# MXU matmul against one shared inverse). The CPU baseline runs the
+# same harness at the CPU's best configuration, re-measured after each
+# algorithm change since the improvements apply to the CPU too
+# (currently 16-freq batches with 4 Schulz-chained anchor inverses;
+# --device cpu --calibrate --freqs 16 --anchors 4 reproduces it; the
+# old per-frequency-inverse best was 1.035e5).
+BASELINE_CPU_DOF_PER_S = 1.375e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64):
@@ -277,8 +280,10 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
     ap.add_argument("--freqs", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--anchors", type=int, default=64,
-                    help="coarse-inverse anchors shared across the frequency batch")
+    ap.add_argument("--anchors", type=int, default=16,
+                    help="coarse-inverse anchors shared across the frequency batch "
+                         "(freqs/anchors a multiple of 128 enables the nested "
+                         "anchor-chunk vmap fast path)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.metric == "iir":

@@ -169,6 +169,28 @@ def sweep_pressure(
             sol = gmres(matvec, params.rhs, config=config, preconditioner=pre)
             return sol.x[params.listen_idx], sol.iterations, sol.converged
 
+        chunk = n_f // n_anchor if n_f % n_anchor == 0 else 0
+        if chunk and chunk % 128 == 0:
+            # Nested vmap: outer over anchors, inner over each anchor's
+            # contiguous frequency chunk. The chunk shares one coarse
+            # inverse (no batch dim in the inner vmap), so the coarse
+            # solve batches into a (chunk, 2Nc) x (2Nc, 2Nc) MXU matmul
+            # and the (F, 2Nc, 2Nc) gathered-inverse tensor (1.5 GB at
+            # bench scale) is never materialized. Restricted to chunks
+            # that are a multiple of the 128-lane TPU tile: the inner
+            # batch dimension lands in vector lanes, and a partial tile
+            # pads every major tensor (a chunk of 32 padded 4x OOMed the
+            # bench sweep).
+            ks2 = ks.reshape(n_anchor, chunk)
+            p, its, conv = jax.vmap(
+                lambda kc, cinv: jax.vmap(lambda k: one_anchored(k, cinv))(kc)
+            )(ks2, anchor_inv)
+            return (
+                p.reshape((n_f,) + p.shape[2:]),
+                its.reshape(n_f),
+                conv.reshape(n_f),
+            )
+
         return jax.vmap(one_anchored)(ks, anchor_inv[anchor_ids])
 
     def one(k):

@@ -126,3 +126,36 @@ class TestCycleTypes:
         x, cycles_w = solve_multigrid(mgp, b, tol=1e-8, cycle="w")
         _, cycles_v = solve_multigrid(mgp, b, tol=1e-8, cycle="v")
         assert int(cycles_w) <= int(cycles_v), (int(cycles_w), int(cycles_v))
+
+
+class TestAnchoredSweep:
+    def test_anchor_paths_match_plain(self):
+        """Anchored coarse inverses (Newton-Schulz chain) through both the
+        nested anchor-chunk vmap (chunk a multiple of 128 lanes) and the
+        flat gathered-inverse fallback agree with per-frequency exact
+        inverses and converge identically."""
+        meshes = box_hierarchy(8, 2)
+        model = RoomSweepModel(meshes[0], absorption=0.15)
+        params = model.params()
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        cfg = KrylovConfig(max_iterations=200, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.6, 2.0, 256, dtype=model.dtype)
+
+        def run(anchors):
+            fn = jax.jit(model.sweep_fn(cfg, mg_builder=mg.builder,
+                                        mg_coarse_anchors=anchors))
+            return fn(params, ks)
+
+        p0, it0, c0 = run(0)  # exact per-frequency inverses
+        assert bool(jnp.all(c0))
+        p_nested, it_n, c_n = run(2)   # 256/2 = 128-frequency chunks
+        p_flat, it_f, c_f = run(17)    # 256 % 17 != 0 -> flat gather path
+        assert bool(jnp.all(c_n)) and bool(jnp.all(c_f))
+        # preconditioner perturbation must not change iteration counts
+        # by more than 1 nor the solution beyond solver tolerance
+        assert int(jnp.max(jnp.abs(it_n - it0))) <= 1
+        assert int(jnp.max(jnp.abs(it_f - it0))) <= 1
+        np.testing.assert_allclose(np.asarray(p_nested), np.asarray(p0),
+                                   rtol=2e-4, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(p_flat), np.asarray(p0),
+                                   rtol=2e-4, atol=1e-10)
