@@ -41,13 +41,16 @@ import time
 # the whole vmapped batch through a second restart cycle) -> 30.8M
 # (16 anchors = 128-frequency chunks: nested anchor x chunk vmap keeps
 # the chunk in whole 128-lane tiles and turns the coarse apply into an
-# MXU matmul against one shared inverse). The CPU baseline runs the
+# MXU matmul against one shared inverse) -> 39.1M (first GMRES restart
+# cycle unrolled out of the while loop, so the restart residual — one
+# matvec + one V-cycle — is only computed when a second cycle actually
+# runs, which the bench band never needs). The CPU baseline runs the
 # same harness at the CPU's best configuration, re-measured after each
 # algorithm change since the improvements apply to the CPU too
 # (currently 16-freq batches with 4 Schulz-chained anchor inverses;
 # --device cpu --calibrate --freqs 16 --anchors 4 reproduces it; the
 # old per-frequency-inverse best was 1.035e5).
-BASELINE_CPU_DOF_PER_S = 1.375e5
+BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64):

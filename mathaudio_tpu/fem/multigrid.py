@@ -393,16 +393,23 @@ def mg_cycle(
     nu: int = 2,
     level: int = 0,
     cycle: str = "v",
+    nu_post: Optional[int] = None,
 ):
-    """One multigrid cycle: x ~ P^{-1} r (cycle.rs:94/104/114 V/W/F
+    """One multigrid cycle: x ~ P^{-1} r (cycle.rs:94/104/114 V/F/W
     cycles, Jacobi smoothing). The recursion unrolls at trace time over
     static levels — a W-cycle simply traces 2^depth coarse visits.
 
     cycle: 'v' (one coarse visit), 'w' (two recursive visits), or 'f'
     (one F visit followed by one V visit — the standard F-cycle).
+
+    nu_post: post-smoothing steps (defaults to nu). Each post step costs
+    a fine matvec; as a GMRES preconditioner nu=1, nu_post=0 is worth
+    trying — the Krylov iteration often absorbs the weaker cycle.
     """
     if level == len(mgp.levels):
         return _coarse_solve(mgp, r)
+    if nu_post is None:
+        nu_post = nu
     lvl = mgp.levels[level]
     om = jnp.asarray(omega, r.dtype)
     x = om * lvl.inv_diag * r  # first smoothing step from x = 0
@@ -415,23 +422,24 @@ def mg_cycle(
         else mgp.coarse_inv.shape[0] // 2
     )
     rc = _restrict(lvl, res, n_coarse)
-    xc = mg_cycle(mgp, rc, omega, nu, level + 1, cycle)
+    xc = mg_cycle(mgp, rc, omega, nu, level + 1, cycle, nu_post)
     if cycle in ("w", "f") and level + 1 < len(mgp.levels):
         # second coarse visit on the updated residual (W: same cycle
         # type; F: downgrade to a V-cycle). Skipped when the next level
         # is the exact coarse solve.
         rc2 = rc - _level_matvec(mgp.levels[level + 1], xc)
         second = "v" if cycle == "f" else "w"
-        xc = xc + mg_cycle(mgp, rc2, omega, nu, level + 1, second)
+        xc = xc + mg_cycle(mgp, rc2, omega, nu, level + 1, second, nu_post)
     x = x + _prolong(lvl, xc)
-    for _ in range(nu):
+    for _ in range(nu_post):
         x = x + om * lvl.inv_diag * (r - _level_matvec(lvl, x))
     return x
 
 
-def vcycle(mgp: MgParams, r, omega: float = 2.0 / 3.0, nu: int = 2, level: int = 0):
+def vcycle(mgp: MgParams, r, omega: float = 2.0 / 3.0, nu: int = 2, level: int = 0,
+           nu_post: Optional[int] = None):
     """One multigrid V-cycle (cycle.rs:23); see mg_cycle for W/F."""
-    return mg_cycle(mgp, r, omega, nu, level, "v")
+    return mg_cycle(mgp, r, omega, nu, level, "v", nu_post)
 
 
 def solve_multigrid(

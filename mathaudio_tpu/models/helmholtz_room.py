@@ -80,6 +80,7 @@ def sweep_pressure(
     mg_nu: int = 2,
     mg_omega: float = 2.0 / 3.0,
     mg_coarse_anchors: int = 0,
+    mg_nu_post=None,
 ):
     """Pure batched sweep: (F,) wavenumbers -> pressure (F, L) complex,
     iterations (F,), converged (F,). jit/shard_map-ready.
@@ -165,7 +166,7 @@ def sweep_pressure(
                 mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
             )
             mgp = MgParams(levels, coarse_inv)
-            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu)
+            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu, nu_post=mg_nu_post)
             sol = gmres(matvec, params.rhs, config=config, preconditioner=pre)
             return sol.x[params.listen_idx], sol.iterations, sol.converged
 
@@ -201,7 +202,7 @@ def sweep_pressure(
             mgp = build_mg_params(
                 mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
             )
-            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu)
+            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu, nu_post=mg_nu_post)
         else:
             diag = dg_k.astype(cd) - cm * dg_m.astype(cd) + cb * dg_b.astype(cd)
             inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
@@ -271,7 +272,7 @@ class RoomSweepModel:
 
     def sweep_fn(self, config: Optional[KrylovConfig] = None, mg_builder=None,
                  mg_nu: int = 2, mg_omega: float = 2.0 / 3.0,
-                 mg_coarse_anchors: int = 0):
+                 mg_coarse_anchors: int = 0, mg_nu_post=None):
         """(params, ks) -> (pressure, iterations, converged); jit this.
         Pass an fem.multigrid.MgBuilder for shifted-Laplacian V-cycle
         preconditioning (built per frequency inside the jit);
@@ -288,6 +289,7 @@ class RoomSweepModel:
             mg_nu=mg_nu,
             mg_omega=mg_omega,
             mg_coarse_anchors=mg_coarse_anchors,
+            mg_nu_post=mg_nu_post,
         )
 
     def sweep(self, ks, config: Optional[KrylovConfig] = None):

@@ -363,24 +363,28 @@ def gmres(
         x_new = x + basis[:m].T @ y
         return x_new, total_it + cnt, res
 
+    # First cycle unrolled outside the while loop: in the common case
+    # (restart chosen so one cycle converges) no restart residual is
+    # ever computed — the loop body pays for its own starting residual
+    # only when a further cycle actually runs. Convergence is decided on
+    # the cycle's Givens residual estimate (gmres.rs stops the same
+    # way): deciding on the true residual instead makes marginal lanes
+    # of a vmapped batch rerun a whole restart cycle, which the entire
+    # batch then pays for.
+    x1, it1, res1 = cycle(x0, r_pre0, jnp.int32(0))
+
     def outer_cond(state):
-        _, _, it, res, converged = state
+        _, it, res, converged = state
         return (~converged) & (it < config.max_iterations)
 
     def outer_body(state):
-        x, r_pre, it, _, _ = state
+        x, it, _, _ = state
+        r_pre = m_mv(b - a_mv(x))
         x, it, res = cycle(x, r_pre, it)
-        # Next cycle's starting residual (reused as its first Arnoldi
-        # vector). Convergence is decided on the cycle's Givens residual
-        # estimate (gmres.rs stops the same way): deciding on the true
-        # residual instead makes marginal lanes of a vmapped batch rerun
-        # a whole restart cycle, which the entire batch then pays for.
-        r_new = m_mv(b - a_mv(x))
-        return (x, r_new, it, res, res <= tol)
+        return (x, it, res, res <= tol)
 
-    r_init = _norm(r_pre0)
-    init = (x0, r_pre0, jnp.int32(0), r_init, r_init <= tol)
-    x, _, it, res, converged = jax.lax.while_loop(outer_cond, outer_body, init)
+    init = (x1, it1, res1, res1 <= tol)
+    x, it, res, converged = jax.lax.while_loop(outer_cond, outer_body, init)
     return KrylovSolution(x, it, res / b_norm, converged)
 
 
