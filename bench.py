@@ -156,7 +156,8 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
 # Measured once with `python bench.py --metric iir --device cpu --calibrate`
 # CPU-best configuration (the CPU peaks at 64 channels: 17.6 Msamples/s
 # and degrades with wider batches; the TPU scales with the channel batch:
-# 64 -> 342, 1024 -> 1381, 4096 -> 2249 Msamples/s). Baseline = CPU best.
+# 64 -> 342, 1024 -> 1381, 4096 -> 2249, 8192 -> 2521 Msamples/s;
+# 16384 exceeds HBM). Baseline = CPU best.
 BASELINE_CPU_IIR_MSAMPLES = 17.6
 
 # Measured: `python bench.py --device cpu --metric bem --calibrate`
@@ -179,7 +180,7 @@ def run_iir(device: str, repeats: int, calibrate: bool):
 
     from mathaudio_tpu.dsp import Biquad, BiquadFilterType, biquad_cascade_block, peq_coeff_matrix
 
-    channels, stages, t = (64 if device == "cpu" else 4096), 10, 48000
+    channels, stages, t = (64 if device == "cpu" else 8192), 10, 48000
     peq = [
         (1.0, Biquad(BiquadFilterType.PEAK, 100.0 * (i + 1), 48000.0, 1.0, (-1.0) ** i * 3.0))
         for i in range(stages)
