@@ -53,7 +53,8 @@ import time
 BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
-def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64):
+def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
+        cycle: str = "v", restart: int = 6):
     import os
 
     import jax
@@ -104,9 +105,10 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
     # converge the whole 0.55-2.2 band in <=6 MG-GMRES iterations
     # (measured max over a 1024-freq sweep), so one 6-step cycle
     # suffices. The library default stays the robust omega=2/3, nu=2.
-    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=6)
+    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=restart)
     sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
-                           mg_coarse_anchors=min(anchors, n_freq))
+                           mg_coarse_anchors=min(anchors, n_freq),
+                           mg_cycle_type=cycle)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
     fn = jax.jit(sweep)
@@ -288,6 +290,8 @@ if __name__ == "__main__":
                     help="coarse-inverse anchors shared across the frequency batch "
                          "(freqs/anchors a multiple of 128 enables the nested "
                          "anchor-chunk vmap fast path)")
+    ap.add_argument("--cycle", default="v", choices=["v", "w", "f"])
+    ap.add_argument("--restart", type=int, default=6)
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.metric == "iir":
@@ -295,4 +299,5 @@ if __name__ == "__main__":
     elif args.metric == "bem":
         run_bem(args.device, args.repeats, args.calibrate)
     else:
-        run(args.device, args.n, args.freqs, args.repeats, args.calibrate, args.anchors)
+        run(args.device, args.n, args.freqs, args.repeats, args.calibrate, args.anchors,
+            args.cycle, args.restart)

@@ -81,6 +81,7 @@ def sweep_pressure(
     mg_omega: float = 2.0 / 3.0,
     mg_coarse_anchors: int = 0,
     mg_nu_post=None,
+    mg_cycle_type: str = "v",
 ):
     """Pure batched sweep: (F,) wavenumbers -> pressure (F, L) complex,
     iterations (F,), converged (F,). jit/shard_map-ready.
@@ -145,7 +146,7 @@ def sweep_pressure(
             MgParams,
             build_coarse_inv_chain,
             build_mg_levels,
-            vcycle,
+            mg_cycle,
         )
 
         n_f = ks.shape[0]
@@ -166,7 +167,8 @@ def sweep_pressure(
                 mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
             )
             mgp = MgParams(levels, coarse_inv)
-            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu, nu_post=mg_nu_post)
+            pre = lambda r: mg_cycle(mgp, r, omega=mg_omega, nu=mg_nu,
+                                     cycle=mg_cycle_type, nu_post=mg_nu_post)
             sol = gmres(matvec, params.rhs, config=config, preconditioner=pre)
             return sol.x[params.listen_idx], sol.iterations, sol.converged
 
@@ -197,12 +199,13 @@ def sweep_pressure(
     def one(k):
         matvec, cm, cb = fine_matvec_of(k)
         if mg_builder is not None:
-            from mathaudio_tpu.fem.multigrid import build_mg_params, vcycle
+            from mathaudio_tpu.fem.multigrid import build_mg_params, mg_cycle
 
             mgp = build_mg_params(
                 mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
             )
-            pre = lambda r: vcycle(mgp, r, omega=mg_omega, nu=mg_nu, nu_post=mg_nu_post)
+            pre = lambda r: mg_cycle(mgp, r, omega=mg_omega, nu=mg_nu,
+                                     cycle=mg_cycle_type, nu_post=mg_nu_post)
         else:
             diag = dg_k.astype(cd) - cm * dg_m.astype(cd) + cb * dg_b.astype(cd)
             inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
@@ -272,7 +275,8 @@ class RoomSweepModel:
 
     def sweep_fn(self, config: Optional[KrylovConfig] = None, mg_builder=None,
                  mg_nu: int = 2, mg_omega: float = 2.0 / 3.0,
-                 mg_coarse_anchors: int = 0, mg_nu_post=None):
+                 mg_coarse_anchors: int = 0, mg_nu_post=None,
+                 mg_cycle_type: str = "v"):
         """(params, ks) -> (pressure, iterations, converged); jit this.
         Pass an fem.multigrid.MgBuilder for shifted-Laplacian V-cycle
         preconditioning (built per frequency inside the jit);
@@ -290,6 +294,7 @@ class RoomSweepModel:
             mg_omega=mg_omega,
             mg_coarse_anchors=mg_coarse_anchors,
             mg_nu_post=mg_nu_post,
+            mg_cycle_type=mg_cycle_type,
         )
 
     def sweep(self, ks, config: Optional[KrylovConfig] = None):
