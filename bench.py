@@ -32,8 +32,7 @@ import time
 # 16G HBM at 26G, n=24 mesh is slower per DoF) -> 21.4M (64 anchored
 # coarse inverses shared across the batch; the batched per-frequency
 # 432^2 inverse was 48% of sweep time) -> 29.5M (GMRES reuses M*b as the
-# initial residual and each cycle-end residual as the next cycle's
-# start, cutting a V-cycle + matvec per solve; per-frequency system/
+# initial residual, cutting a V-cycle + matvec per solve; per-frequency system/
 # level values built by one fused combine of frequency-shared ELL
 # tables instead of batched scatters; anchor inverses via a
 # Newton-Schulz chain instead of latency-bound batched LU inversion;

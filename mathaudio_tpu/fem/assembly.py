@@ -27,6 +27,25 @@ from mathaudio_tpu.solvers.sparse import CsrMatrix
 from mathaudio_tpu.xtypes import complex_dtype_for, default_float
 
 
+def scatter_ell(vals, csr2ell, n_rows: int, width: int):
+    """CSR-ordered nnz values -> zero-padded ELL value table (n_rows, width).
+
+    Shared by the sweep fine operator, the multigrid level build, and
+    operator_of — one definition so the padding/scatter semantics cannot
+    drift apart."""
+    return (
+        jnp.zeros(n_rows * width, vals.dtype).at[csr2ell].set(vals).reshape(n_rows, width)
+    )
+
+
+def scatter_diag(vals, row_of_slot, col_of_slot, n_rows: int):
+    """CSR-ordered nnz values -> the matrix diagonal (n_rows,)."""
+    diag_slots = row_of_slot == col_of_slot
+    return jnp.zeros(n_rows, vals.dtype).at[row_of_slot].add(
+        jnp.where(diag_slots, vals, 0.0)
+    )
+
+
 def coo_to_csr_map(rows, cols, shape):
     """CSR structure + COO-entry -> CSR-slot map (duplicates share slots).
 

@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+from mathaudio_tpu.fem.assembly import HelmholtzAssembler, scatter_diag, scatter_ell
 from mathaudio_tpu.fem.mesh import Mesh, box_mesh_tetrahedra, rectangular_mesh_triangles
 from mathaudio_tpu.xtypes import complex_dtype_for, default_float
 
@@ -252,18 +252,10 @@ def build_mg_levels(
         width = bl.ell_indices.shape[1]
 
         def ell_table(vals):
-            return (
-                jnp.zeros(n_nodes * width, vals.dtype)
-                .at[bl.csr2ell]
-                .set(vals)
-                .reshape(n_nodes, width)
-            )
+            return scatter_ell(vals, bl.csr2ell, n_nodes, width)
 
         def diag_table(vals):
-            diag_slots = bl.row_of_slot == bl.col_of_slot
-            return jnp.zeros(n_nodes, vals.dtype).at[bl.row_of_slot].add(
-                jnp.where(diag_slots, vals, 0.0)
-            )
+            return scatter_diag(vals, bl.row_of_slot, bl.col_of_slot, n_nodes)
 
         ell_vals = (
             ell_table(bl.k_vals).astype(cd)
@@ -321,13 +313,20 @@ def build_coarse_inv_chain(
     """Explicit inverses for a *sorted* chain of anchor wavenumbers:
     only the first is inverted directly; each subsequent inverse is
     obtained by Newton-Schulz refinement X <- X (2I - A X) seeded from
-    its neighbor's inverse. Adjacent anchor operators differ by
-    O(k dk), so ||I - A_{i+1} X_i|| is far inside the quadratic
-    convergence basin and ``newton_steps`` squarings drive it below the
-    f32 accuracy of a direct ``linalg.inv`` (measured: 8e-3 vs 1.2e-2
-    max-norm residual at bench scale). On TPU the chain is 2x faster
-    than batched LU inversion — 3 small MXU matmuls per anchor replace a
-    latency-bound 432-step panel factorization.
+    its neighbor's inverse. For closely spaced anchors (bench config:
+    dk ~ 0.1) the seed is far inside the quadratic convergence basin and
+    ``newton_steps`` squarings reach or beat the f32 accuracy of a
+    direct ``linalg.inv``; on TPU the chain is 2x faster than batched LU
+    inversion — a few small MXU matmuls per anchor replace a
+    latency-bound panel factorization.
+
+    Newton-Schulz *diverges* when the neighbor seed is outside the basin
+    (spectral radius of I - A X above 1 — wide anchor spacing, unsorted
+    ks), so every refined inverse is residual-checked and falls back to
+    a direct inverse when ||I - A X||_max is not small. The chain runs
+    in a ``lax.scan`` (not under vmap), so the fallback is a real
+    ``lax.cond`` branch that only pays for the direct inverse when
+    refinement actually failed.
 
     ``anchor_ks``: (n_anchor,) ascending; ``robin_coeffs``: (n_anchor,)
     complex (e.g. -i k alpha). Returns (n_anchor, 2Nc, 2Nc)."""
@@ -340,6 +339,9 @@ def build_coarse_inv_chain(
     def step(x, a_i):
         for _ in range(newton_steps):
             x = x @ (2.0 * eye - a_i @ x)
+        resid = jnp.max(jnp.abs(eye - a_i @ x))
+        good = jnp.isfinite(resid) & (resid < 0.1)
+        x = jax.lax.cond(good, lambda: x, lambda: jnp.linalg.inv(a_i))
         return x, x
 
     _, inverses = jax.lax.scan(step, x0, a_batch)
@@ -406,6 +408,8 @@ def mg_cycle(
     a fine matvec; as a GMRES preconditioner nu=1, nu_post=0 is worth
     trying — the Krylov iteration often absorbs the weaker cycle.
     """
+    if cycle not in ("v", "w", "f"):
+        raise ValueError(f"unknown multigrid cycle type {cycle!r}; expected 'v', 'w' or 'f'")
     if level == len(mgp.levels):
         return _coarse_solve(mgp, r)
     if nu_post is None:

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mathaudio_tpu.fem.assembly import HelmholtzAssembler, assemble_rhs
+from mathaudio_tpu.fem.assembly import HelmholtzAssembler, assemble_rhs, scatter_diag, scatter_ell
 from mathaudio_tpu.fem.mesh import Mesh
 from mathaudio_tpu.solvers import KrylovConfig, gmres
 from mathaudio_tpu.solvers.operators import EllOperator
@@ -54,17 +54,13 @@ def system_values_of(params: RoomParams, k, absorption: float):
 
 
 def operator_of(params: RoomParams, vals, num_nodes: int, ell_width: int) -> EllOperator:
-    ell_vals = (
-        jnp.zeros(num_nodes * ell_width, vals.dtype).at[params.csr2ell].set(vals)
-    ).reshape(num_nodes, ell_width)
-    return EllOperator(params.ell_indices, ell_vals, num_nodes)
+    return EllOperator(
+        params.ell_indices, scatter_ell(vals, params.csr2ell, num_nodes, ell_width), num_nodes
+    )
 
 
 def jacobi_of(params: RoomParams, vals, num_nodes: int):
-    diag_slots = params.row_of_slot == params.col_of_slot
-    diag = jnp.zeros(num_nodes, vals.dtype).at[params.row_of_slot].add(
-        jnp.where(diag_slots, vals, 0.0)
-    )
+    diag = scatter_diag(vals, params.row_of_slot, params.col_of_slot, num_nodes)
     return jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
 
 
@@ -98,7 +94,11 @@ def sweep_pressure(
     coarse operator varies O(k dk) within a chunk, a small perturbation
     of an already-inexact (shifted) preconditioner; GMRES iteration
     counts are essentially unchanged for bands split into >= 32 chunks.
-    Assumes ``ks`` is sorted so chunks are contiguous in k.
+    Assumes ``ks`` is sorted so chunks are contiguous in k. Anchors
+    spaced too far apart for Newton-Schulz refinement are detected by a
+    residual check and inverted directly instead (see
+    build_coarse_inv_chain), so wide bands/few anchors stay correct —
+    just without the chain's speed advantage.
 
     Per-frequency system values (fine operator and smoothing levels)
     are built by one fused elementwise combine of frequency-shared
@@ -109,18 +109,10 @@ def sweep_pressure(
     cd = params.rhs.dtype
 
     def ell_table(vals):
-        return (
-            jnp.zeros(num_nodes * ell_width, vals.dtype)
-            .at[params.csr2ell]
-            .set(vals)
-            .reshape(num_nodes, ell_width)
-        )
+        return scatter_ell(vals, params.csr2ell, num_nodes, ell_width)
 
     def diag_table(vals):
-        diag_slots = params.row_of_slot == params.col_of_slot
-        return jnp.zeros(num_nodes, vals.dtype).at[params.row_of_slot].add(
-            jnp.where(diag_slots, vals, 0.0)
-        )
+        return scatter_diag(vals, params.row_of_slot, params.col_of_slot, num_nodes)
 
     # Frequency-shared tables: computed once, broadcast across the vmap.
     ell_k, ell_m, ell_b = ell_table(params.k_vals), ell_table(params.m_vals), ell_table(params.b_sum)

@@ -371,6 +371,11 @@ def gmres(
     # way): deciding on the true residual instead makes marginal lanes
     # of a vmapped batch rerun a whole restart cycle, which the entire
     # batch then pays for.
+    r_init = _norm(r_pre0)
+    if config.max_iterations <= 0:
+        # Iteration budget of zero: report convergence state of x0 only.
+        return KrylovSolution(x0, jnp.int32(0), r_init / b_norm, r_init <= tol)
+
     x1, it1, res1 = cycle(x0, r_pre0, jnp.int32(0))
 
     def outer_cond(state):

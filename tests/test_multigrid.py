@@ -159,3 +159,18 @@ class TestAnchoredSweep:
                                    rtol=2e-4, atol=1e-10)
         np.testing.assert_allclose(np.asarray(p_flat), np.asarray(p0),
                                    rtol=2e-4, atol=1e-10)
+
+    def test_wide_band_falls_back_to_direct_inverses(self):
+        """Anchors spaced beyond the Newton-Schulz basin must trigger the
+        residual-guarded direct-inverse fallback, not NaN inverses."""
+        meshes = box_hierarchy(8, 2)
+        model = RoomSweepModel(meshes[0], absorption=0.15)
+        params = model.params()
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        cfg = KrylovConfig(max_iterations=200, tolerance=1e-6, restart=10)
+        ks = jnp.linspace(0.5, 4.0, 8, dtype=model.dtype)  # dk/anchor = 1.75
+        fn = jax.jit(model.sweep_fn(cfg, mg_builder=mg.builder,
+                                    mg_coarse_anchors=2))
+        p, it, c = fn(params, ks)
+        assert bool(jnp.all(jnp.isfinite(jnp.abs(p)))), p
+        assert bool(jnp.all(c)), (it, c)
