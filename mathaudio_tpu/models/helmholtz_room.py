@@ -131,10 +131,13 @@ def sweep_pressure(
             xg = jnp.take(x, params.ell_indices, axis=0)
             return jnp.sum(ell_c * xg, axis=1)
 
-        return matvec, cm, cb
+        diag = dg_k.astype(cd) - cm * dg_m.astype(cd) + cb * dg_b.astype(cd)
+        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+        return matvec, ell_c, inv_diag
 
     if mg_builder is not None and mg_coarse_anchors:
         from mathaudio_tpu.fem.multigrid import (
+            MgLevel,
             MgParams,
             build_coarse_inv_chain,
             build_mg_levels,
@@ -154,11 +157,20 @@ def sweep_pressure(
         )
 
         def one_anchored(k, coarse_inv):
-            matvec, _, _ = fine_matvec_of(k)
-            levels = build_mg_levels(
+            matvec, ell_c, inv_diag = fine_matvec_of(k)
+            levels = list(build_mg_levels(
                 mg_builder, k, robin_coeff=-1j * k * absorption, shift=mg_shift
+            ))
+            # Level-0 smoothing on the TRUE operator, reusing the fine
+            # matvec's value table: iteration counts are identical to
+            # shifted level-0 smoothing (measured on the bench band) —
+            # Jacobi sweeps need no MG-stability shift, only the coarse
+            # levels do — and the level-0 shifted table (2.3 GB at bench
+            # scale) is never built.
+            levels[0] = MgLevel(
+                params.ell_indices, ell_c, inv_diag, levels[0].p_idx, levels[0].p_w
             )
-            mgp = MgParams(levels, coarse_inv)
+            mgp = MgParams(tuple(levels), coarse_inv)
             pre = lambda r: mg_cycle(mgp, r, omega=mg_omega, nu=mg_nu,
                                      cycle=mg_cycle_type, nu_post=mg_nu_post)
             sol = gmres(matvec, params.rhs, config=config, preconditioner=pre)
@@ -189,7 +201,7 @@ def sweep_pressure(
         return jax.vmap(one_anchored)(ks, anchor_inv[anchor_ids])
 
     def one(k):
-        matvec, cm, cb = fine_matvec_of(k)
+        matvec, _, inv_diag = fine_matvec_of(k)
         if mg_builder is not None:
             from mathaudio_tpu.fem.multigrid import build_mg_params, mg_cycle
 
@@ -199,8 +211,6 @@ def sweep_pressure(
             pre = lambda r: mg_cycle(mgp, r, omega=mg_omega, nu=mg_nu,
                                      cycle=mg_cycle_type, nu_post=mg_nu_post)
         else:
-            diag = dg_k.astype(cd) - cm * dg_m.astype(cd) + cb * dg_b.astype(cd)
-            inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
             pre = lambda x: inv_diag * x
         sol = gmres(matvec, params.rhs, config=config, preconditioner=pre)
         return sol.x[params.listen_idx], sol.iterations, sol.converged
