@@ -285,3 +285,45 @@ class TestAutoEq:
             ours = np.asarray(biquad_response_db(kind, 1500.0, 1.1, 5.5, freqs))
             ref = np.asarray(bq.np_log_result(freqs))
             np.testing.assert_allclose(ours, ref, atol=1e-10, err_msg=kind)
+
+
+class TestFilterTypeAsymptotics:
+    """Response asymptotics for every RBJ biquad type (iir.rs:21 types;
+    the reference tests these per-type in its in-crate suite)."""
+
+    def _mag_db(self, bq, freqs):
+        return np.asarray(bq.log_result(jnp.asarray(freqs, jnp.float64)))
+
+    def test_lowpass_highpass_asymptotes(self):
+        lp = Biquad(FT.LOWPASS, 1000.0, SRATE, 0.7071, 0.0)
+        hp = Biquad(FT.HIGHPASS, 1000.0, SRATE, 0.7071, 0.0)
+        lo, hi = self._mag_db(lp, [20.0, 20000.0]), self._mag_db(hp, [20.0, 20000.0])
+        assert abs(lo[0]) < 0.1 and lo[1] < -40  # LP: flat below, dead above
+        assert hi[0] < -40 and abs(hi[1]) < 0.6  # HP: dead below, flat above
+
+    def test_bandpass_peaks_at_center(self):
+        bp = Biquad(FT.BANDPASS, 1000.0, SRATE, 2.0, 0.0)
+        g = self._mag_db(bp, [100.0, 1000.0, 10000.0])
+        assert g[1] > g[0] + 10 and g[1] > g[2] + 10
+        assert abs(g[1]) < 0.1  # unity at center
+
+    def test_notch_kills_center(self):
+        nt = Biquad(FT.NOTCH, 1000.0, SRATE, 30.0, 0.0)
+        g = self._mag_db(nt, [500.0, 1000.0, 2000.0])
+        assert g[1] < -30 and abs(g[0]) < 0.5 and abs(g[2]) < 0.5
+
+    def test_shelves_land_on_gain(self):
+        ls = Biquad(FT.LOWSHELF, 1000.0, SRATE, 0.7071, 6.0)
+        hs = Biquad(FT.HIGHSHELF, 1000.0, SRATE, 0.7071, -6.0)
+        gl = self._mag_db(ls, [20.0, 20000.0])
+        gh = self._mag_db(hs, [20.0, 20000.0])
+        assert abs(gl[0] - 6.0) < 0.3 and abs(gl[1]) < 0.3
+        assert abs(gh[0]) < 0.3 and abs(gh[1] + 6.0) < 0.3
+
+    def test_peak_symmetric_inverse(self):
+        """A +g and -g peak at the same (f0, Q) cancel exactly."""
+        up = Biquad(FT.PEAK, 1000.0, SRATE, 1.0, 5.0)
+        dn = Biquad(FT.PEAK, 1000.0, SRATE, 1.0, -5.0)
+        freqs = np.logspace(np.log10(20), np.log10(20000), 64)
+        total = self._mag_db(up, freqs) + self._mag_db(dn, freqs)
+        np.testing.assert_allclose(total, 0.0, atol=1e-10)

@@ -369,3 +369,39 @@ class TestQmrCgstab:
             np.testing.assert_allclose(
                 np.asarray(sol.surface_pressure),
                 np.asarray(ref.surface_pressure), atol=1e-7, err_msg=str(m))
+
+
+class TestGmresEdgeCases:
+    def test_max_iterations_zero_returns_guess(self):
+        """Iteration budget 0: x0 returned untouched, convergence state
+        reported from the initial residual (regression: the unrolled
+        first cycle used to run unconditionally)."""
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.standard_normal((12, 12)) + 12 * np.eye(12))
+        b = jnp.asarray(rng.standard_normal(12))
+        x0 = jnp.asarray(rng.standard_normal(12))
+        sol = gmres(DenseOperator(a), b, x0=x0,
+                    config=KrylovConfig(max_iterations=0, tolerance=1e-10))
+        assert int(sol.iterations) == 0
+        assert not bool(sol.converged)
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(x0))
+
+    def test_converged_guess_zero_iterations(self):
+        """An x0 that already satisfies the tolerance must not be
+        modified and must report iterations == 0."""
+        rng = np.random.default_rng(4)
+        a = jnp.asarray(rng.standard_normal((12, 12)) + 12 * np.eye(12))
+        x_true = jnp.asarray(rng.standard_normal(12))
+        b = a @ x_true
+        sol = gmres(DenseOperator(a), b, x0=x_true,
+                    config=KrylovConfig(max_iterations=50, tolerance=1e-6))
+        assert bool(sol.converged)
+        assert int(sol.iterations) == 0
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(x_true), rtol=1e-12)
+
+    def test_zero_rhs(self):
+        a = jnp.asarray(np.eye(8) * 2.0)
+        sol = gmres(DenseOperator(a), jnp.zeros(8),
+                    config=KrylovConfig(max_iterations=10, tolerance=1e-8))
+        assert bool(sol.converged)
+        np.testing.assert_allclose(np.asarray(sol.x), 0.0)
