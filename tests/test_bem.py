@@ -289,3 +289,23 @@ class TestAccuracyParity:
             errs.append(np.linalg.norm(p - exact) / np.linalg.norm(exact))
         assert errs[0] > errs[1] > errs[2], errs
         assert errs[2] < 0.02, errs
+
+
+class TestIncidentFieldGradients:
+    """Analytic normal derivatives vs central finite differences
+    (incident.rs:93,177 pressure/dp_dn consistency)."""
+
+    @pytest.mark.parametrize("make", ["plane", "point"])
+    def test_normal_derivative_matches_fd(self, make):
+        from mathaudio_tpu.bem import plane_wave, point_source
+
+        inc = plane_wave((0.3, -0.5, 0.81)) if make == "plane" else point_source((0.1, 2.5, -0.3))
+        k = 1.7
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(rng.standard_normal((16, 3)))
+        nrm = rng.standard_normal((16, 3))
+        nrm = jnp.asarray(nrm / np.linalg.norm(nrm, axis=1, keepdims=True))
+        h = 1e-5
+        fd = (inc.pressure(pts + h * nrm, k) - inc.pressure(pts - h * nrm, k)) / (2 * h)
+        ana = inc.normal_derivative(pts, nrm, k)
+        np.testing.assert_allclose(np.asarray(ana), np.asarray(fd), rtol=1e-6, atol=1e-8)

