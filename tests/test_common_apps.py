@@ -271,3 +271,25 @@ class TestDirectivitySources:
         res = run_fem_simulation(cfg, verbose=0)
         spl = np.asarray(res.results[0].spl_db)
         assert spl[0] > spl[1] + 6.0, spl  # >6 dB front/back contrast
+
+
+class TestMeshWatertight:
+    """Closed-surface invariants for the room mesh generators
+    (geometry.rs:18,87): sum(area * normal) = 0 for a watertight mesh,
+    and sum(area * centroid . normal) = 3 V when normals point outward
+    (divergence theorem on the position field)."""
+
+    def _check(self, mesh, volume):
+        a, n, c = mesh.areas, mesh.normals, mesh.centroids
+        closure = (a[:, None] * n).sum(axis=0)
+        np.testing.assert_allclose(closure, 0.0, atol=1e-9 * a.sum())
+        flux = float(np.abs((a * (c * n).sum(axis=1)).sum()))
+        np.testing.assert_allclose(flux, 3.0 * volume, rtol=1e-9)
+
+    def test_rectangular_room(self):
+        room = RectangularRoom(2.0, 1.5, 1.0)
+        self._check(room.generate_mesh(2), room.volume())
+
+    def test_lshaped_room(self):
+        room = LShapedRoom(3.0, 2.0, 1.0, 1.5, 1.0)
+        self._check(room.generate_mesh(2), room.volume())

@@ -234,3 +234,26 @@ class TestHelmholtzKernels:
         g0 = float(laplace_greens_function_3d(r))
         gk = complex(greens_function_3d(r, 1e-8))
         assert abs(g0 - gk.real) < 1e-10
+
+
+class TestWronskian:
+    def test_spherical_bessel_wronskian(self):
+        """j_n(x) y_n'(x) - j_n'(x) y_n(x) = 1/x^2 — an identity
+        independent of the recurrence direction, so it catches both
+        up-recurrence overflow and Miller-normalization bugs."""
+        from mathaudio_tpu.wave.special import (
+            spherical_bessel_derivative,
+            spherical_jn_all,
+            spherical_yn_all,
+        )
+
+        x = jnp.asarray(np.linspace(0.3, 40.0, 60))
+        nmax = 15
+        j = spherical_jn_all(nmax, x)
+        y = spherical_yn_all(nmax, x)
+        jp = spherical_bessel_derivative(j, x)
+        yp = spherical_bessel_derivative(y, x)
+        for n in (0, 1, 3, 8, 15):
+            w = j[n] * yp[n] - jp[n] * y[n]
+            np.testing.assert_allclose(np.asarray(w), 1.0 / np.asarray(x) ** 2,
+                                       rtol=1e-8, err_msg=f"n={n}")
