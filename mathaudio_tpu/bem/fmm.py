@@ -244,7 +244,7 @@ def _static_hyper_row_sums(mesh, quad_order: int = 3, chunk: int = 256):
     n = mesh.num_elements
 
     @jax.jit
-    def rows(i0):
+    def rows(centers, normals, qp, qw, i0):
         idx = i0 + jnp.arange(chunk)
         x = centers[idx][:, None, None, :]
         nx = normals[idx][:, None, None, :]
@@ -261,7 +261,7 @@ def _static_hyper_row_sums(mesh, quad_order: int = 3, chunk: int = 256):
 
     out = np.zeros(n)
     for i0 in range(0, n, chunk):
-        vals = np.asarray(rows(jnp.int32(i0)))
+        vals = np.asarray(rows(centers, normals, qp, qw, jnp.int32(i0)))
         take = min(chunk, n - i0)
         out[i0 : i0 + take] = vals[:take]
     return out
@@ -283,8 +283,17 @@ def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype, quad_order: int =
     self_r = jnp.asarray(self_r, dtype)
     self_w = jnp.asarray(self_w, dtype)
 
+    # All device arrays enter the jit as ARGUMENTS (CLAUDE.md: tunneled
+    # backends cannot constant-fold captured device arrays); only python
+    # scalars (k, beta) and shapes are closed over.
+    s0_d = (
+        jnp.asarray(_static_hyper_row_sums(mesh, quad_order), dtype)
+        if beta != 0.0
+        else jnp.zeros(1, dtype)  # unused placeholder (trace-time branch)
+    )
+
     @jax.jit
-    def blocks(nb_d, na_d):
+    def blocks(centers, normals, qp, qw, cl, mk, self_r, self_w, s0_d, nb_d, na_d):
         bi = cl[nb_d]  # (P, m) target element ids
         ai = cl[na_d]  # (P, m) source
         x = centers[bi][:, :, None, None, :]
@@ -322,12 +331,8 @@ def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype, quad_order: int =
             )
         return blk
 
-    s0_d = (
-        jnp.asarray(_static_hyper_row_sums(mesh, quad_order), dtype)
-        if beta != 0.0
-        else None
-    )
-    return blocks(jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
+    return blocks(centers, normals, qp, qw, cl, mk, self_r, self_w, s0_d,
+                  jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
 
 
 class MlfmmData(NamedTuple):
@@ -614,7 +619,7 @@ def _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype):
     mk = jnp.asarray(mask, dtype)
 
     @jax.jit
-    def blocks(nb_d, na_d):
+    def blocks(centers, normals, qp, qw, cl, mk, nb_d, na_d):
         bi = cl[nb_d]
         ai = cl[na_d]
         x = centers[bi][:, :, None, None, :]
@@ -632,7 +637,8 @@ def _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype):
         blk = jnp.where(same, 0.0, blk)
         return blk * mk[nb_d][:, :, None].astype(cdtype) * mk[na_d][:, None, :].astype(cdtype)
 
-    return blocks(jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
+    return blocks(centers, normals, qp, qw, cl, mk,
+                  jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
 
 
 # ---------------------------------------------------------------------------
@@ -987,7 +993,9 @@ def near_ilu_preconditioner(op, sweeps: int = 6):
     GMRES (solver.rs:975 solve_bem_fmm_gmres_ilu)."""
     from mathaudio_tpu.solvers.preconditioners.ilu import IluFixedPoint
 
-    data = op.data if isinstance(op.data, SlfmmData) else op.data.leaf
+    # SlfmmData and MlfmmTreeData carry near-field arrays at top level;
+    # only the flattened two-level MlfmmData nests them under .leaf.
+    data = op.data.leaf if isinstance(op.data, MlfmmData) else op.data
     return IluFixedPoint.from_csr(near_field_csr(data), sweeps=sweeps)
 
 
@@ -1007,7 +1015,7 @@ class ClusterBlockPreconditioner(LinearOperator):
 
     @classmethod
     def from_operator(cls, op) -> "ClusterBlockPreconditioner":
-        data = op.data if isinstance(op.data, SlfmmData) else op.data.leaf
+        data = op.data.leaf if isinstance(op.data, MlfmmData) else op.data
         cl = np.asarray(data.clusters)
         mk = np.asarray(data.cluster_mask)
         nb = np.asarray(data.near_b)
@@ -1050,7 +1058,7 @@ class ClusterBlockPreconditioner(LinearOperator):
         )
 
     def tree_flatten(self):
-        return (self.lu, self.piv, self.clusters, self.mask), self.n
+        return (self.inv, self.clusters, self.mask), self.n
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -11,7 +11,7 @@ Shardable over the frequency axis with `mathaudio_tpu.parallel`
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import NamedTuple
 
 import numpy as np
 
@@ -23,9 +23,6 @@ from mathaudio_tpu.bem.incident import IncidentField
 from mathaudio_tpu.bem.mesh import SurfaceMesh
 from mathaudio_tpu.solvers.direct import complex_solve
 from mathaudio_tpu.xtypes import default_float
-
-
-from typing import NamedTuple
 
 
 class SweepStatics(NamedTuple):
@@ -96,10 +93,22 @@ def bem_frequency_sweep(
     centers = jnp.asarray(mesh.centers, dtype)
     normals = jnp.asarray(mesh.normals, dtype)
     if burton_miller:
-        # beta = scale * i/(k + 1/h) — the dense path's element-size-aware
-        # bound (types.rs burton_miller_beta_optimal), traced over k
+        # beta = scale * i/(k + 1/h) — the dense path's element-size-
+        # aware bound (types.rs burton_miller_beta_optimal), traced over
+        # k. Same scale semantics as BemSolverConfig: a positive
+        # ``beta_scale`` is a constant (default 4.0, bem_solver.rs);
+        # 0/None selects the piecewise ka-dependent rule
+        # (types.rs optimal_beta_scale: 4 below ka=0.5, 2 to ka=2, 1 in
+        # the geometric regime) evaluated per frequency.
         h = mesh.avg_element_size()
-        betas = beta_scale * 1j / (ks + 1.0 / max(h, 1e-12))
+        ka = ks * float(np.max(np.linalg.norm(
+            mesh.centers - mesh.centers.mean(axis=0), axis=1)))
+        scales = (
+            jnp.asarray(beta_scale, ks.dtype)
+            if beta_scale and beta_scale > 0
+            else jnp.where(ka < 0.5, 4.0, jnp.where(ka < 2.0, 2.0, 1.0))
+        )
+        betas = scales * 1j / (ks + 1.0 / max(h, 1e-12))
         rhs = jax.vmap(
             lambda k, b: incident.pressure(centers, k)
             - b * incident.normal_derivative(centers, normals, k)

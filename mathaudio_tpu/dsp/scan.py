@@ -27,8 +27,12 @@ import jax.numpy as jnp
 
 
 def _feedforward(x, b0, b1, b2, x1, x2):
-    xm1 = jnp.concatenate([jnp.asarray([x1], x.dtype), x[:-1]])
-    xm2 = jnp.concatenate([jnp.asarray([x2, x1], x.dtype), x[:-2]])
+    # slicing (not x[:-2]) keeps the result length == len(x) for blocks
+    # shorter than the delay line (t < 2), where x[:-2] under-shrinks
+    # and broadcasting would silently widen d
+    t = x.shape[0]
+    xm1 = jnp.concatenate([jnp.asarray([x1], x.dtype), x])[:t]
+    xm2 = jnp.concatenate([jnp.asarray([x2, x1], x.dtype), x])[:t]
     return b0 * x + b1 * xm1 + b2 * xm2
 
 

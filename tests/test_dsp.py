@@ -327,3 +327,21 @@ class TestFilterTypeAsymptotics:
         freqs = np.logspace(np.log10(20), np.log10(20000), 64)
         total = self._mag_db(up, freqs) + self._mag_db(dn, freqs)
         np.testing.assert_allclose(total, 0.0, atol=1e-10)
+
+
+class TestShortBlocks:
+    def test_single_sample_blocks_match_long_block(self):
+        """Length-1 blocks chained through state must equal one long
+        block (regression: the feed-forward delay-line slice produced a
+        length-2 array for t=1 and associative_scan raised)."""
+        bq = Biquad(FT.PEAK, 1000.0, SRATE, 1.0, 4.0)
+        coeffs = (bq.b0, bq.b1, bq.b2, bq.a1, bq.a2)
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(16).astype(np.float64)
+        y_long, _ = biquad_process_block(jnp.asarray(x), coeffs)
+        state = None
+        ys = []
+        for xi in x:
+            yi, state = biquad_process_block(jnp.asarray([xi]), coeffs, state)
+            ys.append(float(yi[0]))
+        np.testing.assert_allclose(ys, np.asarray(y_long), rtol=1e-10, atol=1e-12)

@@ -2,6 +2,7 @@
 vs dense TBEM matvec (reference tolerance rel < 0.5; we target ~1e-2),
 octree sanity, end-to-end GMRES solve vs the Mie oracle."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -317,3 +318,29 @@ class TestOctreeInteractionLists:
         # above) and self-pairs are near-listed
         ids = {a for a, _ in near_set | far_set} | {b for _, b in near_set | far_set}
         assert all((i, i) in near_set for i in ids if (i, i) in near_set | far_set)
+
+
+class TestPreconditionerDispatch:
+    """near-field preconditioners must accept every FMM operator type and
+    survive pytree flatten/unflatten (regression: tree_flatten referenced
+    removed fields; MlfmmTreeData was dispatched to a missing .leaf)."""
+
+    @pytest.mark.parametrize("build_name", ["slfmm", "mlfmm_tree"])
+    def test_build_and_roundtrip(self, build_name):
+        from mathaudio_tpu.bem.fmm import (
+            ClusterBlockPreconditioner,
+            build_mlfmm_tree_system,
+            build_slfmm_system,
+            near_ilu_preconditioner,
+        )
+
+        mesh = icosphere(1.0, 2)
+        build = {"slfmm": build_slfmm_system, "mlfmm_tree": build_mlfmm_tree_system}[build_name]
+        op = build(mesh, 1.0)
+        near_ilu_preconditioner(op)  # must not raise
+        pre = ClusterBlockPreconditioner.from_operator(op)
+        leaves, treedef = jax.tree_util.tree_flatten(pre)
+        pre2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(mesh.num_elements) + 0j)
+        np.testing.assert_allclose(np.asarray(pre.matvec(x)), np.asarray(pre2.matvec(x)))
