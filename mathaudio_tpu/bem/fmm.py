@@ -141,49 +141,25 @@ def build_slfmm_system(
     n = mesh.num_elements
     centers = mesh.centers
     normals = mesh.normals
-    areas = mesh.areas
 
     tree = Octree.build(centers, max_per_leaf=max_per_leaf)
-    leaves = tree.leaves
-    c_count = len(leaves)
-    m = max(len(lf.indices) for lf in leaves)
-    clusters = np.zeros((c_count, m), np.int32)
-    mask = np.zeros((c_count, m))
-    c_centers = np.zeros((c_count, 3))
-    radii = np.zeros(c_count)
-    for ci, lf in enumerate(leaves):
-        idx = lf.indices
-        clusters[ci, : len(idx)] = idx
-        mask[ci, : len(idx)] = 1.0
-        c_centers[ci] = centers[idx].mean(axis=0)
-        radii[ci] = np.linalg.norm(centers[idx] - c_centers[ci], axis=1).max() + 1e-12
+    clusters, mask, c_centers, radii = _pack_clusters(tree.leaves, centers)
 
     # expansion order: L ~ k r_max + c log(k r_max + pi) (standard rule)
     if expansion_order is None:
         kr = k * radii.max()
         expansion_order = int(np.ceil(kr + 4 * np.log(kr + np.pi) + 4))
     dirs, w = unit_sphere_quadrature(expansion_order)
-    q = len(dirs)
 
     # near/far classification
     dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
     far = dist > separation_ratio * (radii[:, None] + radii[None, :])
 
-    # aggregation T: source element j in cluster a with its Gauss points:
-    #   sum_g w_g e^{-ik s.(y_g - c_a)} * (-ik s.n_j)   (double layer)
-    qp_e, qw_e = mesh.quad_points(2)  # (N, nq, 3), weights include area
-    yg_rel = qp_e[clusters] - c_centers[:, None, None, :]  # (C, m, nq, 3)
-    phase_g = np.einsum("qd,cmgd->cqmg", dirs, yg_rel)
-    s_dot_ny = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
-    t_tensor = (
-        np.einsum("cqmg,cmg->cqm", np.exp(-1j * k * phase_g), qw_e[clusters])
-        * (-1j * k * s_dot_ny)
-        * mask[:, None, :]
+    # T: sum_g w_g e^{-ik s.(y_g - c_a)} * (-ik s.n_j) (double layer);
+    # S: e^{+ik s.(x_i - c_b)}; D on far pairs — the shared level build.
+    t_tensor, s_tensor, d_tensor = _level_tensors(
+        mesh, clusters, mask, c_centers, far, k, dirs, w, expansion_order, dtype
     )
-    # disaggregation S: collocation point x_i in cluster b: e^{+ik s.(x_i-c_b)}
-    y_rel = centers[clusters] - c_centers[:, None, :]  # (C, m, 3)
-    phase_y = np.einsum("qd,cmd->cqm", dirs, y_rel)
-    s_tensor = np.exp(1j * k * phase_y) * mask[:, None, :]
     if beta != 0.0:
         # Burton-Miller row factor: d/dn_x -> (ik s.n_x) in direction
         # space. The global prefactor already carries the CBIE minus
@@ -191,13 +167,6 @@ def build_slfmm_system(
         # (1 - beta ik s.n_x) * (-D-form) = -D + beta T.
         s_nx = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
         s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
-
-    # translations D (b <- a) for far pairs
-    d_tensor = np.zeros((c_count, c_count, q), complex)
-    fb, fa = np.where(far)
-    if len(fb):
-        d_vecs = c_centers[fb] - c_centers[fa]
-        d_tensor[fb, fa] = translation_operator(k, d_vecs, dirs, expansion_order)
 
     # near-field: exact kernel blocks (regularized like the dense path)
     nb, na = np.where(~far)
@@ -381,8 +350,30 @@ class MlfmmOperator(LinearOperator):
         return cls(children[0], aux)
 
 
-def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs):
-    """(T, S) padded aggregation/disaggregation tensors for one level."""
+def _pack_clusters(nodes, centers):
+    """Pad octree nodes to one uniform cluster size: (element-id table,
+    mask, cluster centers, radii). Shared by every FMM build."""
+    c = len(nodes)
+    m = max(len(nd.indices) for nd in nodes)
+    cl = np.zeros((c, m), np.int32)
+    mk = np.zeros((c, m))
+    cc = np.zeros((c, 3))
+    rr = np.zeros(c)
+    for i, nd in enumerate(nodes):
+        idx = nd.indices
+        cl[i, : len(idx)] = idx
+        mk[i, : len(idx)] = 1.0
+        cc[i] = centers[idx].mean(axis=0)
+        rr[i] = np.linalg.norm(centers[idx] - cc[i], axis=1).max() + 1e-12
+    return cl, mk, cc, rr
+
+
+def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0):
+    """(T, S) padded aggregation/disaggregation tensors for one level.
+
+    ``agg_offset``: extra additive term in the per-source direction-space
+    factor (-ik s.n_y + agg_offset) — the interior room system merges its
+    admittance single layer into the aggregation as offset -ik beta."""
     centers = mesh.centers
     normals = mesh.normals
     qp_e, qw_e = mesh.quad_points(2)
@@ -391,7 +382,7 @@ def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs):
     s_dot_ny = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
     t_tensor = (
         np.einsum("cqmg,cmg->cqm", np.exp(-1j * k * phase_g), qw_e[clusters])
-        * (-1j * k * s_dot_ny)
+        * (-1j * k * s_dot_ny + agg_offset)
         * mask[:, None, :]
     )
     y_rel = centers[clusters] - c_centers[:, None, :]
@@ -400,9 +391,11 @@ def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs):
     return t_tensor, s_tensor
 
 
-def _level_tensors(mesh, clusters, mask, c_centers, far, k, dirs, w, order, dtype):
+def _level_tensors(mesh, clusters, mask, c_centers, far, k, dirs, w, order, dtype,
+                   agg_offset=0.0):
     """(T, S, D) padded tensors for one level (shared by SL and ML)."""
-    t_tensor, s_tensor = _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs)
+    t_tensor, s_tensor = _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs,
+                                             agg_offset)
     c_count, q = len(c_centers), len(dirs)
     d_tensor = np.zeros((c_count, c_count, q), complex)
     fb, fa = np.where(far)
@@ -434,23 +427,8 @@ def build_mlfmm_system(
     leaves = tree.leaves
     parents = Octree.build(centers, max_per_leaf=max_per_leaf * 8).leaves
 
-    def pack(nodes):
-        c = len(nodes)
-        m = max(len(nd.indices) for nd in nodes)
-        cl = np.zeros((c, m), np.int32)
-        mk = np.zeros((c, m))
-        cc = np.zeros((c, 3))
-        rr = np.zeros(c)
-        for i, nd in enumerate(nodes):
-            idx = nd.indices
-            cl[i, : len(idx)] = idx
-            mk[i, : len(idx)] = 1.0
-            cc[i] = centers[idx].mean(axis=0)
-            rr[i] = np.linalg.norm(centers[idx] - cc[i], axis=1).max() + 1e-12
-        return cl, mk, cc, rr
-
-    cl_f, mk_f, cc_f, r_f = pack(leaves)
-    cl_c, mk_c, cc_c, r_c = pack(parents)
+    cl_f, mk_f, cc_f, r_f = _pack_clusters(leaves, centers)
+    cl_c, mk_c, cc_c, r_c = _pack_clusters(parents, centers)
 
     # parent of each leaf: the coarse cluster containing its first element
     elem_to_coarse = np.zeros(n, np.int32)
@@ -541,19 +519,7 @@ def build_room_fmm_system(
     normals = mesh.normals
 
     tree = Octree.build(centers, max_per_leaf=max_per_leaf)
-    leaves = tree.leaves
-    c_count = len(leaves)
-    m = max(len(lf.indices) for lf in leaves)
-    clusters = np.zeros((c_count, m), np.int32)
-    mask = np.zeros((c_count, m))
-    c_centers = np.zeros((c_count, 3))
-    radii = np.zeros(c_count)
-    for ci, lf in enumerate(leaves):
-        idx = lf.indices
-        clusters[ci, : len(idx)] = idx
-        mask[ci, : len(idx)] = 1.0
-        c_centers[ci] = centers[idx].mean(axis=0)
-        radii[ci] = np.linalg.norm(centers[idx] - c_centers[ci], axis=1).max() + 1e-12
+    clusters, mask, c_centers, radii = _pack_clusters(tree.leaves, centers)
 
     if expansion_order is None:
         kr = k * radii.max()
@@ -562,24 +528,12 @@ def build_room_fmm_system(
     dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
     far = dist > separation_ratio * (radii[:, None] + radii[None, :])
 
-    qp_e, qw_e = mesh.quad_points(2)
-    yg_rel = qp_e[clusters] - c_centers[:, None, None, :]
-    phase_g = np.einsum("qd,cmgd->cqmg", dirs, yg_rel)
-    agg = np.einsum("cqmg,cmg->cqm", np.exp(-1j * k * phase_g), qw_e[clusters])
-    s_dot_ny = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
-    # +D and -ik*beta*S merged: factor = (-ik s.n) + (-ik beta)
-    t_tensor = agg * ((-1j * k) * s_dot_ny + (-1j * k * admittance)) * mask[:, None, :]
-
-    y_rel = centers[clusters] - c_centers[:, None, :]
-    phase_y = np.einsum("qd,cmd->cqm", dirs, y_rel)
-    s_tensor = np.exp(1j * k * phase_y) * mask[:, None, :]
-
-    d_tensor = np.zeros((c_count, c_count, len(dirs)), complex)
-    fb, fa = np.where(far)
-    if len(fb):
-        d_tensor[fb, fa] = translation_operator(
-            k, c_centers[fb] - c_centers[fa], dirs, expansion_order
-        )
+    # +D and -ik*beta*S merged into the aggregation factor
+    # (-ik s.n) + (-ik beta) — the shared level build with agg_offset.
+    t_tensor, s_tensor, d_tensor = _level_tensors(
+        mesh, clusters, mask, c_centers, far, k, dirs, w, expansion_order, dtype,
+        agg_offset=-1j * k * admittance,
+    )
 
     nb, na = np.where(~far)
     near_blocks = _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype)
