@@ -47,13 +47,19 @@ class KrylovSolution(NamedTuple):
     converged: jnp.ndarray  # bool scalar
 
 
-def _vdot(x, y):
-    """Conjugate inner product <x, y>."""
-    return jnp.sum(jnp.conj(x) * y)
+def _vdot(x, y, axis_name=None):
+    """Conjugate inner product <x, y>; psum over ``axis_name`` when the
+    vectors are row-sharded under shard_map (the reference's global
+    reductions, blas_helpers.rs:21, become ICI collectives)."""
+    s = jnp.sum(jnp.conj(x) * y)
+    return jax.lax.psum(s, axis_name) if axis_name is not None else s
 
 
-def _norm(x):
-    return jnp.sqrt(jnp.sum(jnp.abs(x) ** 2).real)
+def _norm(x, axis_name=None):
+    s = jnp.sum(jnp.abs(x) ** 2).real
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return jnp.sqrt(s)
 
 
 def _prep(a, m, b):
@@ -62,8 +68,19 @@ def _prep(a, m, b):
     return a_mv, m_mv
 
 
-def cg(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None):
-    """Conjugate gradients for SPD/HPD systems (cg.rs:49)."""
+def _reduce_fns(axis_name):
+    """(vdot, norm) closed over the mesh axis (None = single device)."""
+    return partial(_vdot, axis_name=axis_name), partial(_norm, axis_name=axis_name)
+
+
+def cg(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None,
+       axis_name=None):
+    """Conjugate gradients for SPD/HPD systems (cg.rs:49).
+
+    ``axis_name``: name of a device-mesh axis the vectors are row-sharded
+    over (inside shard_map); inner products/norms then psum over it.
+    """
+    _vdot, _norm = _reduce_fns(axis_name)
     a_mv, m_mv = _prep(a, preconditioner, b)
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
@@ -96,8 +113,10 @@ def cg(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None
     return KrylovSolution(x, k, res / b_norm, res <= tol)
 
 
-def bicgstab(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None):
+def bicgstab(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None,
+             axis_name=None):
     """BiCGStab for general systems (bicgstab.rs:46)."""
+    _vdot, _norm = _reduce_fns(axis_name)
     a_mv, m_mv = _prep(a, preconditioner, b)
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
@@ -137,8 +156,10 @@ def bicgstab(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditione
     return KrylovSolution(x, k, res / b_norm, res <= tol)
 
 
-def cgs(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None):
+def cgs(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None,
+        axis_name=None):
     """Conjugate gradient squared (cgs.rs:46)."""
+    _vdot, _norm = _reduce_fns(axis_name)
     a_mv, m_mv = _prep(a, preconditioner, b)
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
@@ -194,11 +215,13 @@ def _givens(a, b):
     return c, s, r
 
 
-def qmrcgstab(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None):
+def qmrcgstab(a, b, x0=None, config: KrylovConfig = KrylovConfig(), preconditioner=None,
+              axis_name=None):
     """QMR-CGSTAB (Chan/Gallopoulos/Simoncini/Szeto/Tong 1994): BiCGStab
     with quasi-minimal-residual smoothing — smoother convergence on the
     indefinite BEM systems (reference SolverMethod::QmrCgstab,
     core/types.rs:588)."""
+    _vdot, _norm = _reduce_fns(axis_name)
     a_mv, m_mv = _prep(a, preconditioner, b)
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
@@ -265,20 +288,29 @@ def gmres(
     x0=None,
     config: KrylovConfig = KrylovConfig(),
     preconditioner=None,
+    axis_name=None,
 ):
     """Restarted GMRES(m) with left preconditioning (gmres.rs:96-434).
 
     Arnoldi via CGS2 (two classical Gram-Schmidt passes = two MXU
     matmuls), Givens-rotation least squares, relative-residual stopping.
     Batched use: ``jax.vmap(partial(gmres, config=...))(A_batch, b_batch)``.
+
+    ``axis_name``: mesh axis the vectors are row-sharded over (inside
+    shard_map). All inner products, norms, and CGS2 projections psum over
+    it; the Hessenberg/Givens least squares is tiny and runs replicated on
+    every device. The restart length is then taken from config as-is (the
+    local shard length no longer bounds the global Krylov dimension).
     """
     if isinstance(x0, KrylovConfig):
         raise TypeError("pass the solver config as gmres(a, b, config=...); "
                         "the third positional argument is the initial guess x0")
+    _vdot, _norm = _reduce_fns(axis_name)
+    psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name is not None else (lambda v: v)
     a_mv, m_mv = _prep(a, preconditioner, b)
     b = jnp.asarray(b)
     n = b.shape[0]
-    m = min(config.restart, n)
+    m = config.restart if axis_name is not None else min(config.restart, n)
     dtype = b.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
 
@@ -313,10 +345,13 @@ def gmres(
             cnt = cnt + jnp.where(done, 0, 1).astype(jnp.int32)
             w = m_mv(a_mv(basis[j]))
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            # CGS2: two classical Gram-Schmidt passes.
-            h1 = mask * (jnp.conj(basis) @ w)
+            # CGS2: two classical Gram-Schmidt passes. Under a sharded
+            # basis each projection is a local (m+1, n_loc) matvec + one
+            # psum — exactly the single-reduction-per-pass structure
+            # pipelined GMRES exists to optimize (see gmres_pipelined).
+            h1 = mask * psum(jnp.conj(basis) @ w)
             w = w - basis.T @ h1
-            h2 = mask * (jnp.conj(basis) @ w)
+            h2 = mask * psum(jnp.conj(basis) @ w)
             w = w - basis.T @ h2
             h = h1 + h2  # (m+1,), full column j of H
             h_last = _norm(w)
@@ -393,16 +428,163 @@ def gmres(
     return KrylovSolution(x, it, res / b_norm, converged)
 
 
-def gmres_with_guess(a, b, x0, config=KrylovConfig(), preconditioner=None):
-    """Parity alias (gmres.rs:105 gmres_with_guess)."""
-    return gmres(a, b, x0=x0, config=config, preconditioner=preconditioner)
+def gmres_pipelined_ghysels(a, b, x0=None, config=KrylovConfig(), preconditioner=None,
+                            axis_name=None):
+    """True Ghysels p(1)-GMRES (Ghysels, Ashby, Meerbergen, Vanroose 2013;
+    gmres_pipelined.rs:1-18): one *fused* global reduction per iteration.
 
-
-def gmres_pipelined(a, b, x0=None, config=KrylovConfig(), preconditioner=None):
-    """Parity entry point for the reference's pipelined GMRES
-    (gmres_pipelined.rs:1-18, Ghysels 2013). The communication/latency
-    overlap that algorithm buys on CPU clusters is provided on TPU by the
-    XLA scheduler and async ICI collectives, so this is the standard
-    solver — kept as a named variant so SolverType dispatch tables match.
+    The classical-Gram-Schmidt projections and the candidate norm are
+    computed in a single reduction (the norm via the Pythagorean trick
+    ||w_perp||^2 = ||w||^2 - sum|h_i|^2), and the auxiliary basis
+    Z = M A V advances by the same recurrence as V, so the next matvec
+    M A z_j is issued before the current reduction's results are needed —
+    the latency-hiding structure the reference implements. Kept as an
+    experimental variant for measurement (see gmres_pipelined's decision
+    record): the Pythagorean norm is less robust than CGS2 near
+    convergence, so the production solver remains ``gmres``.
     """
-    return gmres(a, b, x0=x0, config=config, preconditioner=preconditioner)
+    _vdot, _norm = _reduce_fns(axis_name)
+    psum = (lambda v: jax.lax.psum(v, axis_name)) if axis_name is not None else (lambda v: v)
+    a_mv, m_mv = _prep(a, preconditioner, b)
+    ma_mv = lambda x: m_mv(a_mv(x))
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    m = config.restart if axis_name is not None else min(config.restart, n)
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+
+    mb = m_mv(b)
+    b_norm = jnp.maximum(_norm(mb), 1e-30)
+    tol = jnp.asarray(config.tolerance, rdtype) * b_norm + config.atol
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r_pre0 = mb
+    else:
+        x0 = jnp.asarray(x0)
+        r_pre0 = m_mv(b - a_mv(x0))
+
+    def cycle(x, r0, total_it):
+        beta = _norm(r0)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        v0 = r0 / safe_beta.astype(dtype)
+
+        basis = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
+        zbasis = jnp.zeros((m + 1, n), dtype).at[0].set(ma_mv(v0))
+        hess = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros((m,), rdtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
+
+        def step(j, carry):
+            basis, zbasis, hess, cs, sn, g, res, done, cnt = carry
+            cnt = cnt + jnp.where(done, 0, 1).astype(jnp.int32)
+            z = zbasis[j]  # = M A v_j, computed one iteration ahead
+            # THE single fused reduction: projections + candidate norm^2.
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            local = jnp.concatenate(
+                [jnp.conj(basis) @ z, jnp.sum(jnp.abs(z) ** 2)[None].astype(dtype)]
+            )
+            red = psum(local)
+            h = mask * red[: m + 1]
+            z2 = red[m + 1].real
+            # issue the next matvec before using the reduction (XLA is free
+            # to overlap the collective with this local work)
+            w = ma_mv(z)
+            h2 = z2 - jnp.sum(jnp.abs(h) ** 2)
+            # Square-root breakdown (the p1 recurrence's known weakness):
+            # the Pythagorean subtraction cancels to rounding noise once
+            # the candidate is nearly in span(V). Stop the cycle and let
+            # the outer loop restart from the true residual.
+            breakdown = h2 <= 4.0 * jnp.finfo(rdtype).eps * z2
+            h_last = jnp.sqrt(jnp.maximum(h2, 0.0))
+            safe_h = jnp.where(h_last > 1e-30, h_last, 1.0)
+            v_next = (z - basis.T @ h) / safe_h.astype(dtype)
+            z_next = (w - zbasis.T @ h) / safe_h.astype(dtype)
+            basis = basis.at[j + 1].set(jnp.where(done, basis[j + 1], v_next))
+            zbasis = zbasis.at[j + 1].set(jnp.where(done, zbasis[j + 1], z_next))
+            h = h.at[j + 1].set(h_last.astype(dtype))
+
+            def rot(i, hcol):
+                hi, hi1 = hcol[i], hcol[i + 1]
+                active = i < j
+                new_i = cs[i] * hi + sn[i] * hi1
+                new_i1 = -jnp.conj(sn[i]) * hi + cs[i] * hi1
+                hcol = hcol.at[i].set(jnp.where(active, new_i, hi))
+                hcol = hcol.at[i + 1].set(jnp.where(active, new_i1, hi1))
+                return hcol
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            c_j, s_j, r_j = _givens(h[j], h[j + 1])
+            h = h.at[j].set(r_j).at[j + 1].set(jnp.zeros((), dtype))
+            g_j = g[j]
+            g = g.at[j].set(jnp.where(done, g[j], c_j * g_j))
+            g = g.at[j + 1].set(jnp.where(done, g[j + 1], -jnp.conj(s_j) * g_j))
+            cs = cs.at[j].set(jnp.where(done, cs[j], c_j))
+            sn = sn.at[j].set(jnp.where(done, sn[j], s_j))
+            hess = jnp.where(done, hess, hess.at[:, j].set(h))
+            new_res = jnp.abs(g[j + 1])
+            # on breakdown the Givens residual is meaningless (s_j ~ 0):
+            # freeze the previous estimate so convergence isn't declared
+            res = jnp.where(done | breakdown, res, new_res)
+            done = done | (new_res <= tol) | breakdown
+            return basis, zbasis, hess, cs, sn, g, res, done, cnt
+
+        carry = (basis, zbasis, hess, cs, sn, g, beta, beta <= tol, jnp.int32(0))
+        basis, zbasis, hess, cs, sn, g, res, done, cnt = jax.lax.fori_loop(0, m, step, carry)
+
+        r_mat = hess[:m, :]
+        diag = jnp.abs(jnp.diagonal(r_mat))
+        ok = diag > 1e-30
+        r_mat = r_mat + jnp.diag(jnp.where(ok, jnp.zeros((m,), dtype), jnp.ones((m,), dtype)))
+        rhs = jnp.where(ok, g[:m], jnp.zeros((m,), dtype))
+        y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
+        return x + basis[:m].T @ y, total_it + cnt, res
+
+    if config.max_iterations <= 0:
+        r_init = _norm(r_pre0)
+        return KrylovSolution(x0, jnp.int32(0), r_init / b_norm, r_init <= tol)
+
+    x1, it1, res1 = cycle(x0, r_pre0, jnp.int32(0))
+
+    def outer_cond(state):
+        _, it, res, converged = state
+        return (~converged) & (it < config.max_iterations)
+
+    def outer_body(state):
+        x, it, _, _ = state
+        r_pre = m_mv(b - a_mv(x))
+        x, it, res = cycle(x, r_pre, it)
+        return (x, it, res, res <= tol)
+
+    init = (x1, it1, res1, res1 <= tol)
+    x, it, res, converged = jax.lax.while_loop(outer_cond, outer_body, init)
+    return KrylovSolution(x, it, res / b_norm, converged)
+
+
+def gmres_with_guess(a, b, x0, config=KrylovConfig(), preconditioner=None, axis_name=None):
+    """Parity alias (gmres.rs:105 gmres_with_guess)."""
+    return gmres(a, b, x0=x0, config=config, preconditioner=preconditioner,
+                 axis_name=axis_name)
+
+
+def gmres_pipelined(a, b, x0=None, config=KrylovConfig(), preconditioner=None,
+                    axis_name=None):
+    """Pipelined GMRES entry point (gmres_pipelined.rs:1-18, Ghysels 2013).
+
+    Decision record (VERDICT r1 item 9, measured with
+    examples/pipelined_gmres_study.py; correctness gated by
+    tests/test_spmd.py::test_pipelined_gmres_decision): on an 8-device
+    mesh with a row-sharded n=262144 banded operator, the true Ghysels
+    p(1) variant (``gmres_pipelined_ghysels``: one fused reduction per
+    iteration, next SpMV issued before the reduction is consumed) ran at
+    0.46x the speed of standard CGS2-GMRES at identical iteration counts
+    (17.2 s vs 7.8 s per solve, tol 1e-12). XLA already overlaps the
+    psum with local SpMV work, so the p1 rearrangement buys nothing here,
+    while its auxiliary Z-basis costs one extra preconditioned matvec of
+    local work per iteration and its Pythagorean norm breaks down near
+    convergence (forcing restarts). The standard solver therefore remains
+    the implementation; the name is kept so SolverType dispatch tables
+    match the reference.
+    """
+    return gmres(a, b, x0=x0, config=config, preconditioner=preconditioner,
+                 axis_name=axis_name)

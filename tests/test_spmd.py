@@ -1,0 +1,266 @@
+"""Multi-device SPMD tests (8 virtual CPU devices, see conftest.py).
+
+Covers parallel/spmd.py: halo-exchange row-sharded ELL SpMV, psum-reduced
+GMRES inside shard_map, device-level additive Schwarz (schwarz.rs:31-125
+across devices), and row-block-sharded dense solves. Each test asserts
+(a) numerical equality with the single-device path and (b) genuinely
+sharded inputs/outputs (per-device addressable shards), per VERDICT r1
+item 2.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mathaudio_tpu.parallel.spmd import (
+    DeviceSchwarz,
+    build_sharded_system,
+    dense_rowblock_matvec,
+    ell_local_matvec,
+    schwarz_apply_local,
+    shard_dense_rows,
+    shard_ell,
+    sharded_dense_gmres_fn,
+    sharded_gmres_fn,
+    unshard,
+)
+from mathaudio_tpu.solvers import KrylovConfig, gmres
+from mathaudio_tpu.solvers.preconditioners.schwarz import AdditiveSchwarz
+from mathaudio_tpu.solvers.sparse import CsrMatrix
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = jax.devices()
+    if len(devices) < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices")
+    return Mesh(np.asarray(devices[:N_DEV]), ("dof",))
+
+
+def _helmholtz_1d_csr(n, k=2.0, dtype=np.complex128):
+    """Tridiagonal 1D FD Helmholtz (-u'' - k^2 u = f, Dirichlet): the
+    small banded testbed (same system as tests/test_solvers.py)."""
+    h = 1.0 / (n + 1)
+    main = (2.0 / h**2 - k**2) * np.ones(n)
+    off = (-1.0 / h**2) * np.ones(n - 1)
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([main, off, off]).astype(dtype)
+    # small complex absorption keeps it invertible + genuinely complex
+    vals[:n] += 1j * 0.3 * k
+    return CsrMatrix.from_triplets(rows, cols, vals, (n, n))
+
+
+def _rhs(n, dtype=np.complex128):
+    x = np.linspace(0, 1, n)
+    return np.exp(-((x - 0.4) ** 2) / 0.02).astype(dtype)
+
+
+def test_shard_ell_matvec_matches_csr(mesh):
+    n = 96
+    csr = _helmholtz_1d_csr(n)
+    ell = shard_ell(csr, N_DEV)
+    x = (np.random.default_rng(0).standard_normal(n)
+         + 1j * np.random.default_rng(1).standard_normal(n))
+    y_ref = csr.matvec(x)
+
+    r = ell.rows_per_shard
+    x_sh = jnp.asarray(x.reshape(N_DEV, r))
+
+    def local(idx, val, xl):
+        return ell_local_matvec(idx[0], val[0], xl[0], ell.halo, "dof", N_DEV)[None]
+
+    y = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("dof"),) * 3, out_specs=P("dof"),
+    ))(ell.indices, ell.values, x_sh)
+    np.testing.assert_allclose(np.asarray(y).reshape(-1)[:n], y_ref, rtol=1e-12)
+    # genuinely sharded: one addressable shard per device, 1/N rows each
+    assert len(y.addressable_shards) == N_DEV
+    assert y.addressable_shards[0].data.shape == (1, r)
+
+
+def test_shard_ell_rejects_wide_bandwidth():
+    n = 32
+    rows = np.concatenate([np.arange(n), np.arange(n)])
+    cols = np.concatenate([np.arange(n), (np.arange(n) + n // 2) % n])
+    vals = np.ones(2 * n)
+    csr = CsrMatrix.from_triplets(rows, cols, vals, (n, n))
+    with pytest.raises(ValueError, match="bandwidth"):
+        shard_ell(csr, 8)
+
+
+def test_device_schwarz_matches_single_device(mesh):
+    n = 96
+    csr = _helmholtz_1d_csr(n)
+    overlap = 2
+    dsz = DeviceSchwarz.from_csr(csr, N_DEV, overlap)
+    ref = AdditiveSchwarz.from_csr(csr, N_DEV, overlap)
+
+    r_vec = (np.random.default_rng(2).standard_normal(n)
+             + 1j * np.random.default_rng(3).standard_normal(n))
+    want = np.asarray(ref.matvec(jnp.asarray(r_vec)))
+
+    r = n // N_DEV
+    r_sh = jnp.asarray(r_vec.reshape(N_DEV, r))
+
+    def local(g, inv, v, w, rl):
+        return schwarz_apply_local(
+            g[0], inv[0], v[0], w[0], rl[0], dsz.overlap, "dof", N_DEV
+        )[None]
+
+    got = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("dof"),) * 5, out_specs=P("dof"),
+    ))(dsz.gather_idx, dsz.inv_blocks, dsz.valid, dsz.weights, r_sh)
+    np.testing.assert_allclose(np.asarray(got).reshape(-1), want, rtol=1e-10)
+
+
+def test_sharded_gmres_matches_dense_solve(mesh):
+    n = 96
+    csr = _helmholtz_1d_csr(n)
+    rhs = _rhs(n)
+    x_ref = np.linalg.solve(csr.to_dense(), rhs)
+
+    system = build_sharded_system(csr, rhs, N_DEV, schwarz_overlap=2)
+    config = KrylovConfig(max_iterations=200, tolerance=1e-10, restart=40)
+    solve = jax.jit(sharded_gmres_fn(mesh, config))
+    sol = solve(system)
+    assert bool(sol.converged)
+    x = np.asarray(unshard(sol.x, n))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-7, atol=1e-9)
+    # solution genuinely sharded across devices
+    assert len(sol.x.addressable_shards) == N_DEV
+
+
+def test_sharded_gmres_iterations_match_single_device(mesh):
+    """Same preconditioner partition => same Krylov trajectory: iteration
+    count of the distributed solve equals the single-device solve."""
+    n = 96
+    csr = _helmholtz_1d_csr(n)
+    rhs = _rhs(n)
+    config = KrylovConfig(max_iterations=200, tolerance=1e-10, restart=40)
+
+    ref_pre = AdditiveSchwarz.from_csr(csr, N_DEV, 2)
+    ell_op = csr.to_ell().operator()
+    sol_1dev = gmres(ell_op, jnp.asarray(rhs), config=config, preconditioner=ref_pre)
+
+    system = build_sharded_system(csr, rhs, N_DEV, schwarz_overlap=2)
+    sol_8dev = jax.jit(sharded_gmres_fn(mesh, config))(system)
+    assert bool(sol_8dev.converged) and bool(sol_1dev.converged)
+    assert int(sol_8dev.iterations) == int(sol_1dev.iterations)
+    np.testing.assert_allclose(
+        np.asarray(unshard(sol_8dev.x, n)), np.asarray(sol_1dev.x), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_sharded_gmres_no_schwarz(mesh):
+    """Unpreconditioned collective GMRES on a well-conditioned banded
+    system (the 1/h^2 FD Helmholtz needs the Schwarz tests' setup)."""
+    n = 96
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([
+        (4.0 + 0.3j) * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)
+    ]).astype(np.complex128)
+    csr = CsrMatrix.from_triplets(rows, cols, vals, (n, n))
+    rhs = _rhs(n)
+    x_ref = np.linalg.solve(csr.to_dense(), rhs)
+    system = build_sharded_system(csr, rhs, N_DEV, schwarz_overlap=None)
+    config = KrylovConfig(max_iterations=200, tolerance=1e-10, restart=40)
+    sol = jax.jit(sharded_gmres_fn(mesh, config))(system)
+    assert bool(sol.converged)
+    np.testing.assert_allclose(
+        np.asarray(unshard(sol.x, n)), x_ref, rtol=1e-8, atol=1e-10
+    )
+
+
+def test_sharded_dense_gmres(mesh):
+    """Row-block-sharded dense solve (the BEM matrix layout)."""
+    n = 64
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a += n * np.eye(n)  # diagonally dominant
+    rhs = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x_ref = np.linalg.solve(a, rhs)
+
+    a_blocks, rhs_sh = shard_dense_rows(a, rhs, N_DEV)
+    config = KrylovConfig(max_iterations=100, tolerance=1e-12, restart=40)
+    sol = jax.jit(sharded_dense_gmres_fn(mesh, config))(a_blocks, rhs_sh)
+    assert bool(sol.converged)
+    np.testing.assert_allclose(
+        np.asarray(unshard(sol.x, n)), x_ref, rtol=1e-8, atol=1e-10
+    )
+    assert len(sol.x.addressable_shards) == N_DEV
+
+
+def test_sharded_fem_assembled_system(mesh):
+    """End-to-end: assembled FEM Helmholtz operator (unit square P1,
+    absorbing Robin walls), row-sharded over 8 devices,
+    Schwarz-preconditioned collective GMRES vs the host dense solve."""
+    from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+    from mathaudio_tpu.fem.mesh import unit_square_triangles
+
+    mesh_2d = unit_square_triangles(11)  # 144 nodes, bandwidth ~13 < 18 rows/shard
+    tags = sorted({t for t in mesh_2d.boundary_markers.tolist() if t > 0}) \
+        if hasattr(mesh_2d, "boundary_markers") else [1, 2, 3, 4]
+    asm = HelmholtzAssembler(mesh_2d, robin_tags=tuple(tags), dtype=jnp.float64)
+    k = 3.0
+    vals = np.asarray(asm.system_values(k, {t: -1j * k * 0.2 for t in tags}))
+    csr = CsrMatrix(asm.csr.indptr, asm.csr.indices, vals, asm.csr.shape)
+    rhs = _rhs(csr.shape[0])
+    x_ref = np.linalg.solve(csr.to_dense(), rhs)
+
+    system = build_sharded_system(csr, rhs, N_DEV, schwarz_overlap=1)
+    config = KrylovConfig(max_iterations=300, tolerance=1e-10, restart=50)
+    sol = jax.jit(sharded_gmres_fn(mesh, config))(system)
+    assert bool(sol.converged)
+    np.testing.assert_allclose(
+        np.asarray(unshard(sol.x, csr.shape[0])), x_ref, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_pipelined_gmres_decision(mesh):
+    """The true Ghysels p(1) variant (kept for the decision record in
+    gmres_pipelined's docstring) solves the sharded system to the same
+    answer as standard CGS2-GMRES."""
+    from mathaudio_tpu.solvers.krylov import gmres_pipelined_ghysels
+
+    n = 96
+    csr = _helmholtz_1d_csr(n)
+    rhs = _rhs(n)
+    x_ref = np.linalg.solve(csr.to_dense(), rhs)
+    system = build_sharded_system(csr, rhs, N_DEV, schwarz_overlap=2)
+    config = KrylovConfig(max_iterations=200, tolerance=1e-10, restart=40)
+    sol = jax.jit(sharded_gmres_fn(mesh, config, solver=gmres_pipelined_ghysels))(system)
+    assert bool(sol.converged)
+    np.testing.assert_allclose(
+        np.asarray(unshard(sol.x, n)), x_ref, rtol=1e-6, atol=1e-9
+    )
+
+
+def test_ghysels_breakdown_restart():
+    """Square-root breakdown of the p1 Pythagorean norm must not report
+    spurious convergence: the solver restarts and reaches the true
+    tolerance (single-device path)."""
+    from mathaudio_tpu.solvers.krylov import gmres_pipelined_ghysels
+
+    n = 512
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([
+        (4.0 - 1.44 + 0.4j) * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)
+    ]).astype(np.complex128)
+    csr = CsrMatrix.from_triplets(rows, cols, vals, (n, n))
+    a = jnp.asarray(csr.to_dense())
+    rhs = jnp.asarray(_rhs(n))
+    # tol 1e-12 sits past the p1 breakdown point (~1e-6 loss from the
+    # Pythagorean subtraction), so this run exercises breakdown-restart
+    config = KrylovConfig(max_iterations=600, tolerance=1e-12, restart=60)
+    sol = gmres_pipelined_ghysels(a, rhs, config=config)
+    assert bool(sol.converged)
+    res = np.linalg.norm(np.asarray(a) @ np.asarray(sol.x) - np.asarray(rhs))
+    assert res / np.linalg.norm(np.asarray(rhs)) < 1e-10
