@@ -63,6 +63,50 @@ class SurfaceMesh:
     def avg_element_size(self) -> float:
         return float(np.sqrt(self.areas.mean()))
 
+    def ka_radius(self) -> float:
+        """Effective acoustic radius for ka-based rules (Burton–Miller
+        beta-scale selection): mean element-center distance from the
+        centroid. One shared definition so the dense solver and the
+        sweep pick identical scales (advisor r1: the two paths used
+        different radii and could disagree near the 0.5/2.0 ka
+        thresholds)."""
+        c = self.centers - self.centers.mean(axis=0)
+        return float(np.linalg.norm(c, axis=1).mean())
+
+    def quad_points_refined(self, order: int = 3, depth: int = 2):
+        """Subdivided quadrature: each (flat) triangle split into
+        4**depth midpoint children, the order-``order`` rule on each —
+        the static-shape equivalent of the reference's distance-adaptive
+        order upgrade for quasi-singular pairs (regular.rs:275) and of
+        its <=110-subelement subdivision cap (singular.rs:123). Returns
+        (points (N, nq*4**depth, 3), weights (N, nq*4**depth))."""
+        assert self.nodes_per_element == 3, "refined rule: triangles only"
+        tris = self.nodes[self.elements][:, None, :, :]  # (N, 1, 3, 3)
+        for _ in range(depth):
+            a, b, c = tris[..., 0, :], tris[..., 1, :], tris[..., 2, :]
+            ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+            tris = np.concatenate(
+                [
+                    np.stack([a, ab, ca], axis=-2),
+                    np.stack([ab, b, bc], axis=-2),
+                    np.stack([ca, bc, c], axis=-2),
+                    np.stack([ab, bc, ca], axis=-2),
+                ],
+                axis=1,
+            )  # (N, 4^i, 3, 3)
+        ref_pts, ref_w = triangle_rule(order)
+        l1, l2 = ref_pts[:, 0], ref_pts[:, 1]
+        shape = np.stack([1.0 - l1 - l2, l1, l2], axis=1)  # (nq, 3)
+        qp = np.einsum("qv,ncvd->ncqd", shape, tris)
+        n = self.num_elements
+        # midpoint children of a flat triangle have exactly area/4^depth
+        child_area = self.areas / 4.0**depth
+        qw = (2.0 * child_area)[:, None, None] * ref_w[None, None, :]
+        nqf = qp.shape[1] * qp.shape[2]
+        return qp.reshape(n, nqf, 3), np.broadcast_to(
+            qw, (n, tris.shape[1], len(ref_w))
+        ).reshape(n, nqf)
+
     def quad_points(self, order: int = 3):
         """Gauss points/weights on every element: returns
         (points (N, nq, 3), weights (N, nq)) with weights including the

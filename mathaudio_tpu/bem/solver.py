@@ -152,7 +152,7 @@ class BemSolver:
             return self._solve_fmm(problem)
 
         if cfg.burton_miller:
-            ka = k * float(np.linalg.norm(mesh.centers, axis=1).mean())
+            ka = k * mesh.ka_radius()
             scale = cfg.beta_scale or problem.physics.optimal_beta_scale(ka)
             beta = problem.physics.burton_miller_beta_optimal(
                 mesh.avg_element_size()
@@ -201,14 +201,18 @@ class BemSolver:
         k = ph.wave_number
         beta = 0.0
         if cfg.burton_miller:
-            beta = ph.burton_miller_beta_optimal(mesh.avg_element_size())
+            # same beta selection as the rigid dense path (advisor r1:
+            # the mixed path previously skipped the ka/config scale)
+            ka = k * mesh.ka_radius()
+            scale = cfg.beta_scale or ph.optimal_beta_scale(ka)
+            beta = ph.burton_miller_beta_optimal(mesh.avg_element_size()) * scale
         a, b, unknown_p = assemble_mixed_system(
             mesh,
             k,
             problem.bc,
             beta=beta,
             incident=problem.incident,
-            quad_order=max(cfg.quad_order, 4),
+            quad_order=cfg.quad_order,
             density=ph.density,
             speed_of_sound=ph.speed_of_sound,
         )
@@ -224,7 +228,14 @@ class BemSolver:
                 restart=cfg.restart,
             )
             pre = jacobi_preconditioner(jnp.diagonal(a))
-            sol = gmres(a, b, config=kcfg, preconditioner=pre)
+            if cfg.method == SolverMethod.BICGSTAB:
+                sol = bicgstab(a, b, config=kcfg, preconditioner=pre)
+            elif cfg.method == SolverMethod.CGS:
+                sol = cgs(a, b, config=kcfg, preconditioner=pre)
+            elif cfg.method == SolverMethod.QMRCGSTAB:
+                sol = qmrcgstab(a, b, config=kcfg, preconditioner=pre)
+            else:
+                sol = gmres(a, b, config=kcfg, preconditioner=pre)
             u = sol.x
             info["converged"] = bool(sol.converged)
             info["iterations"] = int(sol.iterations)

@@ -155,4 +155,8 @@ class BemSolverConfig:
     restart: int = 50
     burton_miller: bool = True
     beta_scale: float = 4.0  # bem_solver.rs default
+    # Honored as-is on every path, including mixed velocity/pressure
+    # systems (advisor r1: _solve_mixed used to apply a silent
+    # max(quad_order, 4) floor; raise it explicitly for tighter mixed-BC
+    # tolerances).
     quad_order: int = 3

@@ -339,7 +339,10 @@ def build_coarse_inv_chain(
     def step(x, a_i):
         for _ in range(newton_steps):
             x = x @ (2.0 * eye - a_i @ x)
-        resid = jnp.max(jnp.abs(eye - a_i @ x))
+        # Row-sum (infinity) norm upper-bounds the spectral radius of
+        # I - A X, so < 0.1 rigorously certifies Newton-Schulz
+        # contraction (the max-entry norm it replaces did not).
+        resid = jnp.max(jnp.sum(jnp.abs(eye - a_i @ x), axis=1))
         good = jnp.isfinite(resid) & (resid < 0.1)
         x = jax.lax.cond(good, lambda: x, lambda: jnp.linalg.inv(a_i))
         return x, x
