@@ -140,18 +140,14 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
 
     if calibrate:
         print(f"# calibration value: BASELINE_CPU_DOF_PER_S = {value:.3e}", file=sys.stderr)
-        return
+        return None
 
-    print(
-        json.dumps(
-            {
-                "metric": "helmholtz_room_sweep_dof_per_s",
-                "value": round(value, 1),
-                "unit": "DoF-solves/s",
-                "vs_baseline": round(value / BASELINE_CPU_DOF_PER_S, 3),
-            }
-        )
-    )
+    return {
+        "metric": "helmholtz_room_sweep_dof_per_s",
+        "value": round(value, 1),
+        "unit": "DoF-solves/s",
+        "vs_baseline": round(value / BASELINE_CPU_DOF_PER_S, 3),
+    }
 
 
 # Measured once with `python bench.py --metric iir --device cpu --calibrate`
@@ -162,8 +158,9 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
 BASELINE_CPU_IIR_MSAMPLES = 17.6
 
 # Measured: `python bench.py --device cpu --metric bem --calibrate`
-# (icosphere subdiv 3 = 1280 elements, f64, batched assembly + LU).
-BASELINE_CPU_BEM_SOLVES_PER_S = 0.98
+# per mesh size (icosphere subdiv: 3 = 1280 elements, 4 = 5120; f64,
+# batched assembly + LU; the 5120 tier uses row-chunked assembly).
+BASELINE_CPU_BEM_SOLVES_PER_S = {1280: 0.98, 5120: 0.0922}
 
 
 def run_iir(device: str, repeats: int, calibrate: bool):
@@ -205,23 +202,21 @@ def run_iir(device: str, repeats: int, calibrate: bool):
     )
     if calibrate:
         print(f"# BASELINE_CPU_IIR_MSAMPLES = {msamp:.1f}", file=sys.stderr)
-        return
-    print(
-        json.dumps(
-            {
-                "metric": "iir_biquad_cascade_msamples_per_s",
-                "value": round(msamp, 1),
-                "unit": "Msamples/s",
-                "vs_baseline": round(msamp / BASELINE_CPU_IIR_MSAMPLES, 3),
-            }
-        )
-    )
+        return None
+    return {
+        "metric": "iir_biquad_cascade_msamples_per_s",
+        "value": round(msamp, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msamp / BASELINE_CPU_IIR_MSAMPLES, 3),
+    }
 
 
-def run_bem(device: str, repeats: int, calibrate: bool):
+def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4):
     """Third metric: dense BEM solves/s — a band of scattering problems
-    (collocation assembly + LU, 1280 elements each) batched in one jit
-    (bem/sweep.py; the reference's audio_frequency_sweep.rs loop).
+    (collocation assembly + LU) batched in one jit (bem/sweep.py; the
+    reference's audio_frequency_sweep.rs loop). Default mesh is the
+    reference's FMM-tier size N=5120 (icosphere subdiv 4; VERDICT r1
+    item 3 — row-chunked assembly keeps the kernel buffers bounded).
     Complex values never cross the host boundary (the tunneled TPU
     transport has no complex serialization): the jit takes real
     wavenumbers and returns |p|."""
@@ -238,18 +233,32 @@ def run_bem(device: str, repeats: int, calibrate: bool):
     from mathaudio_tpu.bem.mesh import icosphere
     from mathaudio_tpu.bem.sweep import sweep_apply, sweep_statics
 
-    surf = icosphere(1.0, 3)  # 1280 elements
+    surf = icosphere(1.0, subdiv)
+    n = surf.num_elements
     inc = plane_wave((0.0, 0.0, 1.0))
     statics = sweep_statics(surf)
     cdt = jnp.complex128 if device == "cpu" else jnp.complex64
 
+    # Large N: sweep in chunks of 2 vmapped frequencies (the batched LU
+    # panel is f32[B,7424,128]; B >= 4 concurrent 5k-dof factorizations
+    # exceed the 16 MB scoped-VMEM limit).
+    fchunk = 0 if n <= 1280 else 2
+
     def run_abs(s, ks):
         betas = jnp.zeros_like(ks).astype(cdt)
         rhs = jax.vmap(lambda k: inc.pressure(s.centers, k))(ks)
-        return jnp.abs(sweep_apply(s, ks, betas, rhs))
+        return jnp.abs(sweep_apply(s, ks, betas, rhs, freq_chunk=fchunk))
 
-    fn = jax.jit(run_abs)
-    nf = 4 if device == "cpu" else 64
+    # Large N needs a raised scoped-VMEM ceiling for the LU panel
+    # (18.5 MB vs the 16 MB default; v5e has 128 MB VMEM).
+    copts = None if (n <= 1280 or device == "cpu") else {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"
+    }
+    fn = jax.jit(run_abs, compiler_options=copts)
+    if device == "cpu":
+        nf = 4 if n <= 1280 else 2
+    else:
+        nf = 64 if n <= 1280 else 8
     ks = jnp.linspace(0.5, 3.0, nf)
     np.asarray(fn(statics, ks))  # compile
     times = []
@@ -259,29 +268,27 @@ def run_bem(device: str, repeats: int, calibrate: bool):
         times.append(time.perf_counter() - t0)
     rate = nf / min(times)
     print(
-        f"# bem sweep: {min(times)*1e3:.0f} ms for {nf} x 1280-element "
-        f"assembly+LU -> {rate:.1f} solves/s",
+        f"# bem sweep: {min(times)*1e3:.0f} ms for {nf} x {n}-element "
+        f"assembly+LU -> {rate:.2f} solves/s",
         file=sys.stderr,
     )
     if calibrate:
-        print(f"# BASELINE_CPU_BEM_SOLVES_PER_S = {rate:.2f}", file=sys.stderr)
-        return
-    print(
-        json.dumps(
-            {
-                "metric": "bem_dense_solves_per_s",
-                "value": round(rate, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(rate / BASELINE_CPU_BEM_SOLVES_PER_S, 3),
-            }
-        )
-    )
+        print(f"# BASELINE_CPU_BEM_SOLVES_PER_S[{n}] = {rate:.4f}", file=sys.stderr)
+        return None
+    base = BASELINE_CPU_BEM_SOLVES_PER_S.get(n)
+    return {
+        "metric": "bem_dense_solves_per_s",
+        "value": round(rate, 2),
+        "unit": "solves/s",
+        "n_elements": n,
+        "vs_baseline": round(rate / base, 3) if base else None,
+    }
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
-    ap.add_argument("--metric", default="fem", choices=["fem", "iir", "bem"])
+    ap.add_argument("--metric", default="all", choices=["all", "fem", "iir", "bem"])
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
     ap.add_argument("--freqs", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=3)
@@ -291,12 +298,25 @@ if __name__ == "__main__":
                          "anchor-chunk vmap fast path)")
     ap.add_argument("--cycle", default="v", choices=["v", "w", "f"])
     ap.add_argument("--restart", type=int, default=6)
+    ap.add_argument("--bem-subdiv", type=int, default=4,
+                    help="icosphere subdivision for the BEM metric (3=1280, 4=5120)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.metric == "iir":
-        run_iir(args.device, args.repeats, args.calibrate)
+        out = run_iir(args.device, args.repeats, args.calibrate)
     elif args.metric == "bem":
-        run_bem(args.device, args.repeats, args.calibrate)
+        out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv)
+    elif args.metric == "fem":
+        out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
+                  args.anchors, args.cycle, args.restart)
     else:
-        run(args.device, args.n, args.freqs, args.repeats, args.calibrate, args.anchors,
-            args.cycle, args.restart)
+        # all three (VERDICT r1 item 4): secondary metrics first, headline
+        # FEM last; ONE combined JSON line (headline fields at top level so
+        # existing parsers see the FEM number, secondaries nested).
+        iir = run_iir(args.device, args.repeats, args.calibrate)
+        bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv)
+        fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
+                  args.anchors, args.cycle, args.restart)
+        out = dict(fem, secondary=[iir, bem]) if fem else None
+    if out is not None:
+        print(json.dumps(out))

@@ -201,15 +201,19 @@ class TestDeApps:
         rc = main(
             [
                 "-o", str(tmp_path),
-                "--functions", "sphere", "booth",
+                "-f", "booth",
                 "--strategies", "best1bin",
-                "--maxiter", "100",
+                "--quick",
             ]
         )
         assert rc == 0
         rows = json.load(open(tmp_path / "summary.json"))
-        assert len(rows) == 2
-        assert all(r["error"] < 1e-3 for r in rows)
+        assert len(rows) == 1
+        assert all(r["success"] for r in rows)
+        assert all(r["fun_error"] < r["fun_tolerance"] for r in rows)
+        # per-eval CSV trace written by the recorder
+        csvs = list(tmp_path.glob("booth_*best1bin.csv"))
+        assert csvs and csvs[0].stat().st_size > 0
 
 
 class TestSlices:
