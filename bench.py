@@ -53,7 +53,7 @@ BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
-        cycle: str = "v", restart: int = 6):
+        cycle: str = "v", restart: int = 6, levels: int = 3):
     import os
 
     import jax
@@ -83,7 +83,11 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
     from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
 
     t0 = time.perf_counter()
-    meshes = box_hierarchy(n, 3)  # n -> n/2 -> n/4, coarse solved dense
+    # n -> n/2 -> ... (levels), coarsest solved via explicit inverse.
+    # levels=4 matters at n>=24: with 3 levels the coarse inverse is a
+    # (2*729)^2 matmul, past the axon backend's ~432^2 dense per-op
+    # cliff (ARCHITECTURE.md §10) — one more level keeps it small.
+    meshes = box_hierarchy(n, levels)
     mesh = meshes[0]
     model = RoomSweepModel(
         mesh,
@@ -239,10 +243,11 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4):
     statics = sweep_statics(surf)
     cdt = jnp.complex128 if device == "cpu" else jnp.complex64
 
-    # Large N: sweep in chunks of 2 vmapped frequencies (the batched LU
-    # panel is f32[B,7424,128]; B >= 4 concurrent 5k-dof factorizations
-    # exceed the 16 MB scoped-VMEM limit).
-    fchunk = 0 if n <= 1280 else 2
+    # Large N: sweep in chunks of vmapped frequencies (the batched LU
+    # panel is f32[B,~1.45N,128]; B >= 4 concurrent 5k-dof factorizations
+    # exceed the 16 MB scoped-VMEM limit, and at N=20480 even two
+    # concurrent 3.1 GiB complex64 matrices crowd HBM during LU).
+    fchunk = 0 if n <= 1280 else (2 if n <= 5120 else 1)
 
     def run_abs(s, ks):
         betas = jnp.zeros_like(ks).astype(cdt)
@@ -250,15 +255,16 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4):
         return jnp.abs(sweep_apply(s, ks, betas, rhs, freq_chunk=fchunk))
 
     # Large N needs a raised scoped-VMEM ceiling for the LU panel
-    # (18.5 MB vs the 16 MB default; v5e has 128 MB VMEM).
+    # (f32[B,2N,128] double-buffered: 18.5 MB at N=5120, 41.3 MB at
+    # N=20480, vs the 16 MB default; v5e has 128 MB VMEM).
     copts = None if (n <= 1280 or device == "cpu") else {
-        "xla_tpu_scoped_vmem_limit_kib": "32768"
+        "xla_tpu_scoped_vmem_limit_kib": "32768" if n <= 5120 else "65536"
     }
     fn = jax.jit(run_abs, compiler_options=copts)
     if device == "cpu":
         nf = 4 if n <= 1280 else 2
     else:
-        nf = 64 if n <= 1280 else 8
+        nf = 64 if n <= 1280 else (8 if n <= 5120 else 2)
     ks = jnp.linspace(0.5, 3.0, nf)
     np.asarray(fn(statics, ks))  # compile
     times = []
@@ -298,8 +304,9 @@ if __name__ == "__main__":
                          "anchor-chunk vmap fast path)")
     ap.add_argument("--cycle", default="v", choices=["v", "w", "f"])
     ap.add_argument("--restart", type=int, default=6)
+    ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
     ap.add_argument("--bem-subdiv", type=int, default=4,
-                    help="icosphere subdivision for the BEM metric (3=1280, 4=5120)")
+                    help="icosphere subdivision for the BEM metric (3=1280, 4=5120, 5=20480)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.metric == "iir":
@@ -308,7 +315,7 @@ if __name__ == "__main__":
         out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv)
     elif args.metric == "fem":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
-                  args.anchors, args.cycle, args.restart)
+                  args.anchors, args.cycle, args.restart, args.levels)
     else:
         # all three (VERDICT r1 item 4): secondary metrics first, headline
         # FEM last; ONE combined JSON line (headline fields at top level so
@@ -316,7 +323,7 @@ if __name__ == "__main__":
         iir = run_iir(args.device, args.repeats, args.calibrate)
         bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv)
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
-                  args.anchors, args.cycle, args.restart)
+                  args.anchors, args.cycle, args.restart, args.levels)
         out = dict(fem, secondary=[iir, bem]) if fem else None
     if out is not None:
         print(json.dumps(out))

@@ -11,6 +11,9 @@ vs the Mie series: the method is robust — accuracy stays flat across
 two orders of magnitude of coupling scale, so the default scale (4.0,
 bem_solver.rs) is uncritical.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

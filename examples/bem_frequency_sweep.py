@@ -1,6 +1,9 @@
 """Audio-band BEM frequency sweep on a rigid sphere: dense solve per
 frequency plus an FMM cross-check at the top of the band
 (math-bem examples audio_frequency_sweep.rs / audio_fmm_sweep.rs)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -1,6 +1,9 @@
 """Constrained differential evolution: linear + nonlinear penalty
 constraints (math-differential-evolution examples
 optde_linear_constraints.rs / optde_nonlinear_constraints.rs)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np

@@ -1,5 +1,8 @@
 """Design a small PEQ and export it in every supported format
 (math-iir-fir examples format_demo.rs / format_rme_room_demo.rs)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 

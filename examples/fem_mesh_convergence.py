@@ -6,6 +6,9 @@ Solves -lap(u) - k^2 u = f with a manufactured solution on successively
 refined meshes and prints the L2 error and observed order. P1 elements
 converge at O(h^2) in L2; the observed order should approach 2.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

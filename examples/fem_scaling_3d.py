@@ -1,5 +1,8 @@
 """3D FEM scaling study: DoF throughput of the batched frequency sweep
 as the mesh grows (math-fem examples/scaling_3d.rs)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

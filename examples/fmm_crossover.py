@@ -12,6 +12,9 @@ O(N^2) -> ~O(N log N) claim (math-bem/README.md:79-81) made concrete,
 and the reason the solver-selection table switches to FMM above the
 dense/iterative sizes.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -11,6 +11,9 @@ Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      PYTHONPATH=. python examples/pipelined_gmres_study.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

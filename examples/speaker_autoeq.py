@@ -1,5 +1,8 @@
 """Fit a parametric EQ to a bumpy speaker response with on-device DE and
 export an EqualizerAPO config (the speaker-EQ flow end to end)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np

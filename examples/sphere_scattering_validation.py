@@ -1,6 +1,9 @@
 """BEM sphere scattering vs the Mie series across regimes — the
 framework's core validation, as a runnable example (the reference ships
 this as math-bem examples + qa_suite)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
