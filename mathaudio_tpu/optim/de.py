@@ -199,9 +199,12 @@ class DEConfigBuilder:
         self.cfg = DEConfig()
 
     def __getattr__(self, name):
+        # Reject unknown config fields at attribute access, not at call
+        # time, so a typo like .maxitr(5) fails on the lookup itself.
+        if not hasattr(self.cfg, name):
+            raise AttributeError(name)
+
         def setter(value):
-            if not hasattr(self.cfg, name):
-                raise AttributeError(name)
             setattr(self.cfg, name, value)
             return self
 
@@ -343,6 +346,14 @@ def differential_evolution(
         if not hasattr(cfg, k):
             raise TypeError(f"unknown config field {k}")
         setattr(cfg, k, v)
+    if jit_loop and (cfg.callback is not None or cfg.disp):
+        import warnings
+
+        warnings.warn(
+            "jit_loop=True runs inside lax.while_loop: callback/disp are "
+            "ignored; use jit_loop=False for per-generation hooks",
+            stacklevel=2,
+        )
     if isinstance(cfg.strategy, str):
         cfg.strategy = Strategy.from_str(cfg.strategy)
 
@@ -500,7 +511,12 @@ def differential_evolution(
         )
         nit = int(it)
         nfev += nit * npop
-        success = nit < cfg.maxiter
+        # Re-test the convergence predicate on the final population: a run
+        # that converges exactly on its last allowed generation exits the
+        # while_loop with it == maxiter and would read as failure if we
+        # inferred success from the iteration count alone.
+        e_np = np.asarray(energies)
+        success = bool(e_np.std() <= cfg.atol + cfg.tol * abs(e_np.mean()))
         if success:
             message = "converged (population std within tolerance)"
     else:
