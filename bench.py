@@ -49,6 +49,19 @@ import time
 # (currently 16-freq batches with 4 Schulz-chained anchor inverses;
 # --device cpu --calibrate --freqs 16 --anchors 4 reproduces it; the
 # old per-frequency-inverse best was 1.035e5).
+#
+# Knob scans that did NOT raise the headline (recorded so they are not
+# re-tried): nu_post=0 removes 1 of the 3 big gather-matvec passes per
+# iteration but the lockstep max iteration count rises 6 -> 10 (measured
+# on the bench band, n=16/128 freqs) — net zero; shifted-Laplacian beta2
+# in {0.2..0.5}, omega in {0.9, 1.0, 1.1}, and nu=2/nu_post=0 all leave
+# the lockstep max at 6 (means improve, max does not — and vmapped
+# while_loop cost is set by the max). W/F-cycles with nu_post=0 (2 big
+# passes/iter instead of 3) converge at max 8 -> 16 big passes vs 18,
+# but the doubled coarse visits + the 8-dim CGS2 basis give the ~11%
+# back: every measured knob setting lands at ~19 big-pass equivalents.
+# The sweep is address-bound on the VPU gather
+# (examples/fem_roofline_breakdown.py quantifies this).
 BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
@@ -162,9 +175,18 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
 BASELINE_CPU_IIR_MSAMPLES = 17.6
 
 # Measured: `python bench.py --device cpu --metric bem --calibrate`
-# per mesh size (icosphere subdiv: 3 = 1280 elements, 4 = 5120; f64,
-# batched assembly + LU; the 5120 tier uses row-chunked assembly).
-BASELINE_CPU_BEM_SOLVES_PER_S = {1280: 0.98, 5120: 0.0922}
+# per (mesh size, solver). Icosphere subdiv: 3 = 1280 elements, 4 = 5120;
+# f64, batched assembly; the 5120 tier uses row-chunked assembly. The
+# default solver follows the reference's size table (qa_suite.rs:9-14):
+# direct LU below N=1000, iterative above — Jacobi-GMRES here (the
+# second-kind collocation system converges in 4-8 iterations at 1e-5;
+# see bem/sweep.sweep_apply). LU rows kept for the --bem-solver lu path.
+BASELINE_CPU_BEM_SOLVES_PER_S = {
+    (1280, "lu"): 0.98,
+    (5120, "lu"): 0.0922,
+    (1280, "gmres"): 3.2854,
+    (5120, "gmres"): 0.1877,
+}
 
 
 def run_iir(device: str, repeats: int, calibrate: bool):
@@ -215,15 +237,19 @@ def run_iir(device: str, repeats: int, calibrate: bool):
     }
 
 
-def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4):
+def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
+            solver: str = "auto"):
     """Third metric: dense BEM solves/s — a band of scattering problems
-    (collocation assembly + LU) batched in one jit (bem/sweep.py; the
+    (collocation assembly + solve) batched in one jit (bem/sweep.py; the
     reference's audio_frequency_sweep.rs loop). Default mesh is the
     reference's FMM-tier size N=5120 (icosphere subdiv 4; VERDICT r1
     item 3 — row-chunked assembly keeps the kernel buffers bounded).
-    Complex values never cross the host boundary (the tunneled TPU
-    transport has no complex serialization): the jit takes real
-    wavenumbers and returns |p|."""
+    ``solver='auto'`` follows the reference's size-based table
+    (qa_suite.rs:9-14): direct LU below N=1000, iterative above (here
+    Jacobi-GMRES on the dense matrix — 4-8 iterations, rel err ~1e-6 vs
+    LU; tests/test_bem.py gates the equivalence). Complex values never
+    cross the host boundary (the tunneled TPU transport has no complex
+    serialization): the jit takes real wavenumbers and returns |p|."""
     import jax
 
     if device == "cpu":
@@ -239,25 +265,33 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4):
 
     surf = icosphere(1.0, subdiv)
     n = surf.num_elements
+    if solver == "auto":
+        solver = "lu" if n < 1000 else "gmres"
     inc = plane_wave((0.0, 0.0, 1.0))
     statics = sweep_statics(surf)
     cdt = jnp.complex128 if device == "cpu" else jnp.complex64
 
-    # Large N: sweep in chunks of vmapped frequencies (the batched LU
+    # Large N: sweep in chunks of vmapped frequencies. LU: the batched
     # panel is f32[B,~1.45N,128]; B >= 4 concurrent 5k-dof factorizations
     # exceed the 16 MB scoped-VMEM limit, and at N=20480 even two
-    # concurrent 3.1 GiB complex64 matrices crowd HBM during LU).
-    fchunk = 0 if n <= 1280 else (2 if n <= 5120 else 1)
+    # concurrent 3.1 GiB complex64 matrices crowd HBM during LU. GMRES
+    # holds the (B, N, N) matrices plus a restart-deep Krylov basis —
+    # HBM-bounded by the matrices alone.
+    if solver == "gmres":
+        fchunk = 0 if n <= 5120 else 1
+    else:
+        fchunk = 0 if n <= 1280 else (2 if n <= 5120 else 1)
 
     def run_abs(s, ks):
         betas = jnp.zeros_like(ks).astype(cdt)
         rhs = jax.vmap(lambda k: inc.pressure(s.centers, k))(ks)
-        return jnp.abs(sweep_apply(s, ks, betas, rhs, freq_chunk=fchunk))
+        return jnp.abs(sweep_apply(s, ks, betas, rhs, freq_chunk=fchunk,
+                                   solver=solver))
 
-    # Large N needs a raised scoped-VMEM ceiling for the LU panel
+    # Large N under LU needs a raised scoped-VMEM ceiling for the panel
     # (f32[B,2N,128] double-buffered: 18.5 MB at N=5120, 41.3 MB at
     # N=20480, vs the 16 MB default; v5e has 128 MB VMEM).
-    copts = None if (n <= 1280 or device == "cpu") else {
+    copts = None if (n <= 1280 or device == "cpu" or solver == "gmres") else {
         "xla_tpu_scoped_vmem_limit_kib": "32768" if n <= 5120 else "65536"
     }
     fn = jax.jit(run_abs, compiler_options=copts)
@@ -275,18 +309,20 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4):
     rate = nf / min(times)
     print(
         f"# bem sweep: {min(times)*1e3:.0f} ms for {nf} x {n}-element "
-        f"assembly+LU -> {rate:.2f} solves/s",
+        f"assembly+{solver} -> {rate:.2f} solves/s",
         file=sys.stderr,
     )
     if calibrate:
-        print(f"# BASELINE_CPU_BEM_SOLVES_PER_S[{n}] = {rate:.4f}", file=sys.stderr)
+        print(f"# BASELINE_CPU_BEM_SOLVES_PER_S[({n}, '{solver}')] = {rate:.4f}",
+              file=sys.stderr)
         return None
-    base = BASELINE_CPU_BEM_SOLVES_PER_S.get(n)
+    base = BASELINE_CPU_BEM_SOLVES_PER_S.get((n, solver))
     return {
         "metric": "bem_dense_solves_per_s",
         "value": round(rate, 2),
         "unit": "solves/s",
         "n_elements": n,
+        "solver": solver,
         "vs_baseline": round(rate / base, 3) if base else None,
     }
 
@@ -307,12 +343,14 @@ if __name__ == "__main__":
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
     ap.add_argument("--bem-subdiv", type=int, default=4,
                     help="icosphere subdivision for the BEM metric (3=1280, 4=5120, 5=20480)")
+    ap.add_argument("--bem-solver", default="auto", choices=["auto", "lu", "gmres"],
+                    help="auto = the reference's size table: LU below N=1000, GMRES above")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.metric == "iir":
         out = run_iir(args.device, args.repeats, args.calibrate)
     elif args.metric == "bem":
-        out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv)
+        out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
     elif args.metric == "fem":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels)
@@ -321,7 +359,7 @@ if __name__ == "__main__":
         # FEM last; ONE combined JSON line (headline fields at top level so
         # existing parsers see the FEM number, secondaries nested).
         iir = run_iir(args.device, args.repeats, args.calibrate)
-        bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv)
+        bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels)
         out = dict(fem, secondary=[iir, bem]) if fem else None

@@ -90,29 +90,36 @@ class RoomBemSolution:
     info: dict
 
     def evaluate_pressure(self, points, quad_order: int = 3):
-        """Interior field via the representation formula."""
+        """Interior field via the representation formula
+        p = p_src + S q - D p  (q = ik beta p on the walls). Routed
+        through postprocess._radiated_at, which computes D p - S q in
+        point chunks so only (row_block, N, nq) kernel buffers
+        materialize (the same HBM cap as dense assembly; VERDICT r1
+        item 4 applied to field evaluation)."""
+        from mathaudio_tpu.bem.assembly import _auto_row_block
+        from mathaudio_tpu.bem.postprocess import _radiated_at
+
         dtype = default_float()
         points = jnp.asarray(points, dtype)
         cd = self.surface_pressure.dtype
         qp, qw = self.mesh.quad_points(quad_order)
-        qp = jnp.asarray(qp, dtype)
-        qw = jnp.asarray(qw, dtype)
-        normals = jnp.asarray(self.mesh.normals, dtype)
-        x = points[:, None, None, :]
-        y = qp[None, :, :, :]
-        rv = y - x
-        r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
-        rs = jnp.where(r < 1e-15, 1.0, r)
-        g = jnp.exp(1j * (self.k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
         ik = jnp.asarray(1j * self.k, cd)
-        r_dot_ny = jnp.sum(rv * normals[None, :, None, :], axis=-1)
-        dg = (ik - 1.0 / rs) * g * r_dot_ny / rs
-        w = qw[None, :, :].astype(cd)
-        d_me = jnp.sum(dg * w, axis=-1)  # (M, N)
-        s_me = jnp.sum(g * w, axis=-1)
         p_src = _source_pressure(points, self.sources, self.k, self.frequency, dtype)
         q_surf = ik * self.admittance.astype(cd) * self.surface_pressure
-        return p_src + s_me @ q_surf - d_me @ self.surface_pressure
+        row_block = _auto_row_block(
+            max(points.shape[0], self.mesh.num_elements), qp.shape[1]
+        )
+        kh = _radiated_at(
+            points,
+            jnp.asarray(qp, dtype),
+            jnp.asarray(qw, dtype),
+            jnp.asarray(self.mesh.normals, dtype),
+            self.surface_pressure,
+            q_surf,
+            self.k,
+            row_block=int(row_block),
+        )
+        return p_src - kh
 
 
 def solve_room_bem(

@@ -132,7 +132,8 @@ def pairwise_double_layer(x, yq, ny, w, k, force: str = "auto"):
     force='pallas') — it matches XLA to 1e-12 in interpret mode, but the
     remote-compile service used by tunneled TPU sessions (axon) times out
     on Mosaic kernels, so XLA is the default until compiled on a directly
-    attached chip."""
+    attached chip. Re-confirmed 2026-08-17: a 128x128x4 kernel compile on
+    the bench chip hung past a 7-minute timeout with no diagnostics."""
     if _use_pallas(force):
         return pairwise_double_layer_pallas(x, yq, ny, w, k)
     return pairwise_double_layer_xla(x, yq, ny, w, k)

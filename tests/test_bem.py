@@ -235,6 +235,38 @@ class TestBatchedSweep:
                 rel = np.linalg.norm(p_sweep[i] - ref) / np.linalg.norm(ref)
                 assert rel < 1e-12, (bm, k, rel)
 
+    def test_sweep_gmres_solver_matches_lu(self):
+        """sweep_apply(solver='gmres') — the bench path for N >= 1000,
+        mirroring the reference's size-based solver table
+        (qa_suite.rs:9-14) — matches the LU path to well inside its
+        1e-5 residual tolerance, rigid and Burton-Miller."""
+        import jax
+
+        from mathaudio_tpu.bem import plane_wave
+        from mathaudio_tpu.bem.mesh import icosphere
+        from mathaudio_tpu.bem.sweep import sweep_apply, sweep_statics
+
+        mesh = icosphere(1.0, 2)
+        inc = plane_wave((0.0, 0.0, 1.0))
+        s = sweep_statics(mesh)
+        ks = jnp.linspace(0.5, 3.0, 4)
+        cdt = jnp.result_type(1j * ks)
+        for bm in (False, True):
+            betas = (2j / (ks + 1.0)).astype(cdt) if bm else jnp.zeros_like(ks).astype(cdt)
+            if bm:
+                rhs = jax.vmap(
+                    lambda k, b: inc.pressure(s.centers, k)
+                    - b * inc.normal_derivative(s.centers, s.normals, k)
+                )(ks, betas)
+            else:
+                rhs = jax.vmap(lambda k: inc.pressure(s.centers, k))(ks)
+            p_lu = sweep_apply(s, ks, betas, rhs, burton_miller=bm)
+            p_gm = sweep_apply(s, ks, betas, rhs, burton_miller=bm, solver="gmres")
+            rel = float(
+                jnp.max(jnp.linalg.norm(p_gm - p_lu, axis=1) / jnp.linalg.norm(p_lu, axis=1))
+            )
+            assert rel < 1e-4, (bm, rel)
+
 
 class TestAccuracyParity:
     """Parity with test_accuracy_parity.rs: forward/backscatter ratio,
