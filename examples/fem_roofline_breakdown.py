@@ -103,12 +103,30 @@ def main():
     # build initial states inside a jit so they are born on device.
     x0 = jax.jit(lambda: (jnp.ones((F, N), jnp.float32) / N).astype(cd))()
 
+    # block_until_ready does not truly sync on the tunneled axon backend:
+    # force completion by fetching a real scalar reduction of the result,
+    # and subtract the measured fetch round-trip.
+    _sync_jit = jax.jit(lambda o: jnp.sum(jnp.real(o)).astype(jnp.float32))
+
+    def _sync(out):
+        return float(_sync_jit(out))
+
+    tiny = jax.jit(lambda: jnp.zeros((8,), jnp.float32))()
+    _sync(tiny)
+    t_fetch = min(
+        (lambda t0: (_sync(tiny), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(5)
+    )
+    print(f"# scalar-fetch round trip: {t_fetch*1e3:.1f} ms (subtracted per phase)")
+
     def timed(fn, *a, reps=R):
-        out = jax.block_until_ready(fn(*a))
+        out = fn(*a)
+        _sync(out)  # compile + warm
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*a))
-        dt = (time.perf_counter() - t0) / reps
-        return dt, out
+        out = fn(*a)
+        _sync(out)
+        dt = (time.perf_counter() - t0 - t_fetch) / reps
+        return max(dt, 1e-9), out
 
     import jax.lax as lax
 
@@ -200,10 +218,12 @@ def main():
     sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
                            mg_coarse_anchors=n_anchor)
     fn = jax.jit(sweep)
-    p, its, conv = jax.block_until_ready(fn(params, ks))
+    p, its, conv = fn(params, ks)
+    _sync(its)  # compile + warm (real-scalar fetch forces completion)
     t0 = time.perf_counter()
-    p, its, conv = jax.block_until_ready(fn(params, ks))
-    t_sweep = time.perf_counter() - t0
+    p, its, conv = fn(params, ks)
+    _sync(its)
+    t_sweep = time.perf_counter() - t0 - t_fetch
     iters = int(jnp.max(its))
     print(f"P5 full sweep    : {t_sweep*1e3:7.2f} ms  (max iters {iters}, {int(conv.sum())}/{F} converged)")
 
