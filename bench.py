@@ -186,6 +186,7 @@ BASELINE_CPU_BEM_SOLVES_PER_S = {
     (5120, "lu"): 0.0922,
     (1280, "gmres"): 3.2854,
     (5120, "gmres"): 0.1877,
+    (20480, "gmres"): 0.0066,
 }
 
 
