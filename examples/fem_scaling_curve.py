@@ -28,7 +28,9 @@ def main():
     ap.add_argument("--anchors", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--levels", type=int, nargs="*", default=None,
-                    help="per-n multigrid levels (default: 3, except 4 when n%4==0 and n>=24)")
+                    help="per-n multigrid levels (default: 3, except 4 when n%8==0 and "
+                         "n>=24 — a 4th level needs n divisible by 8; n=28 stays at 3 "
+                         "and sits on the >=512^2 coarse-matmul cliff, see bench.py)")
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     args = ap.parse_args()
 

@@ -109,7 +109,10 @@ def evaluate_field(
     if row_block is None:
         from mathaudio_tpu.bem.assembly import _auto_row_block
 
-        row_block = _auto_row_block(max(points.shape[0], mesh.num_elements), qp.shape[1])
+        # buffer is (row_block, N, nq): the budget divides by the COLUMN
+        # count (num_elements); sizing by the point count would shrink
+        # chunks ~M/N-fold for dense point grids over small meshes.
+        row_block = _auto_row_block(mesh.num_elements, qp.shape[1])
     args = (
         points,
         jnp.asarray(qp, dtype),

@@ -106,9 +106,8 @@ class RoomBemSolution:
         ik = jnp.asarray(1j * self.k, cd)
         p_src = _source_pressure(points, self.sources, self.k, self.frequency, dtype)
         q_surf = ik * self.admittance.astype(cd) * self.surface_pressure
-        row_block = _auto_row_block(
-            max(points.shape[0], self.mesh.num_elements), qp.shape[1]
-        )
+        # (row_block, N, nq) buffer: size by the column count (elements)
+        row_block = _auto_row_block(self.mesh.num_elements, qp.shape[1])
         kh = _radiated_at(
             points,
             jnp.asarray(qp, dtype),

@@ -110,8 +110,16 @@ def sweep_apply(statics: SweepStatics, ks, betas, rhs, burton_miller: bool = Fal
                           burton_miller, row_block)
         return solve(a, r)
 
-    if freq_chunk and 0 < freq_chunk < nf and nf % freq_chunk == 0:
-        nc = nf // freq_chunk
+    if freq_chunk and 0 < freq_chunk < nf:
+        # pad the band up to a whole number of chunks (repeating the last
+        # frequency) so any nf honors the HBM bound the chunking exists
+        # for; padded rows are dropped from the output.
+        pad = (-nf) % freq_chunk
+        if pad:
+            ks = jnp.concatenate([ks, jnp.broadcast_to(ks[-1], (pad,))])
+            betas = jnp.concatenate([betas, jnp.broadcast_to(betas[-1], (pad,))])
+            rhs = jnp.concatenate([rhs, jnp.broadcast_to(rhs[-1], (pad,) + rhs.shape[1:])])
+        nc = (nf + pad) // freq_chunk
         out = jax.lax.map(
             lambda args: jax.vmap(one)(*args),
             (
@@ -120,7 +128,7 @@ def sweep_apply(statics: SweepStatics, ks, betas, rhs, burton_miller: bool = Fal
                 rhs.reshape(nc, freq_chunk, -1),
             ),
         )
-        return out.reshape(nf, -1)
+        return out.reshape(nf + pad, -1)[:nf]
     return jax.vmap(one)(ks, betas, rhs)
 
 

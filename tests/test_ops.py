@@ -78,12 +78,22 @@ class TestBurtonMillerKernel:
         mesh = icosphere(1.0, 2)
         a_xla = np.asarray(assemble_burton_miller(mesh, 2.0, 0.1 + 0.05j))
         os.environ["MATHAUDIO_PALLAS"] = "1"
+        orig = ops._use_pallas
+        calls = []
         try:
             # force pallas dispatch regardless of backend
-            orig = ops._use_pallas
-            ops._use_pallas = lambda force: True
+            ops._use_pallas = lambda force: calls.append(force) or True
+            # _assemble_jit is a module-level jit: without clearing its
+            # cache the second call is a cache hit that never re-consults
+            # the patched dispatch (the test would compare the cached XLA
+            # result with itself).
+            jax.clear_caches()
             a_pal = np.asarray(assemble_burton_miller(mesh, 2.0, 0.1 + 0.05j))
-            ops._use_pallas = orig
         finally:
+            ops._use_pallas = orig
             os.environ.pop("MATHAUDIO_PALLAS", None)
+            # drop traces that baked in the forced-Pallas dispatch so
+            # later tests retrace with the real one
+            jax.clear_caches()
+        assert calls, "patched dispatch was never consulted (jit cache hit?)"
         np.testing.assert_allclose(a_pal, a_xla, atol=1e-11, rtol=1e-9)
