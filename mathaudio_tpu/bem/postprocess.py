@@ -42,21 +42,14 @@ class FieldResult:
 def _kh_rows(points, qp, qw, normals, p_surf, q_surf, k):
     """Kirchhoff–Helmholtz contribution for a block of field points:
     p(x) = int [p dG/dn_y - G q] dS (q = dp/dn; rigid q = 0 drops the
-    single layer)."""
-    cd = p_surf.dtype
-    x = points[:, None, None, :]  # (M, 1, 1, 3)
-    y = qp[None, :, :, :]  # (1, N, nq, 3)
-    rv = y - x
-    r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
-    rs = jnp.where(r < 1e-15, 1.0, r)
-    g = jnp.exp(1j * (k * rs).astype(cd)) / (4.0 * jnp.pi * rs)
-    ik = jnp.asarray(1j * k, cd)
-    r_dot_ny = jnp.sum(rv * normals[None, :, None, :], axis=-1)
-    dg = (ik - 1.0 / rs) * g * r_dot_ny / rs
-    w = qw[None, :, :].astype(cd)
-    out = jnp.sum(dg * w, axis=-1) @ p_surf  # (M,)
+    single layer). Quadrature sums via the ops dispatch (Pallas on TPU
+    f32, else the fused XLA form)."""
+    from mathaudio_tpu.ops.bem_assembly import pairwise_kh
+
+    s_mat, d_mat = pairwise_kh(points, qp, normals, qw, k)
+    out = d_mat @ p_surf  # (M,)
     if q_surf is not None:
-        out = out - jnp.sum(g * w, axis=-1) @ q_surf
+        out = out - s_mat @ q_surf
     return out
 
 
@@ -108,11 +101,16 @@ def evaluate_field(
     qp, qw = mesh.quad_points(quad_order)
     if row_block is None:
         from mathaudio_tpu.bem.assembly import _auto_row_block
+        from mathaudio_tpu.ops.bem_assembly import _use_pallas
 
         # buffer is (row_block, N, nq): the budget divides by the COLUMN
         # count (num_elements); sizing by the point count would shrink
         # chunks ~M/N-fold for dense point grids over small meshes.
-        row_block = _auto_row_block(mesh.num_elements, qp.shape[1])
+        # Pallas tiles the quadrature internally — its per-row footprint
+        # is ~3 complex-plane equivalents regardless of nq, so chunks
+        # grow nq/3-fold.
+        nq_eff = 3 if _use_pallas("auto", dtype) else qp.shape[1]
+        row_block = _auto_row_block(mesh.num_elements, nq_eff)
     args = (
         points,
         jnp.asarray(qp, dtype),

@@ -106,8 +106,12 @@ class RoomBemSolution:
         ik = jnp.asarray(1j * self.k, cd)
         p_src = _source_pressure(points, self.sources, self.k, self.frequency, dtype)
         q_surf = ik * self.admittance.astype(cd) * self.surface_pressure
-        # (row_block, N, nq) buffer: size by the column count (elements)
-        row_block = _auto_row_block(self.mesh.num_elements, qp.shape[1])
+        # (row_block, N, nq) buffer: size by the column count (elements);
+        # Pallas tiles the quadrature internally (see postprocess)
+        from mathaudio_tpu.ops.bem_assembly import _use_pallas
+
+        nq_eff = 3 if _use_pallas("auto", dtype) else qp.shape[1]
+        row_block = _auto_row_block(self.mesh.num_elements, nq_eff)
         kh = _radiated_at(
             points,
             jnp.asarray(qp, dtype),

@@ -59,9 +59,12 @@ def sweep_apply(statics: SweepStatics, ks, betas, rhs, burton_miller: bool = Fal
     'row_block', 'freq_chunk', 'solver')`` or via :func:`sweep_fn`.
 
     ``row_block``: -1 auto — one-shot assembly for N <= 2048 (the
-    bench-validated fast path), else row chunks sized so the batched
-    (F, row_block, N, nq) kernel buffers stay near 256 MB (VERDICT r1
-    item 4: the one-shot (F, N, N, nq) form OOMs above N~2-5k).
+    bench-validated fast path), and at any N when the Pallas kernels are
+    active and the batch's output planes fit HBM (Pallas tiles the
+    quadrature internally, so the (F, row_block, N, nq) buffers the
+    chunking bounds never exist); otherwise row chunks sized so those
+    XLA kernel buffers stay near 256 MB (VERDICT r1 item 4: the one-shot
+    XLA (F, N, N, nq) form OOMs above N~2-5k).
 
     ``freq_chunk``: 0 runs the whole band in one vmap; otherwise the
     band is swept in sequential lax.map chunks of that many vmapped
@@ -81,14 +84,26 @@ def sweep_apply(statics: SweepStatics, ks, betas, rhs, burton_miller: bool = Fal
     n = statics.centers.shape[0]
     nf = int(ks.shape[0])
     if row_block < 0:
+        from mathaudio_tpu.ops.bem_assembly import _use_pallas
+
+        f_eff = max(min(nf, freq_chunk or nf), 1)
+        planes = 6 if burton_miller else 3
         if n <= 2048:
+            row_block = 0
+        elif (
+            _use_pallas("auto", statics.centers.dtype)
+            # Pallas never materializes the (R, N, nq) kernel buffers the
+            # chunking exists for; one-shot assembly is fastest (measured
+            # N=5120 F=8: 58.2 solves/s one-shot vs 46.0 chunked vs 56.2
+            # XLA-chunked). Bound only the per-batch f32 output planes +
+            # the complex matrix.
+            and f_eff * n * n * (4 * planes + 8) <= 10 * 1024**3
+        ):
             row_block = 0
         else:
             from mathaudio_tpu.bem.assembly import _auto_row_block
 
-            row_block = _auto_row_block(
-                n, statics.qp.shape[1] * max(min(nf, freq_chunk or nf), 1)
-            )
+            row_block = _auto_row_block(n, statics.qp.shape[1] * f_eff)
 
     def solve(a, r):
         if solver == "gmres":

@@ -9,11 +9,15 @@ and VMEM control win over XLA's defaults:
   in VMEM (the single hottest op of the dense BEM path).
 
 Every kernel has an identical-semantics XLA fallback; the public entry
-points select Pallas on TPU and fall back elsewhere (or with
-``MATHAUDIO_NO_PALLAS=1``).
+points select Pallas on TPU f32 and fall back elsewhere (opt out with
+``MATHAUDIO_PALLAS=0``).
 """
 
 from mathaudio_tpu.ops.bem_assembly import (  # noqa: F401
+    pairwise_bm,
+    pairwise_bm_xla,
     pairwise_double_layer,
     pairwise_double_layer_xla,
+    pairwise_kh,
+    pairwise_kh_xla,
 )

@@ -9,8 +9,19 @@ Computes, for all collocation points x_i and elements j,
 (bem/assembly._assemble_jit) and of the Kirchhoff–Helmholtz field
 evaluation. Tiling: grid over (TI x TJ) blocks; each program holds one
 block of collocation points and one block of elements (all nq quadrature
-points) in VMEM and runs pure VPU math (rsqrt/sin/cos on (TI, TJ*nq)
-tiles), writing two complex tiles as 4 f32 planes.
+points) in VMEM and runs pure VPU math (rsqrt/sin/cos on (TI, TJ)
+tiles), writing complex tiles as separate f32 planes.
+
+Layout rule (hard-won on the tunneled chip): every per-*element* (j)
+input is passed pre-transposed with j in the minor/lane dimension —
+yq as (nq*3, TJ), ny as (3, TJ), w as (nq, TJ) — so each in-kernel
+slice is already a lane row vector and broadcasting against the
+collocation column (TI, 1) is a free outer product. The original
+(TJ, nq, 3) layout required a sublane->lane relayout per use; Mosaic
+compiles each such transpose slowly enough (~30 s for ONE in a toy
+kernel, measured 2026-08-17) that the full nq-unrolled kernel never
+finished compiling — the round-1 "remote Mosaic compile hangs" was
+exactly this, not a service limitation.
 """
 
 from __future__ import annotations
@@ -29,16 +40,17 @@ from mathaudio_tpu.xtypes import complex_dtype_for
 _PI4 = 4.0 * np.pi
 
 
-def _kernel(x_ref, nx_unused, yq_ref, ny_ref, w_ref, k_ref,  # nx slot kept for the BM variant
+def _kernel(x_ref, nx_unused, yqT_ref, nyT_ref, wT_ref, k_ref,  # nx slot kept for the BM variant
             dkr_ref, dki_ref, d0_ref):
-    # x: (TI, 3); yq: (TJ, nq, 3); ny: (TJ, 3); w: (TJ, nq)
+    # x: (TI, 3); yqT: (nq*3, TJ); nyT: (3, TJ); wT: (nq, TJ)
     # Static Python loop over the nq quadrature points: every intermediate
-    # is a (TI, TJ) tile — no lane-crossing reshapes (Mosaic-friendly).
-    nq = yq_ref.shape[1]
+    # is a (TI, TJ) tile, and every element-side slice is already a lane
+    # row vector (see module docstring) — no sublane->lane relayouts.
+    nq = wT_ref.shape[0]
     k = k_ref[0, 0]
-    nyx = ny_ref[:, 0]
-    nyy = ny_ref[:, 1]
-    nyz = ny_ref[:, 2]
+    nyx = nyT_ref[0, :][None, :]
+    nyy = nyT_ref[1, :][None, :]
+    nyz = nyT_ref[2, :][None, :]
     xx = x_ref[:, 0][:, None]
     xy = x_ref[:, 1][:, None]
     xz = x_ref[:, 2][:, None]
@@ -47,17 +59,17 @@ def _kernel(x_ref, nx_unused, yq_ref, ny_ref, w_ref, k_ref,  # nx slot kept for 
     acc_im = jnp.zeros(dkr_ref.shape, dkr_ref.dtype)
     acc_0 = jnp.zeros(dkr_ref.shape, dkr_ref.dtype)
     for q in range(nq):
-        dx = yq_ref[:, q, 0][None, :] - xx  # (TI, TJ)
-        dy = yq_ref[:, q, 1][None, :] - xy
-        dz = yq_ref[:, q, 2][None, :] - xz
+        dx = yqT_ref[3 * q + 0, :][None, :] - xx  # (TI, TJ)
+        dy = yqT_ref[3 * q + 1, :][None, :] - xy
+        dz = yqT_ref[3 * q + 2, :][None, :] - xz
         r2 = dx * dx + dy * dy + dz * dz
         inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
         r = r2 * inv_r
-        r_dot_n = dx * nyx[None, :] + dy * nyy[None, :] + dz * nyz[None, :]
+        r_dot_n = dx * nyx + dy * nyy + dz * nyz
         kr = k * r
         c = jnp.cos(kr)
         s = jnp.sin(kr)
-        wq = w_ref[:, q][None, :]
+        wq = wT_ref[q, :][None, :]
         # dG/dn_y = (ik - 1/r) e^{ikr}/(4 pi r) (rv.n)/r
         common = (wq / _PI4) * r_dot_n * inv_r * inv_r
         acc_re += common * (-c * inv_r - k * s)
@@ -79,6 +91,10 @@ def pairwise_double_layer_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int
     w_p = jnp.pad(w, ((0, pj), (0, 0)))
     mi, mj = ni + pi, nj + pj
     k_arr = jnp.asarray([[k]], x.dtype)
+    # Lane-oriented element inputs (module docstring): j minor everywhere.
+    yqT = yq_p.transpose(1, 2, 0).reshape(nq * 3, mj)
+    nyT = ny_p.T
+    wT = w_p.T
 
     grid = (mi // tile_i, mj // tile_j)
     out_shape = [
@@ -89,9 +105,9 @@ def pairwise_double_layer_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int
     in_specs = [
         pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),
         pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),  # unused normals slot
-        pl.BlockSpec((tile_j, nq, 3), lambda i, j: (j, 0, 0)),
-        pl.BlockSpec((tile_j, 3), lambda i, j: (j, 0)),
-        pl.BlockSpec((tile_j, nq), lambda i, j: (j, 0)),
+        pl.BlockSpec((nq * 3, tile_j), lambda i, j: (0, j)),
+        pl.BlockSpec((3, tile_j), lambda i, j: (0, j)),
+        pl.BlockSpec((nq, tile_j), lambda i, j: (0, j)),
         pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
     ]
     out_specs = [
@@ -106,7 +122,7 @@ def pairwise_double_layer_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(x_p, x_p, yq_p, ny_p, w_p, k_arr)
+    )(x_p, x_p, yqT, nyT, wT, k_arr)
     cd = complex_dtype_for(x.dtype)
     dk = (dkr + 1j * dki.astype(cd))[:ni, :nj]
     return dk, d0[:ni, :nj]
@@ -128,23 +144,28 @@ def pairwise_double_layer_xla(x, yq, ny, w, k):
 
 
 def pairwise_double_layer(x, yq, ny, w, k, force: str = "auto"):
-    """Dispatch: the Pallas kernel is opt-in (MATHAUDIO_PALLAS=1 or
-    force='pallas') — it matches XLA to 1e-12 in interpret mode, but the
-    remote-compile service used by tunneled TPU sessions (axon) times out
-    on Mosaic kernels, so XLA is the default until compiled on a directly
-    attached chip. Re-confirmed 2026-08-17: a 128x128x4 kernel compile on
-    the bench chip hung past a 7-minute timeout with no diagnostics."""
-    if _use_pallas(force):
+    """Dispatch: Pallas is the DEFAULT on TPU for f32 (opt out with
+    MATHAUDIO_PALLAS=0 or force='xla'). The lane-oriented relayout (module
+    docstring) fixed the round-1 Mosaic compile hang; measured on the
+    bench chip 2026-08-17 (4-kernel BM variant, nq=4, pipelined x8):
+    N=10240 Pallas 29.9 ms vs XLA 75.7 ms (2.53x, ~7.3 TFLOP/s), and at
+    N=20480 Pallas runs in 95.8 ms where the one-shot XLA form OOMs
+    (25 GB of (N, N, nq) intermediates vs 15.75 GB HBM). Matches XLA to
+    1e-12 (interpret) / f32 roundoff (chip)."""
+    if _use_pallas(force, x.dtype):
         return pairwise_double_layer_pallas(x, yq, ny, w, k)
     return pairwise_double_layer_xla(x, yq, ny, w, k)
 
 
-def _use_pallas(force: str) -> bool:
-    return force == "pallas" or (
-        force == "auto"
-        and jax.default_backend() == "tpu"
-        and os.environ.get("MATHAUDIO_PALLAS") == "1"
-    )
+def _use_pallas(force: str, dtype) -> bool:
+    if force == "pallas":
+        return True
+    if force != "auto" or jax.default_backend() != "tpu":
+        return False
+    if os.environ.get("MATHAUDIO_PALLAS") == "0":
+        return False
+    # f64 never hits the MXU/VPU natively on TPU; keep the XLA path for it.
+    return jnp.dtype(dtype) == jnp.float32
 
 
 # ---------------------------------------------------------------------------
@@ -152,40 +173,43 @@ def _use_pallas(force: str) -> bool:
 # (VERDICT r1 item 3: all four kernels + the nx slot filled).
 
 
-def _bm_kernel(x_ref, nx_ref, yq_ref, ny_ref, w_ref, k_ref,
+def _bm_kernel(x_ref, nx_ref, yqT_ref, nyT_ref, wT_ref, k_ref,
                dkr_ref, dki_ref, d0_ref, tkr_ref, tki_ref, t0_ref):
     """Per-tile quadrature sums of the double layer dG/dn_y and the true
     hypersingular n_x.grad_x(n_y.grad_y G), Helmholtz + Laplace limits
     (the regularization pairs of bem/assembly._assemble_rows). Pure VPU
-    math on (TI, TJ) tiles; the nq loop is a static Python unroll."""
-    nq = yq_ref.shape[1]
+    math on (TI, TJ) tiles; the nq loop is a static Python unroll.
+    Element inputs arrive lane-oriented (module docstring)."""
+    nq = wT_ref.shape[0]
     k = k_ref[0, 0]
-    nyx, nyy, nyz = ny_ref[:, 0], ny_ref[:, 1], ny_ref[:, 2]
+    nyx = nyT_ref[0, :][None, :]
+    nyy = nyT_ref[1, :][None, :]
+    nyz = nyT_ref[2, :][None, :]
     xx = x_ref[:, 0][:, None]
     xy = x_ref[:, 1][:, None]
     xz = x_ref[:, 2][:, None]
     nxx = nx_ref[:, 0][:, None]
     nxy = nx_ref[:, 1][:, None]
     nxz = nx_ref[:, 2][:, None]
-    nxny = nxx * nyx[None, :] + nxy * nyy[None, :] + nxz * nyz[None, :]
+    nxny = nxx * nyx + nxy * nyy + nxz * nyz
 
     z = jnp.zeros(dkr_ref.shape, dkr_ref.dtype)
     acc_dre, acc_dim, acc_d0 = z, z, z
     acc_tre, acc_tim, acc_t0 = z, z, z
     for q in range(nq):
-        dx = yq_ref[:, q, 0][None, :] - xx
-        dy = yq_ref[:, q, 1][None, :] - xy
-        dz = yq_ref[:, q, 2][None, :] - xz
+        dx = yqT_ref[3 * q + 0, :][None, :] - xx
+        dy = yqT_ref[3 * q + 1, :][None, :] - xy
+        dz = yqT_ref[3 * q + 2, :][None, :] - xz
         r2 = dx * dx + dy * dy + dz * dz
         inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
         r = r2 * inv_r
         inv_r2 = inv_r * inv_r
-        rny = dx * nyx[None, :] + dy * nyy[None, :] + dz * nyz[None, :]
+        rny = dx * nyx + dy * nyy + dz * nyz
         rnx = dx * nxx + dy * nxy + dz * nxz
         kr = k * r
         c = jnp.cos(kr)
         s = jnp.sin(kr)
-        wq = w_ref[:, q][None, :]
+        wq = wT_ref[q, :][None, :]
         w4 = wq / _PI4
         # double layer: dG/dn_y = (ik - 1/r) e^{ikr}/(4 pi r) rny/r
         common = w4 * rny * inv_r2
@@ -223,15 +247,18 @@ def pairwise_bm_pallas(x, nx, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128
     w_p = jnp.pad(w, ((0, pj), (0, 0)))
     mi, mj = ni + pi, nj + pj
     k_arr = jnp.asarray([[k]], x.dtype)
+    yqT = yq_p.transpose(1, 2, 0).reshape(nq * 3, mj)
+    nyT = ny_p.T
+    wT = w_p.T
 
     grid = (mi // tile_i, mj // tile_j)
     out_shape = [jax.ShapeDtypeStruct((mi, mj), x.dtype) for _ in range(6)]
     in_specs = [
         pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),
         pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),
-        pl.BlockSpec((tile_j, nq, 3), lambda i, j: (j, 0, 0)),
-        pl.BlockSpec((tile_j, 3), lambda i, j: (j, 0)),
-        pl.BlockSpec((tile_j, nq), lambda i, j: (j, 0)),
+        pl.BlockSpec((nq * 3, tile_j), lambda i, j: (0, j)),
+        pl.BlockSpec((3, tile_j), lambda i, j: (0, j)),
+        pl.BlockSpec((nq, tile_j), lambda i, j: (0, j)),
         pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
     ]
     out_specs = [pl.BlockSpec((tile_i, tile_j), lambda i, j: (i, j)) for _ in range(6)]
@@ -242,7 +269,7 @@ def pairwise_bm_pallas(x, nx, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(x_p, nx_p, yq_p, ny_p, w_p, k_arr)
+    )(x_p, nx_p, yqT, nyT, wT, k_arr)
     cd = complex_dtype_for(x.dtype)
     dk = (dkr + 1j * dki.astype(cd))[:ni, :nj]
     tk = (tkr + 1j * tki.astype(cd))[:ni, :nj]
@@ -273,7 +300,118 @@ def pairwise_bm_xla(x, nx, yq, ny, w, k):
 
 def pairwise_bm(x, nx, yq, ny, w, k, force: str = "auto"):
     """Dispatch for the Burton–Miller kernel set (same policy as
-    pairwise_double_layer)."""
-    if _use_pallas(force):
+    pairwise_double_layer: Pallas by default on TPU f32)."""
+    if _use_pallas(force, x.dtype):
         return pairwise_bm_pallas(x, nx, yq, ny, w, k)
     return pairwise_bm_xla(x, nx, yq, ny, w, k)
+
+
+# ---------------------------------------------------------------------------
+# Kirchhoff–Helmholtz field-evaluation kernel: single layer S = sum_q w G and
+# double layer D = sum_q w dG/dn_y in one pass, for exterior field points
+# (bem/postprocess._kh_rows; math-bem/src/core/postprocess/pressure.rs).
+
+
+def _kh_kernel(x_ref, yqT_ref, nyT_ref, wT_ref, k_ref,
+               skr_ref, ski_ref, dkr_ref, dki_ref):
+    """(TI, TJ) tiles of S (Helmholtz single layer) and D (double layer).
+    Same lane-oriented element layout and static nq unroll as _kernel;
+    field points are exterior so no regularization planes are needed."""
+    nq = wT_ref.shape[0]
+    k = k_ref[0, 0]
+    nyx = nyT_ref[0, :][None, :]
+    nyy = nyT_ref[1, :][None, :]
+    nyz = nyT_ref[2, :][None, :]
+    xx = x_ref[:, 0][:, None]
+    xy = x_ref[:, 1][:, None]
+    xz = x_ref[:, 2][:, None]
+
+    z = jnp.zeros(dkr_ref.shape, dkr_ref.dtype)
+    acc_sre, acc_sim, acc_dre, acc_dim = z, z, z, z
+    for q in range(nq):
+        dx = yqT_ref[3 * q + 0, :][None, :] - xx
+        dy = yqT_ref[3 * q + 1, :][None, :] - xy
+        dz = yqT_ref[3 * q + 2, :][None, :] - xz
+        r2 = dx * dx + dy * dy + dz * dz
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        r = r2 * inv_r
+        rny = dx * nyx + dy * nyy + dz * nyz
+        kr = k * r
+        c = jnp.cos(kr)
+        s = jnp.sin(kr)
+        wq = wT_ref[q, :][None, :]
+        g4 = (wq / _PI4) * inv_r  # w |G| = w/(4 pi r)
+        # single layer: w G = g4 (c + i s)
+        acc_sre += g4 * c
+        acc_sim += g4 * s
+        # double layer: w dG/dn_y = g4 (ik - 1/r)(c + i s) rny / r
+        common = g4 * rny * inv_r
+        acc_dre += common * (-c * inv_r - k * s)
+        acc_dim += common * (k * c - s * inv_r)
+    skr_ref[:] = acc_sre
+    ski_ref[:] = acc_sim
+    dkr_ref[:] = acc_dre
+    dki_ref[:] = acc_dim
+
+
+def pairwise_kh_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128):
+    """(S complex, D complex), shapes (Ni, Nj)."""
+    ni, nj, nq = x.shape[0], yq.shape[0], yq.shape[1]
+    pi = (-ni) % tile_i
+    pj = (-nj) % tile_j
+    x_p = jnp.pad(x, ((0, pi), (0, 0)))
+    yq_p = jnp.pad(yq, ((0, pj), (0, 0), (0, 0)), constant_values=1e6)  # far away
+    ny_p = jnp.pad(ny, ((0, pj), (0, 0)))
+    w_p = jnp.pad(w, ((0, pj), (0, 0)))
+    mi, mj = ni + pi, nj + pj
+    k_arr = jnp.asarray([[k]], x.dtype)
+    yqT = yq_p.transpose(1, 2, 0).reshape(nq * 3, mj)
+    nyT = ny_p.T
+    wT = w_p.T
+
+    grid = (mi // tile_i, mj // tile_j)
+    out_shape = [jax.ShapeDtypeStruct((mi, mj), x.dtype) for _ in range(4)]
+    in_specs = [
+        pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),
+        pl.BlockSpec((nq * 3, tile_j), lambda i, j: (0, j)),
+        pl.BlockSpec((3, tile_j), lambda i, j: (0, j)),
+        pl.BlockSpec((nq, tile_j), lambda i, j: (0, j)),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+    ]
+    out_specs = [pl.BlockSpec((tile_i, tile_j), lambda i, j: (i, j)) for _ in range(4)]
+    skr, ski, dkr, dki = pl.pallas_call(
+        _kh_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(x_p, yqT, nyT, wT, k_arr)
+    cd = complex_dtype_for(x.dtype)
+    s_mat = (skr + 1j * ski.astype(cd))[:ni, :nj]
+    d_mat = (dkr + 1j * dki.astype(cd))[:ni, :nj]
+    return s_mat, d_mat
+
+
+def pairwise_kh_xla(x, yq, ny, w, k):
+    """Reference XLA implementation (identical semantics to the inline
+    math previously in bem/postprocess._kh_rows)."""
+    cd = complex_dtype_for(x.dtype)
+    rv = yq[None, :, :, :] - x[:, None, None, :]
+    r2 = jnp.sum(rv * rv, axis=-1)
+    r = jnp.sqrt(r2)
+    rs = jnp.where(r < 1e-15, 1.0, r)
+    g = jnp.exp(1j * (k * rs).astype(cd)) * (1.0 / (_PI4 * rs)).astype(cd)
+    ik = jnp.asarray(1j * k, cd)
+    r_dot_ny = jnp.sum(rv * ny[None, :, None, :], axis=-1)
+    dg = (ik - (1.0 / rs).astype(cd)) * g * (r_dot_ny / rs).astype(cd)
+    wb = w[None, :, :].astype(cd)
+    return jnp.sum(g * wb, axis=-1), jnp.sum(dg * wb, axis=-1)
+
+
+def pairwise_kh(x, yq, ny, w, k, force: str = "auto"):
+    """Dispatch for the field-evaluation kernel pair (same policy as
+    pairwise_double_layer: Pallas by default on TPU f32)."""
+    if _use_pallas(force, x.dtype):
+        return pairwise_kh_pallas(x, yq, ny, w, k)
+    return pairwise_kh_xla(x, yq, ny, w, k)
