@@ -1,0 +1,151 @@
+"""Node-major batched geometric multigrid: one trace preconditioning all
+F frequencies at once, with every level operator in DIA form.
+
+The vmapped mg_cycle (fem/multigrid.py) is frequency-major: level
+matvecs lane-gather and each frequency carries its own (N, W) complex
+value table (built per sweep, 2.3 GB at bench scale). Here vectors are
+(N_l, F) node-major, level matvecs are DIA streaming shifts over
+frequency-shared real tables (fem/dia.py), per-frequency operator values
+are never materialized, and the anchored coarse solve is a plain
+(2Nc, 2Nc) x (2Nc, chunk) MXU matmul per anchor.
+
+Reference analog: math-fem/src/solver/multigrid/cycle.rs V/W/F cycles,
+restructured for a lane-resident frequency batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.fem.dia import DiaTables, dia_diag, dia_matvec
+
+
+class DiaLevel(NamedTuple):
+    """Arrays of one smoothing level (static offsets travel separately)."""
+
+    tables: DiaTables  # frequency-shared (D, N_l) real tables
+    p_idx: jnp.ndarray  # (N_l, 2^d) prolongation from level l+1
+    p_w: jnp.ndarray  # (N_l, 2^d)
+
+
+class DiaMg(NamedTuple):
+    """Batched-cycle state: levels + per-level frequency scalars +
+    precomputed inverse diagonals + anchored coarse inverses."""
+
+    levels: Tuple[DiaLevel, ...]
+    cms: Tuple[jnp.ndarray, ...]  # per-level (F,) mass coefficients
+    cbs: Tuple[jnp.ndarray, ...]  # per-level (F,) boundary coefficients
+    inv_diags: Tuple[jnp.ndarray, ...]  # per-level (N_l, F)
+    anchor_inv: jnp.ndarray  # (n_anchor, 2Nc, 2Nc) real-embedded inverses
+
+
+def make_dia_mg(
+    offsets: Tuple[Tuple[int, ...], ...],
+    levels: Tuple[DiaLevel, ...],
+    ks,
+    absorption: float,
+    anchor_inv,
+    shift: Tuple[float, float] = (1.0, 0.5),
+) -> DiaMg:
+    """Per-frequency scalars + inverse diagonals for one solve batch.
+
+    Level 0 smooths on the TRUE operator (cm = k², the fine system);
+    deeper levels use the shifted-Laplacian operator cm = (b1+ib2) k²
+    (matching models.helmholtz_room.sweep_pressure's level-0 reuse).
+    """
+    del offsets  # shape bookkeeping only; kept in the signature for parity
+    cd = levels[0].tables.k.dtype
+    cd = jnp.result_type(cd, jnp.complex64)
+    k = ks.astype(cd)
+    b1, b2 = shift
+    zshift = jnp.asarray(b1 + 1j * b2, cd)
+    cb = jnp.asarray(-1j * absorption, cd) * k  # (F,), all levels
+    cms, cbs, inv_diags = [], [], []
+    for l, lvl in enumerate(levels):
+        cm = (k * k) if l == 0 else zshift * (k * k)
+        diag = dia_diag(lvl.tables, cm, cb)
+        inv_diags.append(jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0))
+        cms.append(cm)
+        cbs.append(cb)
+    return DiaMg(tuple(levels), tuple(cms), tuple(cbs), tuple(inv_diags), anchor_inv)
+
+
+def _prolong_b(lvl: DiaLevel, xc):
+    """(N_c, F) -> (N_f, F): row-gather interpolation."""
+    w = lvl.p_w.astype(xc.dtype)[:, :, None]
+    return jnp.sum(w * jnp.take(xc, lvl.p_idx, axis=0), axis=1)
+
+
+def _restrict_b(lvl: DiaLevel, rf, n_coarse: int):
+    """(N_f, F) -> (N_c, F): transpose scatter-add."""
+    w = lvl.p_w.astype(rf.dtype)[:, :, None]
+    contrib = (w * rf[:, None, :]).reshape(-1, rf.shape[1])
+    return jnp.zeros((n_coarse, rf.shape[1]), rf.dtype).at[
+        lvl.p_idx.reshape(-1)
+    ].add(contrib)
+
+
+def _coarse_solve_b(anchor_inv, r):
+    """Anchored real-embedded coarse solve: r (Nc, F) with F laid out as
+    n_anchor contiguous chunks -> (Nc, F). One MXU matmul per anchor."""
+    nc, nf = r.shape
+    na = anchor_inv.shape[0]
+    chunk = nf // na
+    r2 = jnp.concatenate([jnp.real(r), jnp.imag(r)], axis=0)  # (2Nc, F)
+    r3 = r2.reshape(2 * nc, na, chunk)
+    x3 = jnp.einsum("aij,jac->iac", anchor_inv.astype(r2.dtype), r3)
+    x2 = x3.reshape(2 * nc, nf)
+    return jax.lax.complex(x2[:nc], x2[nc:]).astype(r.dtype)
+
+
+def mg_cycle_batched(
+    mgp: DiaMg,
+    offsets: Tuple[Tuple[int, ...], ...],
+    r,
+    omega: float = 2.0 / 3.0,
+    nu: int = 1,
+    level: int = 0,
+    cycle: str = "v",
+    nu_post: Optional[int] = None,
+):
+    """One batched multigrid cycle: x ~ P^{-1} r, r (N_l, F).
+
+    Same recursion as fem.multigrid.mg_cycle (V/W/F, Jacobi smoothing,
+    trace-time unrolled levels), node-major and DIA throughout.
+    """
+    if cycle not in ("v", "w", "f"):
+        raise ValueError(f"unknown multigrid cycle type {cycle!r}")
+    if level == len(mgp.levels):
+        return _coarse_solve_b(mgp.anchor_inv, r)
+    if nu_post is None:
+        nu_post = nu
+    lvl = mgp.levels[level]
+    cm, cb, inv_diag = mgp.cms[level], mgp.cbs[level], mgp.inv_diags[level]
+    mv = lambda v: dia_matvec(offsets[level], lvl.tables, cm, cb, v)
+    om = jnp.asarray(omega, r.dtype)
+    x = om * inv_diag * r
+    for _ in range(nu - 1):
+        x = x + om * inv_diag * (r - mv(x))
+    res = r - mv(x)
+    n_coarse = (
+        mgp.levels[level + 1].tables.dk.shape[0]
+        if level + 1 < len(mgp.levels)
+        else mgp.anchor_inv.shape[1] // 2
+    )
+    rc = _restrict_b(lvl, res, n_coarse)
+    xc = mg_cycle_batched(mgp, offsets, rc, omega, nu, level + 1, cycle, nu_post)
+    if cycle in ("w", "f") and level + 1 < len(mgp.levels):
+        nxt = mgp.levels[level + 1]
+        mv_c = lambda v: dia_matvec(
+            offsets[level + 1], nxt.tables, mgp.cms[level + 1], mgp.cbs[level + 1], v
+        )
+        rc2 = rc - mv_c(xc)
+        second = "v" if cycle == "f" else "w"
+        xc = xc + mg_cycle_batched(mgp, offsets, rc2, omega, nu, level + 1, second, nu_post)
+    x = x + _prolong_b(lvl, xc)
+    for _ in range(nu_post):
+        x = x + om * inv_diag * (r - mv(x))
+    return x

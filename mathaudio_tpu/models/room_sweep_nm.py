@@ -1,0 +1,171 @@
+"""Node-major frequency sweep for the flagship FEM room model.
+
+Same physics, same algorithm as models.helmholtz_room.sweep_pressure
+(fused K - k²M - ikαB operator, shifted-Laplacian multigrid-
+preconditioned GMRES, anchored coarse inverses) — but the batch axis is
+the MINOR axis: every vector is (N, F) with the frequency band living in
+vector lanes, the level operators are DIA streaming matvecs
+(fem/dia.py), and GMRES/multigrid are explicitly batched
+(solvers/krylov_batched.py, fem/multigrid_batched.py) instead of vmapped.
+
+Why: the vmapped sweep's lane-gather SpMV moves 142 GB/s effective and
+its per-frequency (F, N, W) complex value table costs 2.3 GB of HBM and
+a rebuild per sweep; node-major DIA streams at 716 GB/s (measured,
+ARCHITECTURE.md §10) from three small frequency-shared real tables, and
+the table never exists. Applies to the structured box meshes of the
+headline bench (any level count); unstructured meshes stay on the
+vmapped ELL path.
+
+Reference analog: math-fem/bin/room_simulator_fem.rs:941-1660 (the rayon
+frequency loop), math-solvers/src/iterative/gmres.rs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.fem.dia import DiaTables, dia_diag, dia_matvec, dia_tables_of
+from mathaudio_tpu.fem.multigrid import GeometricMultigrid, MgBuilder, build_coarse_inv_chain
+from mathaudio_tpu.fem.multigrid_batched import DiaLevel, make_dia_mg, mg_cycle_batched
+from mathaudio_tpu.models.helmholtz_room import RoomSweepModel
+from mathaudio_tpu.solvers import KrylovConfig
+from mathaudio_tpu.solvers.krylov_batched import gmres_batched
+
+
+class NodeMajorParams(NamedTuple):
+    """Device state of the node-major sweep (arrays only)."""
+
+    fine_tables: DiaTables  # level-0 TRUE operator (also smoothing level 0)
+    levels: Tuple[DiaLevel, ...]  # smoothing levels (level 0 shares fine_tables)
+    mg_builder: MgBuilder  # coarsest-level pieces for the anchor inverses
+    rhs: jnp.ndarray  # (N,) complex
+    listen_idx: jnp.ndarray
+
+
+class NodeMajorRoomSweep:
+    """Host-side builder: extracts the static DIA offset patterns of every
+    level once, then emits a jittable batched sweep function."""
+
+    def __init__(self, model: RoomSweepModel, mg: GeometricMultigrid):
+        self.model = model
+        self.mg = mg
+        self.absorption = model.absorption
+
+        def b_sum_of(asm):
+            return (
+                sum(asm.b_vals.values())
+                if asm.b_vals
+                else jnp.zeros_like(asm.k_vals)
+            )
+
+        # Level 0: the model's own (true-operator) assembler.
+        offs0, fine_tables = dia_tables_of(
+            model.assembler, sum(model.assembler.b_vals[t] for t in model.wall_tags)
+        )
+        offsets = [offs0]
+        levels = []
+        builder = mg.builder
+        for l, asm in enumerate(mg.assemblers[:-1]):
+            bl = builder.levels[l]
+            if l == 0:
+                tabs = fine_tables
+            else:
+                offs_l, tabs = dia_tables_of(asm, b_sum_of(asm))
+                offsets.append(offs_l)
+            levels.append(DiaLevel(tabs, bl.p_idx, bl.p_w))
+        self.offsets: Tuple[Tuple[int, ...], ...] = tuple(offsets)
+        self._params = NodeMajorParams(
+            fine_tables=fine_tables,
+            levels=tuple(levels),
+            mg_builder=builder,
+            rhs=model.params().rhs,
+            listen_idx=model.params().listen_idx,
+        )
+
+    def params(self) -> NodeMajorParams:
+        return self._params
+
+    def sweep_fn(
+        self,
+        config: Optional[KrylovConfig] = None,
+        mg_shift: Tuple[float, float] = (1.0, 0.5),
+        mg_nu: int = 1,
+        mg_omega: float = 1.0,
+        mg_coarse_anchors: int = 16,
+        mg_nu_post=None,
+        mg_cycle_type: str = "v",
+    ):
+        """(params, ks) -> (pressure (F, L), iterations (F,), converged
+        (F,)); jit this. ``ks`` must be sorted ascending (anchored coarse
+        inverses assume contiguous chunks) and its length divisible into
+        the adjusted anchor count."""
+        config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
+        offsets = self.offsets
+        absorption = self.absorption
+
+        def fn(params: NodeMajorParams, ks):
+            nf = ks.shape[0]
+            cd = params.rhs.dtype
+            n = params.rhs.shape[0]
+            k = ks.astype(cd)
+            cm_fine = k * k
+            cb_fine = jnp.asarray(-1j * absorption, cd) * k
+
+            na = min(int(mg_coarse_anchors), nf)
+            while nf % na:
+                na -= 1
+            anchor_ks = jnp.mean(ks.reshape(na, nf // na), axis=1)
+            anchor_inv = build_coarse_inv_chain(
+                params.mg_builder,
+                anchor_ks,
+                jnp.asarray(-1j * absorption, cd) * anchor_ks.astype(cd),
+                shift=mg_shift,
+            )
+            mgp = make_dia_mg(
+                offsets, params.levels, ks, absorption, anchor_inv, shift=mg_shift
+            )
+            a_mv = lambda x: dia_matvec(
+                offsets[0], params.fine_tables, cm_fine, cb_fine, x
+            )
+            pre = lambda r: mg_cycle_batched(
+                mgp, offsets, r,
+                omega=mg_omega, nu=mg_nu, cycle=mg_cycle_type, nu_post=mg_nu_post,
+            )
+            b = jnp.broadcast_to(params.rhs[:, None], (n, nf))
+            sol = gmres_batched(a_mv, b, config=config, preconditioner=pre)
+            p = sol.x[params.listen_idx, :].T  # (F, L)
+            return p, sol.iterations, sol.converged
+
+        return fn
+
+    def sweep_fn_jacobi(self, config: Optional[KrylovConfig] = None):
+        """Jacobi-preconditioned variant (no multigrid)."""
+        config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
+        offsets = self.offsets
+        absorption = self.absorption
+
+        def fn(params: NodeMajorParams, ks):
+            nf = ks.shape[0]
+            cd = params.rhs.dtype
+            n = params.rhs.shape[0]
+            k = ks.astype(cd)
+            cm_fine = k * k
+            cb_fine = jnp.asarray(-1j * absorption, cd) * k
+            diag = dia_diag(params.fine_tables, cm_fine, cb_fine)
+            inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+            a_mv = lambda x: dia_matvec(
+                offsets[0], params.fine_tables, cm_fine, cb_fine, x
+            )
+            b = jnp.broadcast_to(params.rhs[:, None], (n, nf))
+            sol = gmres_batched(
+                a_mv, b, config=config, preconditioner=lambda v: inv_diag * v
+            )
+            return sol.x[params.listen_idx, :].T, sol.iterations, sol.converged
+
+        return fn

@@ -1,0 +1,173 @@
+"""Node-major batched GMRES: one explicit trace solving F systems at once.
+
+The frequency-sweep solvers elsewhere vmap a single-vector GMRES over the
+band, which places the batch axis first: vectors are (F, N) and every
+SpMV gathers along the 128-lane minor axis — the address-bound form
+(ARCHITECTURE.md §10, 142 GB/s effective). This module is the same
+algorithm — restarted GMRES(m), CGS2 Arnoldi, Givens least squares,
+lockstep per-lane convergence (solvers/krylov.py gmres; gmres.rs:96-434)
+— written directly on node-major (N, F) batches so the operator can be a
+DIA streaming matvec (fem/dia.py, 716 GB/s) and the frequency axis lives
+in vector lanes end to end.
+
+Everything per-frequency becomes an (F,) lane vector: norms, Givens
+rotations, the reduced Hessenberg system, convergence flags, iteration
+counts. The while/fori control mirrors the single-vector solver exactly
+(first restart cycle unrolled; convergence decided on the Givens
+residual) so iteration counts match the vmapped solver lane for lane.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.solvers.krylov import KrylovConfig, KrylovSolution
+
+
+def _bnorm(v):
+    """(N, F) -> (F,) 2-norm over nodes."""
+    return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
+
+
+def _bgivens(a, b):
+    """Per-lane complex Givens: a, b (F,) -> c (F,) real, s, r (F,)."""
+    eps = 1e-30
+    absa = jnp.abs(a)
+    absb = jnp.abs(b)
+    denom = jnp.sqrt(absa**2 + absb**2)
+    safe = denom > eps
+    d = jnp.where(safe, denom, 1.0)
+    c = jnp.where(safe, absa / d, jnp.ones_like(absa))
+    phase = jnp.where(absa > eps, a / jnp.where(absa > eps, absa, 1.0).astype(a.dtype),
+                      jnp.ones_like(a))
+    s = jnp.where(safe, phase * jnp.conj(b) / d.astype(a.dtype), jnp.zeros_like(a))
+    r = jnp.where(safe, phase * d.astype(a.dtype), jnp.zeros_like(a))
+    return c, s, r
+
+
+def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner=None):
+    """Solve F systems A_f x_f = b_f, vectors stored (N, F).
+
+    ``a_mv`` / ``preconditioner``: (N, F) -> (N, F), applying each lane's
+    operator to its column. Returns KrylovSolution with x (N, F),
+    iterations (F,) int32, residual (F,), converged (F,) bool.
+    """
+    m_mv = preconditioner if preconditioner is not None else (lambda v: v)
+    b = jnp.asarray(b)
+    n, nf = b.shape
+    m = min(config.restart, n)
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+
+    # One preconditioner application of b: reference norm + initial
+    # residual + first Arnoldi vector (same reuse as solvers.krylov.gmres).
+    mb = m_mv(b)
+    b_norm = jnp.maximum(_bnorm(mb), 1e-30)
+    tol = jnp.asarray(config.tolerance, rdtype) * b_norm + config.atol
+
+    x0 = jnp.zeros_like(b)
+    r_pre0 = mb
+
+    def cycle(x, r0, total_it):
+        beta = _bnorm(r0)  # (F,)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        v0 = r0 / safe_beta.astype(dtype)[None, :]
+
+        basis = jnp.zeros((m + 1, n, nf), dtype).at[0].set(v0)
+        hess = jnp.zeros((m + 1, m, nf), dtype)
+        cs = jnp.zeros((m, nf), rdtype)
+        sn = jnp.zeros((m, nf), dtype)
+        g = jnp.zeros((m + 1, nf), dtype).at[0].set(beta.astype(dtype))
+
+        def arnoldi_step(j, carry):
+            basis, hess, cs, sn, g, res, done, cnt = carry
+            cnt = cnt + jnp.where(done, 0, 1).astype(jnp.int32)
+            w = m_mv(a_mv(basis[j]))
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)[:, None]
+            # CGS2: two classical Gram-Schmidt passes; each projection is
+            # one (m+1, N, F)x(N, F) lane-batched contraction over nodes.
+            h1 = mask * jnp.einsum("inf,nf->if", jnp.conj(basis), w)
+            w = w - jnp.einsum("if,inf->nf", h1, basis)
+            h2 = mask * jnp.einsum("inf,nf->if", jnp.conj(basis), w)
+            w = w - jnp.einsum("if,inf->nf", h2, basis)
+            h = h1 + h2  # (m+1, F): column j of every lane's Hessenberg
+            h_last = _bnorm(w)
+            safe_h = jnp.where(h_last > 1e-30, h_last, 1.0)
+            v_next = w / safe_h.astype(dtype)[None, :]
+            basis = basis.at[j + 1].set(
+                jnp.where(done[None, :], basis[j + 1], v_next)
+            )
+            h = h.at[j + 1].set(h_last.astype(dtype))
+
+            def rot(i, hcol):
+                hi = hcol[i]
+                hi1 = hcol[i + 1]
+                active = i < j
+                new_i = cs[i] * hi + sn[i] * hi1
+                new_i1 = -jnp.conj(sn[i]) * hi + cs[i] * hi1
+                hcol = hcol.at[i].set(jnp.where(active, new_i, hi))
+                hcol = hcol.at[i + 1].set(jnp.where(active, new_i1, hi1))
+                return hcol
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            c_j, s_j, r_j = _bgivens(h[j], h[j + 1])
+            h = h.at[j].set(r_j).at[j + 1].set(jnp.zeros((nf,), dtype))
+            g_j = g[j]
+            g = g.at[j].set(jnp.where(done, g[j], c_j * g_j))
+            g = g.at[j + 1].set(jnp.where(done, g[j + 1], -jnp.conj(s_j) * g_j))
+            cs = cs.at[j].set(jnp.where(done, cs[j], c_j))
+            sn = sn.at[j].set(jnp.where(done, sn[j], s_j))
+            hess = hess.at[:, j].set(jnp.where(done[None, :], hess[:, j], h))
+            new_res = jnp.abs(g[j + 1])
+            res = jnp.where(done, res, new_res)
+            done = done | (new_res <= tol)
+            return basis, hess, cs, sn, g, res, done, cnt
+
+        carry = (basis, hess, cs, sn, g, beta, beta <= tol,
+                 jnp.zeros((nf,), jnp.int32))
+        basis, hess, cs, sn, g, res, done, cnt = jax.lax.fori_loop(
+            0, m, arnoldi_step, carry
+        )
+
+        # Per-lane back-substitution R y = g (m x m upper triangular,
+        # explicit loop — m is small and everything is (F,) elementwise).
+        diag = jnp.abs(hess[jnp.arange(m), jnp.arange(m)])  # (m, F)
+        ok = diag > 1e-30
+        rhs = jnp.where(ok, g[:m], jnp.zeros((m, nf), dtype))
+        y = jnp.zeros((m, nf), dtype)
+
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            acc = rhs[i] - jnp.einsum("jf,jf->f", hess[i, :, :], y)
+            di = jnp.where(ok[i], hess[i, i], jnp.ones((nf,), dtype))
+            return y.at[i].set(jnp.where(ok[i], acc / di, jnp.zeros((nf,), dtype)))
+
+        y = jax.lax.fori_loop(0, m, back, y)
+        x_new = x + jnp.einsum("if,inf->nf", y, basis[:m])
+        return x_new, total_it + cnt, res
+
+    r_init = _bnorm(r_pre0)
+    if config.max_iterations <= 0:
+        return KrylovSolution(x0, jnp.zeros((nf,), jnp.int32),
+                              r_init / b_norm, r_init <= tol)
+
+    x1, it1, res1 = cycle(x0, r_pre0, jnp.zeros((nf,), jnp.int32))
+
+    def outer_cond(state):
+        _, it, res, converged = state
+        return jnp.any((~converged) & (it < config.max_iterations))
+
+    def outer_body(state):
+        x, it, _, _ = state
+        # Converged lanes pass through unchanged: their restart residual
+        # is below tol, so the cycle's done-masking leaves basis rows
+        # unwritten, back-substitution sees zero diagonals and returns
+        # y = 0 (same lockstep protection as the vmapped solver).
+        r_pre = m_mv(b - a_mv(x))
+        x, it, res = cycle(x, r_pre, it)
+        return (x, it, res, res <= tol)
+
+    init = (x1, it1, res1, res1 <= tol)
+    x, it, res, converged = jax.lax.while_loop(outer_cond, outer_body, init)
+    return KrylovSolution(x, it, res / b_norm, converged)

@@ -1,0 +1,138 @@
+"""Node-major batched sweep (DIA + batched GMRES/MG) vs the vmapped path.
+
+The node-major stack (fem/dia.py, solvers/krylov_batched.py,
+fem/multigrid_batched.py, models/room_sweep_nm.py) must reproduce the
+frequency-major sweep lane for lane: same algorithm, different batch
+layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mathaudio_tpu.fem.assembly import HelmholtzAssembler
+from mathaudio_tpu.fem.dia import dia_matvec, dia_pattern, dia_tables_of
+from mathaudio_tpu.fem.mesh import unit_cube_tetrahedra
+from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
+from mathaudio_tpu.models import RoomSweepModel
+from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
+from mathaudio_tpu.solvers import KrylovConfig
+from mathaudio_tpu.solvers.krylov import gmres
+from mathaudio_tpu.solvers.krylov_batched import gmres_batched
+
+
+class TestDia:
+    def test_dia_matvec_matches_dense(self):
+        mesh = unit_cube_tetrahedra(4)
+        asm = HelmholtzAssembler(mesh, robin_tags=(1, 2, 3, 4, 5, 6))
+        b_sum = sum(asm.b_vals.values())
+        offsets, tables = dia_tables_of(asm, b_sum)
+        assert len(offsets) == 15  # the box-mesh stencil
+        n = mesh.num_nodes
+        rng = np.random.default_rng(0)
+        nf = 3
+        ks = jnp.asarray([0.7, 1.3, 2.1])
+        x = jnp.asarray(rng.normal(size=(n, nf)) + 1j * rng.normal(size=(n, nf)))
+        cm = (ks * ks).astype(x.dtype)
+        cb = (-1j * 0.15 * ks).astype(x.dtype)
+        y = dia_matvec(offsets, tables, cm, cb, x)
+        # dense reference per frequency
+        row = np.asarray(asm.row_of_slot)
+        col = np.asarray(asm.col_of_slot)
+        for f in range(nf):
+            vals = np.asarray(asm.k_vals) - float(ks[f]) ** 2 * np.asarray(asm.m_vals) \
+                + complex(-1j * 0.15 * float(ks[f])) * np.asarray(b_sum)
+            a = np.zeros((n, n), complex)
+            np.add.at(a, (row, col), vals)
+            np.testing.assert_allclose(
+                np.asarray(y[:, f]), a @ np.asarray(x[:, f]), rtol=1e-10, atol=1e-12
+            )
+
+    def test_pattern_covers_all_slots(self):
+        mesh = unit_cube_tetrahedra(5)
+        asm = HelmholtzAssembler(mesh)
+        offsets, d_of_slot = dia_pattern(asm.row_of_slot, asm.col_of_slot)
+        assert d_of_slot.shape[0] == np.asarray(asm.row_of_slot).shape[0]
+        assert 0 in offsets
+        off = np.asarray(asm.col_of_slot) - np.asarray(asm.row_of_slot)
+        np.testing.assert_array_equal(np.asarray(offsets)[d_of_slot], off)
+
+
+class TestBatchedGmres:
+    def test_matches_vmapped_lane_for_lane(self):
+        rng = np.random.default_rng(1)
+        n, nf = 50, 4
+        a = rng.normal(size=(nf, n, n)) + 1j * rng.normal(size=(nf, n, n))
+        a += (25 + 5 * np.arange(nf))[:, None, None] * np.eye(n)
+        b = rng.normal(size=(nf, n)) + 1j * rng.normal(size=(nf, n))
+        aj, bj = jnp.asarray(a), jnp.asarray(b)
+        cfg = KrylovConfig(max_iterations=80, tolerance=1e-9, restart=10)
+        diag = jnp.stack([jnp.diagonal(aj[f]) for f in range(nf)])
+        sol_v = jax.vmap(
+            lambda af, bf, df: gmres(af, bf, config=cfg, preconditioner=lambda v: v / df)
+        )(aj, bj, diag)
+        at = jnp.transpose(aj, (1, 2, 0))
+        sol_b = gmres_batched(
+            lambda x: jnp.einsum("nmf,mf->nf", at, x),
+            bj.T, config=cfg, preconditioner=lambda v: v / diag.T,
+        )
+        np.testing.assert_array_equal(np.asarray(sol_b.iterations), np.asarray(sol_v.iterations))
+        np.testing.assert_array_equal(np.asarray(sol_b.converged), np.asarray(sol_v.converged))
+        np.testing.assert_allclose(np.asarray(sol_b.x.T), np.asarray(sol_v.x), atol=1e-12)
+
+    def test_restart_and_budget(self):
+        # lanes that need >1 restart cycle, plus a lane that exhausts budget
+        rng = np.random.default_rng(2)
+        n, nf = 40, 3
+        a = rng.normal(size=(nf, n, n)) + (4 + 12 * np.arange(nf))[:, None, None] * np.eye(n)
+        b = rng.normal(size=(nf, n)) + 0j
+        cfg = KrylovConfig(max_iterations=25, tolerance=1e-10, restart=8)
+        at = jnp.transpose(jnp.asarray(a), (1, 2, 0))
+        sol = gmres_batched(lambda x: jnp.einsum("nmf,mf->nf", at, x),
+                            jnp.asarray(b).T, config=cfg)
+        sol_v = jax.vmap(lambda af, bf: gmres(af, bf, config=cfg))(
+            jnp.asarray(a), jnp.asarray(b)
+        )
+        np.testing.assert_array_equal(np.asarray(sol.iterations), np.asarray(sol_v.iterations))
+        np.testing.assert_allclose(np.asarray(sol.x.T), np.asarray(sol_v.x), atol=1e-10)
+
+
+class TestNodeMajorSweep:
+    @pytest.mark.parametrize("cycle", ["v", "w"])
+    def test_matches_vmapped_sweep(self, cycle):
+        meshes = box_hierarchy(8, 2)
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
+        )
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 8, dtype=model.dtype)
+        fn_old = jax.jit(model.sweep_fn(
+            cfg, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
+            mg_coarse_anchors=4, mg_cycle_type=cycle,
+        ))
+        p_old, it_old, cv_old = fn_old(model.params(), ks)
+        nm = NodeMajorRoomSweep(model, mg)
+        fn_nm = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                    mg_coarse_anchors=4, mg_cycle_type=cycle))
+        p_nm, it_nm, cv_nm = fn_nm(nm.params(), ks)
+        np.testing.assert_array_equal(np.asarray(it_nm), np.asarray(it_old))
+        assert np.all(np.asarray(cv_nm))
+        scale = np.max(np.abs(np.asarray(p_old)))
+        np.testing.assert_allclose(np.asarray(p_nm), np.asarray(p_old),
+                                   atol=1e-10 * scale)
+
+    def test_jacobi_variant(self):
+        meshes = box_hierarchy(6, 1)
+        model = RoomSweepModel(meshes[0], absorption=0.2)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        nm = NodeMajorRoomSweep(model, mg)
+        cfg = KrylovConfig(max_iterations=400, tolerance=1e-8, restart=30)
+        ks = jnp.asarray([0.6, 1.1], dtype=model.dtype)
+        p, its, conv = jax.jit(nm.sweep_fn_jacobi(cfg))(nm.params(), ks)
+        p_ref, _, conv_ref = model.sweep(ks, cfg)
+        assert np.all(np.asarray(conv))
+        scale = np.max(np.abs(np.asarray(p_ref)))
+        np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-6 * scale)
