@@ -66,7 +66,7 @@ BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
-        cycle: str = "v", restart: int = 6, levels: int = 3):
+        cycle: str = "v", restart: int = 6, levels: int = 3, sweep_layout: str = "vmapped"):
     import os
 
     import jax
@@ -122,9 +122,20 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
     # (measured max over a 1024-freq sweep), so one 6-step cycle
     # suffices. The library default stays the robust omega=2/3, nu=2.
     config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=restart)
-    sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
-                           mg_coarse_anchors=min(anchors, n_freq),
-                           mg_cycle_type=cycle)
+    if sweep_layout == "nm":
+        # Node-major batched sweep (models/room_sweep_nm.py): DIA
+        # streaming matvecs + batched GMRES/MG, frequency axis in lanes.
+        from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
+
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        sweep = nm.sweep_fn(config, mg_nu=1, mg_omega=1.0,
+                            mg_coarse_anchors=min(anchors, n_freq),
+                            mg_cycle_type=cycle)
+    else:
+        sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
+                               mg_coarse_anchors=min(anchors, n_freq),
+                               mg_cycle_type=cycle)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
     fn = jax.jit(sweep)
@@ -340,6 +351,9 @@ if __name__ == "__main__":
                          "(freqs/anchors a multiple of 128 enables the nested "
                          "anchor-chunk vmap fast path)")
     ap.add_argument("--cycle", default="v", choices=["v", "w", "f"])
+    ap.add_argument("--sweep", default="vmapped", choices=["vmapped", "nm"],
+                    help="sweep layout: vmapped frequency-major or nm "
+                         "node-major (DIA + batched GMRES/MG)")
     ap.add_argument("--restart", type=int, default=6)
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
     ap.add_argument("--bem-subdiv", type=int, default=4,
@@ -354,7 +368,7 @@ if __name__ == "__main__":
         out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
     elif args.metric == "fem":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
-                  args.anchors, args.cycle, args.restart, args.levels)
+                  args.anchors, args.cycle, args.restart, args.levels, args.sweep)
     else:
         # all three (VERDICT r1 item 4): secondary metrics first, headline
         # FEM last; ONE combined JSON line (headline fields at top level so
@@ -362,7 +376,7 @@ if __name__ == "__main__":
         iir = run_iir(args.device, args.repeats, args.calibrate)
         bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
-                  args.anchors, args.cycle, args.restart, args.levels)
+                  args.anchors, args.cycle, args.restart, args.levels, args.sweep)
         out = dict(fem, secondary=[iir, bem]) if fem else None
     if out is not None:
         print(json.dumps(out))
