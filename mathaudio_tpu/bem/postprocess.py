@@ -46,7 +46,8 @@ def _kh_rows(points, qp, qw, normals, p_surf, q_surf, k):
     f32, else the fused XLA form)."""
     from mathaudio_tpu.ops.bem_assembly import pairwise_kh
 
-    s_mat, d_mat = pairwise_kh(points, qp, normals, qw, k)
+    s_mat, d_mat = pairwise_kh(points, qp, normals, qw, k,
+                               want_single=q_surf is not None)
     out = d_mat @ p_surf  # (M,)
     if q_surf is not None:
         out = out - s_mat @ q_surf

@@ -120,21 +120,6 @@ def dia_matvec(offsets: Tuple[int, ...], tables: DiaTables, cm, cb, x):
     return acc_k - cm[None, :] * acc_m + cb[None, :] * acc_b
 
 
-def dia_matvec_values(offsets: Tuple[int, ...], values, x):
-    """y = A x with a premixed complex DIA value table (D, N) or batched
-    (D, N, F); x (N, F). The materialized-table variant for operators
-    that are not a K/M/B combine."""
-    n = x.shape[0]
-    pad = _pad_amount(offsets)
-    xp = jnp.pad(x, ((pad, pad), (0, 0)))
-    acc = jnp.zeros_like(x)
-    for d, off in enumerate(offsets):
-        xs = jax.lax.dynamic_slice_in_dim(xp, pad + off, n, axis=0)
-        vd = values[d]
-        acc = acc + (vd[:, None] if vd.ndim == 1 else vd) * xs
-    return acc
-
-
 def dia_diag(tables: DiaTables, cm, cb):
     """Main diagonal (N, F) of K - cm M + cb B."""
     return (

@@ -65,6 +65,7 @@ class NodeMajorRoomSweep:
             )
 
         # Level 0: the model's own (true-operator) assembler.
+        self._check_structured(model.assembler)
         offs0, fine_tables = dia_tables_of(
             model.assembler, sum(model.assembler.b_vals[t] for t in model.wall_tags)
         )
@@ -76,6 +77,7 @@ class NodeMajorRoomSweep:
             if l == 0:
                 tabs = fine_tables
             else:
+                self._check_structured(asm)
                 offs_l, tabs = dia_tables_of(asm, b_sum_of(asm))
                 offsets.append(offs_l)
             levels.append(DiaLevel(tabs, bl.p_idx, bl.p_w))
@@ -88,6 +90,23 @@ class NodeMajorRoomSweep:
             listen_idx=model.params().listen_idx,
         )
 
+    @staticmethod
+    def _check_structured(asm):
+        """DIA storage is (n_diagonals, N); on an unstructured mesh the
+        distinct col-row offsets approach O(N) and the tables silently
+        blow up toward dense N². Require near-stencil density (box meshes
+        have exactly 15 diagonals; allow modest slack) and point
+        unstructured meshes at the vmapped ELL path."""
+        off = np.unique(np.asarray(asm.col_of_slot) - np.asarray(asm.row_of_slot))
+        nnz = np.asarray(asm.row_of_slot).size
+        if off.size * asm.num_nodes > 4 * nnz:
+            raise ValueError(
+                f"mesh is not structured enough for the node-major DIA sweep: "
+                f"{off.size} distinct diagonals x {asm.num_nodes} nodes vs "
+                f"{nnz} nonzeros; use RoomSweepModel.sweep_fn (vmapped ELL) "
+                f"for unstructured meshes"
+            )
+
     def params(self) -> NodeMajorParams:
         return self._params
 
@@ -95,16 +114,21 @@ class NodeMajorRoomSweep:
         self,
         config: Optional[KrylovConfig] = None,
         mg_shift: Tuple[float, float] = (1.0, 0.5),
-        mg_nu: int = 1,
-        mg_omega: float = 1.0,
-        mg_coarse_anchors: int = 16,
+        mg_nu: int = 2,
+        mg_omega: float = 2.0 / 3.0,
+        mg_coarse_anchors: int = 0,
         mg_nu_post=None,
         mg_cycle_type: str = "v",
     ):
         """(params, ks) -> (pressure (F, L), iterations (F,), converged
         (F,)); jit this. ``ks`` must be sorted ascending (anchored coarse
-        inverses assume contiguous chunks) and its length divisible into
-        the adjusted anchor count."""
+        inverses assume contiguous chunks). ``mg_coarse_anchors <= 0``
+        means one coarse inverse per frequency (exact, no anchoring —
+        matching RoomSweepModel.sweep_fn's anchors=0 mode); a positive
+        count that does not divide len(ks) is rounded down to the nearest
+        divisor with a warning. Smoothing defaults match
+        RoomSweepModel.sweep_fn (the bench passes its tuned knobs
+        explicitly)."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
         offsets = self.offsets
         absorption = self.absorption
@@ -117,9 +141,16 @@ class NodeMajorRoomSweep:
             cm_fine = k * k
             cb_fine = jnp.asarray(-1j * absorption, cd) * k
 
-            na = min(int(mg_coarse_anchors), nf)
-            while nf % na:
-                na -= 1
+            na = nf if mg_coarse_anchors <= 0 else min(int(mg_coarse_anchors), nf)
+            if nf % na:
+                na = max(d for d in range(1, na + 1) if nf % d == 0)
+                import warnings
+
+                warnings.warn(
+                    f"mg_coarse_anchors={mg_coarse_anchors} does not divide "
+                    f"the band ({nf} frequencies); using {na} anchors",
+                    stacklevel=2,
+                )
             anchor_ks = jnp.mean(ks.reshape(na, nf // na), axis=1)
             anchor_inv = build_coarse_inv_chain(
                 params.mg_builder,

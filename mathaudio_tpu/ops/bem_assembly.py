@@ -312,11 +312,17 @@ def pairwise_bm(x, nx, yq, ny, w, k, force: str = "auto"):
 # (bem/postprocess._kh_rows; math-bem/src/core/postprocess/pressure.rs).
 
 
-def _kh_kernel(x_ref, yqT_ref, nyT_ref, wT_ref, k_ref,
-               skr_ref, ski_ref, dkr_ref, dki_ref):
+def _kh_kernel(want_single, x_ref, yqT_ref, nyT_ref, wT_ref, k_ref, *out_refs):
     """(TI, TJ) tiles of S (Helmholtz single layer) and D (double layer).
     Same lane-oriented element layout and static nq unroll as _kernel;
-    field points are exterior so no regularization planes are needed."""
+    field points are exterior so no regularization planes are needed.
+    ``want_single=False`` (rigid scatterers, q = dp/dn = 0) drops the two
+    S output planes entirely — unlike XLA, Pallas outputs cannot be
+    dead-code-eliminated downstream."""
+    if want_single:
+        skr_ref, ski_ref, dkr_ref, dki_ref = out_refs
+    else:
+        dkr_ref, dki_ref = out_refs
     nq = wT_ref.shape[0]
     k = k_ref[0, 0]
     nyx = nyT_ref[0, :][None, :]
@@ -341,21 +347,25 @@ def _kh_kernel(x_ref, yqT_ref, nyT_ref, wT_ref, k_ref,
         s = jnp.sin(kr)
         wq = wT_ref[q, :][None, :]
         g4 = (wq / _PI4) * inv_r  # w |G| = w/(4 pi r)
-        # single layer: w G = g4 (c + i s)
-        acc_sre += g4 * c
-        acc_sim += g4 * s
+        if want_single:
+            # single layer: w G = g4 (c + i s)
+            acc_sre += g4 * c
+            acc_sim += g4 * s
         # double layer: w dG/dn_y = g4 (ik - 1/r)(c + i s) rny / r
         common = g4 * rny * inv_r
         acc_dre += common * (-c * inv_r - k * s)
         acc_dim += common * (k * c - s * inv_r)
-    skr_ref[:] = acc_sre
-    ski_ref[:] = acc_sim
+    if want_single:
+        skr_ref[:] = acc_sre
+        ski_ref[:] = acc_sim
     dkr_ref[:] = acc_dre
     dki_ref[:] = acc_dim
 
 
-def pairwise_kh_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128):
-    """(S complex, D complex), shapes (Ni, Nj)."""
+def pairwise_kh_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128,
+                       want_single: bool = True):
+    """(S complex, D complex), shapes (Ni, Nj); S is None when
+    ``want_single=False`` (the kernel then writes only the D planes)."""
     ni, nj, nq = x.shape[0], yq.shape[0], yq.shape[1]
     pi = (-ni) % tile_i
     pj = (-nj) % tile_j
@@ -370,7 +380,8 @@ def pairwise_kh_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128):
     wT = w_p.T
 
     grid = (mi // tile_i, mj // tile_j)
-    out_shape = [jax.ShapeDtypeStruct((mi, mj), x.dtype) for _ in range(4)]
+    n_out = 4 if want_single else 2
+    out_shape = [jax.ShapeDtypeStruct((mi, mj), x.dtype) for _ in range(n_out)]
     in_specs = [
         pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0)),
         pl.BlockSpec((nq * 3, tile_j), lambda i, j: (0, j)),
@@ -378,9 +389,10 @@ def pairwise_kh_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128):
         pl.BlockSpec((nq, tile_j), lambda i, j: (0, j)),
         pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
     ]
-    out_specs = [pl.BlockSpec((tile_i, tile_j), lambda i, j: (i, j)) for _ in range(4)]
-    skr, ski, dkr, dki = pl.pallas_call(
-        _kh_kernel,
+    out_specs = [pl.BlockSpec((tile_i, tile_j), lambda i, j: (i, j))
+                 for _ in range(n_out)]
+    outs = pl.pallas_call(
+        partial(_kh_kernel, want_single),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -388,14 +400,19 @@ def pairwise_kh_pallas(x, yq, ny, w, k, tile_i: int = 128, tile_j: int = 128):
         interpret=jax.default_backend() == "cpu",
     )(x_p, yqT, nyT, wT, k_arr)
     cd = complex_dtype_for(x.dtype)
-    s_mat = (skr + 1j * ski.astype(cd))[:ni, :nj]
+    if want_single:
+        skr, ski, dkr, dki = outs
+        s_mat = (skr + 1j * ski.astype(cd))[:ni, :nj]
+    else:
+        (dkr, dki), s_mat = outs, None
     d_mat = (dkr + 1j * dki.astype(cd))[:ni, :nj]
     return s_mat, d_mat
 
 
 def pairwise_kh_xla(x, yq, ny, w, k):
     """Reference XLA implementation (identical semantics to the inline
-    math previously in bem/postprocess._kh_rows)."""
+    math previously in bem/postprocess._kh_rows). Always returns both
+    matrices: an unused S is dead-code-eliminated by XLA under jit."""
     cd = complex_dtype_for(x.dtype)
     rv = yq[None, :, :, :] - x[:, None, None, :]
     r2 = jnp.sum(rv * rv, axis=-1)
@@ -409,9 +426,11 @@ def pairwise_kh_xla(x, yq, ny, w, k):
     return jnp.sum(g * wb, axis=-1), jnp.sum(dg * wb, axis=-1)
 
 
-def pairwise_kh(x, yq, ny, w, k, force: str = "auto"):
+def pairwise_kh(x, yq, ny, w, k, force: str = "auto", want_single: bool = True):
     """Dispatch for the field-evaluation kernel pair (same policy as
-    pairwise_double_layer: Pallas by default on TPU f32)."""
+    pairwise_double_layer: Pallas by default on TPU f32). Rigid-scatterer
+    callers (q = dp/dn = 0) pass ``want_single=False`` so the Pallas path
+    never materializes the unused single-layer planes."""
     if _use_pallas(force, x.dtype):
-        return pairwise_kh_pallas(x, yq, ny, w, k)
+        return pairwise_kh_pallas(x, yq, ny, w, k, want_single=want_single)
     return pairwise_kh_xla(x, yq, ny, w, k)

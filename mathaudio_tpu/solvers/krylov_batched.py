@@ -22,28 +22,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mathaudio_tpu.solvers.krylov import KrylovConfig, KrylovSolution
+from mathaudio_tpu.solvers.krylov import KrylovConfig, KrylovSolution, _givens
 
 
 def _bnorm(v):
     """(N, F) -> (F,) 2-norm over nodes."""
     return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
-
-
-def _bgivens(a, b):
-    """Per-lane complex Givens: a, b (F,) -> c (F,) real, s, r (F,)."""
-    eps = 1e-30
-    absa = jnp.abs(a)
-    absb = jnp.abs(b)
-    denom = jnp.sqrt(absa**2 + absb**2)
-    safe = denom > eps
-    d = jnp.where(safe, denom, 1.0)
-    c = jnp.where(safe, absa / d, jnp.ones_like(absa))
-    phase = jnp.where(absa > eps, a / jnp.where(absa > eps, absa, 1.0).astype(a.dtype),
-                      jnp.ones_like(a))
-    s = jnp.where(safe, phase * jnp.conj(b) / d.astype(a.dtype), jnp.zeros_like(a))
-    r = jnp.where(safe, phase * d.astype(a.dtype), jnp.zeros_like(a))
-    return c, s, r
 
 
 def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner=None):
@@ -111,7 +95,10 @@ def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner
                 return hcol
 
             h = jax.lax.fori_loop(0, m, rot, h)
-            c_j, s_j, r_j = _bgivens(h[j], h[j + 1])
+            # _givens is fully elementwise, so it applies per-lane on (F,)
+            # arrays — the single-vector solver's exact rotation, shared
+            # to keep the lane-for-lane parity contract by construction.
+            c_j, s_j, r_j = _givens(h[j], h[j + 1])
             h = h.at[j].set(r_j).at[j + 1].set(jnp.zeros((nf,), dtype))
             g_j = g[j]
             g = g.at[j].set(jnp.where(done, g[j], c_j * g_j))

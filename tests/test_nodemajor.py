@@ -124,6 +124,87 @@ class TestNodeMajorSweep:
         np.testing.assert_allclose(np.asarray(p_nm), np.asarray(p_old),
                                    atol=1e-10 * scale)
 
+    @pytest.mark.parametrize("cycle", ["v", "f"])
+    def test_matches_vmapped_three_levels(self, cycle):
+        # 3-level hierarchy: exercises the shifted deeper-level operators
+        # (l >= 1 in make_dia_mg) and the F-cycle's V-recursion — the
+        # bench default is levels=3, so the headline path must be under
+        # test, not just the 2-level slice.
+        meshes = box_hierarchy(8, 3)
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            listening_positions=((0.25, 0.25, 0.25),),
+        )
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 8, dtype=model.dtype)
+        fn_old = jax.jit(model.sweep_fn(
+            cfg, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
+            mg_coarse_anchors=4, mg_cycle_type=cycle,
+        ))
+        p_old, it_old, _ = fn_old(model.params(), ks)
+        nm = NodeMajorRoomSweep(model, mg)
+        fn_nm = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                    mg_coarse_anchors=4, mg_cycle_type=cycle))
+        p_nm, it_nm, cv_nm = fn_nm(nm.params(), ks)
+        np.testing.assert_array_equal(np.asarray(it_nm), np.asarray(it_old))
+        assert np.all(np.asarray(cv_nm))
+        scale = np.max(np.abs(np.asarray(p_old)))
+        np.testing.assert_allclose(np.asarray(p_nm), np.asarray(p_old),
+                                   atol=1e-10 * scale)
+
+    def test_no_anchoring_mode(self):
+        # anchors <= 0 = one coarse inverse per frequency; lane-exact vs
+        # the vmapped sweep with per-frequency anchors (anchors=nf runs
+        # the same Newton-Schulz inverse chain).
+        meshes = box_hierarchy(8, 2)
+        model = RoomSweepModel(meshes[0], wall_tags=(1, 2, 3, 4, 5, 6),
+                               absorption=0.15)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.6, 2.0, 4, dtype=model.dtype)
+        p_old, it_old, _ = jax.jit(model.sweep_fn(
+            cfg, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
+            mg_coarse_anchors=4,
+        ))(model.params(), ks)
+        nm = NodeMajorRoomSweep(model, mg)
+        p_nm, it_nm, cv_nm = jax.jit(nm.sweep_fn(
+            cfg, mg_nu=1, mg_omega=1.0, mg_coarse_anchors=0,
+        ))(nm.params(), ks)
+        np.testing.assert_array_equal(np.asarray(it_nm), np.asarray(it_old))
+        assert np.all(np.asarray(cv_nm))
+        scale = np.max(np.abs(np.asarray(p_old)))
+        np.testing.assert_allclose(np.asarray(p_nm), np.asarray(p_old),
+                                   atol=1e-10 * scale)
+
+    def test_anchor_count_rounds_to_divisor(self):
+        meshes = box_hierarchy(6, 2)
+        model = RoomSweepModel(meshes[0], wall_tags=(1, 2, 3, 4, 5, 6),
+                               absorption=0.15)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        nm = NodeMajorRoomSweep(model, mg)
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.6, 2.0, 8, dtype=model.dtype)
+        fn = jax.jit(nm.sweep_fn(cfg, mg_coarse_anchors=3))
+        with pytest.warns(UserWarning, match="does not divide"):
+            _, _, conv = fn(nm.params(), ks)
+        assert np.all(np.asarray(conv))
+
+    def test_unstructured_sparsity_rejected(self):
+        # A scattered (non-stencil) sparsity must raise instead of
+        # silently building near-dense (D, N) DIA tables.
+        from types import SimpleNamespace
+
+        rng = np.random.default_rng(3)
+        n, nnz = 200, 600
+        asm = SimpleNamespace(
+            row_of_slot=rng.integers(0, n, nnz),
+            col_of_slot=rng.integers(0, n, nnz),
+            num_nodes=n,
+        )
+        with pytest.raises(ValueError, match="node-major DIA"):
+            NodeMajorRoomSweep._check_structured(asm)
+
     def test_jacobi_variant(self):
         meshes = box_hierarchy(6, 1)
         model = RoomSweepModel(meshes[0], absorption=0.2)

@@ -58,6 +58,10 @@ class TestKirchhoffHelmholtzKernel:
         s_p, d_p = pairwise_kh_pallas(pts, yq, ny, w, 1.7)
         np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-12)
         np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-12)
+        # rigid-path variant: single layer dropped, D identical
+        s_r, d_r = pairwise_kh_pallas(pts, yq, ny, w, 1.7, want_single=False)
+        assert s_r is None
+        np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_x), atol=1e-12)
 
     def test_field_eval_unchanged(self):
         """evaluate_field through the new dispatch equals the direct
