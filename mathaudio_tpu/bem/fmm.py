@@ -25,6 +25,7 @@ direction-space factors (-ik s.n_y) and (ik s.n_x).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -36,7 +37,6 @@ from mathaudio_tpu.bem.assembly import _pair_kernels, _self_angular_rule, _stati
 from mathaudio_tpu.bem.mesh import SurfaceMesh
 from mathaudio_tpu.bem.octree import Octree
 from mathaudio_tpu.solvers.operators import LinearOperator
-from mathaudio_tpu.wave.special.legendre import legendre_all
 from mathaudio_tpu.wave.special.spherical import spherical_jn_yn_all
 from mathaudio_tpu.xtypes import complex_dtype_for, default_float
 
@@ -58,17 +58,85 @@ def unit_sphere_quadrature(order: int):
     return dirs, w
 
 
-def translation_operator(k: float, d_vecs: np.ndarray, dirs: np.ndarray, order: int):
-    """M_L(s, D) for a batch of translation vectors: (P, Q) complex."""
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Next power of two >= n: pads data-dependent batch sizes to a few
+    static shapes so the jitted build kernels compile O(log N) times per
+    process instead of once per interaction list / frequency."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnums=0)
+def _translation_sum(lmax: int, kd, cos_g, orders):
+    """sum_{l<=orders[p]} (2l+1) i^l h_l(kd[p]) P_l(cos_g[p, q]) -> (P, Q).
+
+    Fused build kernel: the Legendre recurrence accumulates the series
+    in-place (lax.scan), never materializing the (L+1, P, Q) tensor the
+    old host einsum needed — XLA fuses and multithreads the (P, Q) work.
+    Orders above ``orders[p]`` are masked with ``where`` so overflowed
+    high-l Hankel tails (inf) cannot poison the sum."""
+    j_all, y_all = spherical_jn_yn_all(lmax, kd)  # (L+1, P)
+    h = jax.lax.complex(j_all, y_all)
+    l = jnp.arange(lmax + 1)
+    i_pow = jnp.stack(
+        [jnp.array(v, h.dtype) for v in (1.0, 1.0j, -1.0, -1.0j)]
+    )[l % 4]  # exact i^l (pow() drifts at high l)
+    coef = ((2 * l + 1).astype(h.dtype) * i_pow)[:, None]
+    a = jnp.where(l[:, None] <= orders[None, :], coef * h, 0.0)  # (L+1, P)
+    acc = a[0][:, None] * jnp.ones_like(cos_g)
+    if lmax == 0:
+        return acc
+    p0 = jnp.ones_like(cos_g)
+    p1 = cos_g
+    acc = acc + a[1][:, None] * p1
+
+    def step(carry, inp):
+        p_nm1, p_n, acc = carry
+        n, a_n = inp
+        p_np1 = ((2.0 * n + 1.0) * cos_g * p_n - n * p_nm1) / (n + 1.0)
+        return (p_n, p_np1, acc + a_n[:, None] * p_np1), None
+
+    ns = jnp.arange(1, lmax, dtype=cos_g.dtype)
+    (_, _, acc), _ = jax.lax.scan(step, (p0, p1, acc), (ns, a[2:]))
+    return acc
+
+
+def _hankel_abs_padded(lmax: int, kd: np.ndarray) -> np.ndarray:
+    """|h_l(kd)| on bucket-padded shapes (one compile per bucket pair)."""
+    p = len(kd)
+    pb = _bucket(p)
+    lb = 4 * ((lmax + 3) // 4)
+    kd_p = np.full(pb, 1.0)
+    kd_p[:p] = kd
+    j_all, y_all = spherical_jn_yn_all(lb, jnp.asarray(kd_p))
+    return np.hypot(np.asarray(j_all), np.asarray(y_all))[: lmax + 1, :p]
+
+
+def _translation_padded(k, d_vecs, dirs, lmax: int, orders) -> np.ndarray:
+    """Shared padded driver for both translation-operator forms."""
+    p = len(d_vecs)
     d_len = np.linalg.norm(d_vecs, axis=1)
     d_hat = d_vecs / np.maximum(d_len, 1e-300)[:, None]
     cos_g = np.clip(d_hat @ dirs.T, -1.0, 1.0)  # (P, Q)
-    j_all, y_all = spherical_jn_yn_all(order, jnp.asarray(k * d_len))
-    h_all = np.asarray(j_all + 1j * y_all)  # (L+1, P)
-    p_all = np.asarray(legendre_all(order, jnp.asarray(cos_g)))  # (L+1, P, Q)
-    l = np.arange(order + 1)
-    coef = (2 * l + 1) * (1j**l)
-    return np.einsum("l,lp,lpq->pq", coef, h_all, p_all)
+    pb = _bucket(p)
+    lb = 4 * ((lmax + 3) // 4)  # bucket the static order too
+    kd = np.full(pb, 1.0)
+    kd[:p] = k * d_len
+    cg = np.ones((pb, cos_g.shape[1]))
+    cg[:p] = cos_g
+    od = np.full(pb, -1, np.int32)
+    od[:p] = orders
+    out = _translation_sum(lb, jnp.asarray(kd), jnp.asarray(cg), jnp.asarray(od))
+    return np.asarray(out)[:p]
+
+
+def translation_operator(k: float, d_vecs: np.ndarray, dirs: np.ndarray, order: int):
+    """M_L(s, D) for a batch of translation vectors: (P, Q) complex."""
+    return _translation_padded(
+        k, d_vecs, dirs, order, np.full(len(d_vecs), order, np.int32)
+    )
 
 
 class SlfmmData(NamedTuple):
@@ -368,6 +436,23 @@ def _pack_clusters(nodes, centers):
     return cl, mk, cc, rr
 
 
+@jax.jit
+def _agg_disagg_jit(yg_rel, qw_cl, n_cl, y_rel, dirs, mask, k, agg_offset):
+    """Jitted core of `_agg_disagg_tensors` (k / agg_offset are traced so
+    a frequency sweep reuses one compilation per level geometry)."""
+    phase_g = jnp.einsum("qd,cmgd->cqmg", dirs, yg_rel)
+    s_dot_ny = jnp.einsum("qd,cmd->cqm", dirs, n_cl)
+    ik = jax.lax.complex(jnp.zeros_like(k), k)
+    t_tensor = (
+        jnp.einsum("cqmg,cmg->cqm", jnp.exp(-ik * phase_g), qw_cl.astype(ik.dtype))
+        * (-ik * s_dot_ny + agg_offset)
+        * mask[:, None, :]
+    )
+    phase_y = jnp.einsum("qd,cmd->cqm", dirs, y_rel)
+    s_tensor = jnp.exp(ik * phase_y) * mask[:, None, :].astype(ik.dtype)
+    return t_tensor, s_tensor
+
+
 def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0):
     """(T, S) padded aggregation/disaggregation tensors for one level.
 
@@ -378,17 +463,19 @@ def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0
     normals = mesh.normals
     qp_e, qw_e = mesh.quad_points(2)
     yg_rel = qp_e[clusters] - c_centers[:, None, None, :]
-    phase_g = np.einsum("qd,cmgd->cqmg", dirs, yg_rel)
-    s_dot_ny = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
-    t_tensor = (
-        np.einsum("cqmg,cmg->cqm", np.exp(-1j * k * phase_g), qw_e[clusters])
-        * (-1j * k * s_dot_ny + agg_offset)
-        * mask[:, None, :]
-    )
     y_rel = centers[clusters] - c_centers[:, None, :]
-    phase_y = np.einsum("qd,cmd->cqm", dirs, y_rel)
-    s_tensor = np.exp(1j * k * phase_y) * mask[:, None, :]
-    return t_tensor, s_tensor
+    cdt = np.complex128 if jax.config.jax_enable_x64 else np.complex64
+    t_tensor, s_tensor = _agg_disagg_jit(
+        jnp.asarray(yg_rel),
+        jnp.asarray(qw_e[clusters]),
+        jnp.asarray(normals[clusters]),
+        jnp.asarray(y_rel),
+        jnp.asarray(dirs),
+        jnp.asarray(mask),
+        jnp.asarray(float(k)),
+        jnp.asarray(complex(agg_offset), cdt),
+    )
+    return np.asarray(t_tensor), np.asarray(s_tensor)
 
 
 def _level_tensors(mesh, clusters, mask, c_centers, far, k, dirs, w, order, dtype,
@@ -635,16 +722,7 @@ def translation_operator_pairwise(k, d_vecs, dirs, lmax: int, orders) -> np.ndar
     """M_L(s, D) with a per-pair truncation order (P, Q): terms with
     l > orders[p] are dropped so small cluster pairs never see the
     divergent high-l h_l(kD) tail of a level-wide order."""
-    d_len = np.linalg.norm(d_vecs, axis=1)
-    d_hat = d_vecs / np.maximum(d_len, 1e-300)[:, None]
-    cos_g = np.clip(d_hat @ dirs.T, -1.0, 1.0)
-    j_all, y_all = spherical_jn_yn_all(lmax, jnp.asarray(k * d_len))
-    h_all = np.asarray(j_all + 1j * y_all)  # (L+1, P)
-    p_all = np.asarray(legendre_all(lmax, jnp.asarray(cos_g)))  # (L+1, P, Q)
-    l = np.arange(lmax + 1)
-    coef = (2 * l + 1) * (1j**l)
-    keep = (l[:, None] <= np.asarray(orders)[None, :]).astype(float)  # (L+1, P)
-    return np.einsum("l,lp,lp,lpq->pq", coef, keep, h_all, p_all)
+    return _translation_padded(k, d_vecs, dirs, lmax, np.asarray(orders, np.int32))
 
 
 class MlfmmLevel(NamedTuple):
@@ -812,8 +890,7 @@ def build_mlfmm_tree_system(
             krp = k * (rr[d][cb] + rr[d][ca])
             l_acc = np.ceil(krp + 4 * np.log(krp + np.pi) + 4).astype(int)
             kd = k * dist[cb, ca]
-            j_all, y_all = spherical_jn_yn_all(int(l_acc.max()), jnp.asarray(kd))
-            h_abs = np.abs(np.asarray(j_all + 1j * y_all))  # (L+1, P)
+            h_abs = _hankel_abs_padded(int(l_acc.max()), kd)  # (L+1, P)
             l = np.arange(h_abs.shape[0])
             amp = np.where(l[:, None] <= l_acc[None, :], (2 * l + 1)[:, None] * h_abs, 0.0)
             stable = amp.max(axis=0) <= _MLFMM_STABILITY_TAU
