@@ -344,3 +344,66 @@ class TestPreconditionerDispatch:
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal(mesh.num_elements) + 0j)
         np.testing.assert_allclose(np.asarray(pre.matvec(x)), np.asarray(pre2.matvec(x)))
+
+
+class TestTranslationKernels:
+    """Direct oracle checks of the padded/bucketed fused translation
+    kernels (fmm._translation_padded): the padded lanes (kd=1, order=-1)
+    and the bucketed Legendre order must never leak into real rows."""
+
+    @staticmethod
+    def _oracle(k, d_vecs, dirs, lmax, orders):
+        from scipy.special import spherical_jn, spherical_yn
+
+        d_len = np.linalg.norm(d_vecs, axis=1)
+        d_hat = d_vecs / d_len[:, None]
+        cos_g = np.clip(d_hat @ dirs.T, -1.0, 1.0)
+        out = np.zeros(cos_g.shape, complex)
+        for p in range(len(d_vecs)):
+            for l in range(int(orders[p]) + 1):
+                h = spherical_jn(l, k * d_len[p]) + 1j * spherical_yn(l, k * d_len[p])
+                pl = np.polynomial.legendre.legval(
+                    cos_g[p], np.eye(lmax + 1)[l]
+                )
+                out[p] += (2 * l + 1) * (1j**l) * h * pl
+        return out
+
+    @pytest.mark.parametrize("p,order", [(1, 4), (3, 8), (5, 12)])
+    def test_translation_operator_vs_oracle(self, p, order):
+        from mathaudio_tpu.bem.fmm import translation_operator
+
+        rng = np.random.default_rng(p)
+        d_vecs = rng.standard_normal((p, 3)) * 3.0 + 4.0
+        dirs, _ = unit_sphere_quadrature(3)
+        k = 1.7
+        got = translation_operator(k, d_vecs, dirs, order)
+        want = self._oracle(k, d_vecs, dirs, order, np.full(p, order))
+        np.testing.assert_allclose(got, want, rtol=5e-7, atol=1e-9)
+
+    def test_pairwise_orders_mask_high_l(self):
+        """Per-pair truncation: each row must match the oracle truncated
+        at its own order, including a row at order 0 and one at lmax."""
+        from mathaudio_tpu.bem.fmm import translation_operator_pairwise
+
+        rng = np.random.default_rng(7)
+        p, lmax = 4, 10
+        d_vecs = rng.standard_normal((p, 3)) * 2.0 + 5.0
+        dirs, _ = unit_sphere_quadrature(3)
+        orders = np.array([0, 3, lmax, 6], np.int32)
+        k = 2.3
+        got = translation_operator_pairwise(k, d_vecs, dirs, lmax, orders)
+        want = self._oracle(k, d_vecs, dirs, lmax, orders)
+        np.testing.assert_allclose(got, want, rtol=5e-7, atol=1e-9)
+
+    def test_bucketing_is_invisible(self):
+        """Results must be identical whether P lands on a bucket boundary
+        or just past it (padded lanes discarded exactly)."""
+        from mathaudio_tpu.bem.fmm import translation_operator
+
+        rng = np.random.default_rng(3)
+        dirs, _ = unit_sphere_quadrature(4)
+        k = 1.1
+        d65 = rng.standard_normal((65, 3)) + 4.0
+        full = translation_operator(k, d65, dirs, 6)
+        head = translation_operator(k, d65[:64], dirs, 6)
+        np.testing.assert_allclose(full[:64], head, rtol=1e-12, atol=0)
