@@ -339,6 +339,29 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
     }
 
 
+def _check_tpu_reachable(timeout_s: float = 420.0) -> None:
+    """Fail fast when the remote-TPU tunnel is down.
+
+    jax.devices() on the axon backend blocks *forever* during a tunnel
+    outage (observed during round 2), which would hang the whole bench
+    run. Probe device init in a subprocess with a hard timeout and exit
+    with a diagnostic instead."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        ok = proc.returncode == 0
+        detail = proc.stderr[-500:]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"device init still blocked after {timeout_s:.0f}s"
+    if not ok:
+        print(f"# TPU backend unreachable (tunnel outage?): {detail}", file=sys.stderr)
+        sys.exit(1)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
@@ -362,6 +385,8 @@ if __name__ == "__main__":
                     help="auto = the reference's size table: LU below N=1000, GMRES above")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
+    if args.device == "tpu":
+        _check_tpu_reachable()
     if args.metric == "iir":
         out = run_iir(args.device, args.repeats, args.calibrate)
     elif args.metric == "bem":
