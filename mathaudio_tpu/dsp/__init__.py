@@ -31,6 +31,8 @@ from mathaudio_tpu.dsp.iir import (  # noqa: F401
     peq_linkwitzriley_lowpass,
     peq_linkwitzriley_highpass,
     peq_print,
+    get_filter_priority,
+    filter_peqs_by_gain,
 )
 from mathaudio_tpu.dsp.scan import (  # noqa: F401
     biquad_process_block,

@@ -83,33 +83,39 @@ def peq_format_rme_channel(peq: Peq) -> str:
     return "\n".join(lines)
 
 
-_RME_PRIORITY = {
-    FT.LOWSHELF: 9, FT.HIGHSHELF: 9,
-    FT.LOWPASS: 7, FT.HIGHPASS: 7, FT.HIGHPASS_VARIABLE_Q: 7,
-    FT.BANDPASS: 5, FT.PEAK: 3,
-}
+def _neutral_pk() -> Tuple[float, Biquad]:
+    return (1.0, Biquad(FT.PEAK, 1000.0, 48000.0, 1.0, 0.0))
 
 
 def _enforce_rme_room_constraints(peq: Peq) -> Peq:
-    """Limit to 9 bands, priority then |gain| (iir.rs:2055); unsupported
-    types become PK; pads with neutral PK bands."""
-    converted: Peq = []
+    """RME room EQ hardware slots (iir.rs:2055): exactly 9 bands;
+    positions 2-8 are PK-only; position 1 takes the lowest-frequency
+    non-PK filter (LS/HS/LP/HP) if any, position 9 the highest-frequency
+    one if a second exists; unsupported types become PK; excess PK bands
+    are dropped; missing slots pad with neutral PK at 1 kHz."""
+    _NON_PK = (FT.LOWSHELF, FT.HIGHSHELF, FT.LOWPASS, FT.HIGHPASS, FT.HIGHPASS_VARIABLE_Q)
+    pk: Peq = []
+    non_pk: Peq = []
     for w, bq in peq:
-        if bq.filter_type in (FT.NOTCH,):
-            bq = Biquad(FT.PEAK, bq.freq, bq.srate, bq.q, bq.db_gain)
-        converted.append((w, bq))
-    if len(converted) > 9:
-        ranked = sorted(
-            range(len(converted)),
-            key=lambda i: (
-                -_RME_PRIORITY.get(converted[i][1].filter_type, 1),
-                -abs(converted[i][1].db_gain),
-            ),
-        )[:9]
-        converted = [converted[i] for i in sorted(ranked)]
-    while len(converted) < 9:
-        converted.append((1.0, Biquad(FT.PEAK, 1000.0, 48000.0, 1.0, 0.0)))
-    return converted
+        if bq.filter_type == FT.PEAK:
+            pk.append((w, bq))
+        elif bq.filter_type in _NON_PK:
+            non_pk.append((w, bq))
+        else:
+            pk.append((w, Biquad(FT.PEAK, bq.freq, bq.srate, bq.q, bq.db_gain)))
+
+    selected_low = selected_high = None
+    if non_pk:
+        by_freq = sorted(non_pk, key=lambda it: it[1].freq)
+        selected_low = by_freq[0]
+        if len(by_freq) > 1:
+            selected_high = by_freq[-1]
+
+    result: Peq = [selected_low or (pk.pop(0) if pk else _neutral_pk())]
+    for _ in range(7):
+        result.append(pk.pop(0) if pk else _neutral_pk())
+    result.append(selected_high or (pk.pop(0) if pk else _neutral_pk()))
+    return result
 
 
 def peq_format_rme_room(left: Peq, right: Peq = ()) -> str:

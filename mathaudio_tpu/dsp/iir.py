@@ -335,6 +335,37 @@ def peq_linkwitzriley_highpass(order: int, freq: float, srate: float = SRATE) ->
     ]
 
 
+def get_filter_priority(filter_type: BiquadFilterType) -> int:
+    """Band-retention priority when a hardware band limit forces drops
+    (iir.rs:1975): shelves shape the overall curve (9), LP/HP (7),
+    bandpass (5), peak (3), everything else (1)."""
+    if filter_type in (BiquadFilterType.LOWSHELF, BiquadFilterType.HIGHSHELF):
+        return 9
+    if filter_type in (
+        BiquadFilterType.LOWPASS,
+        BiquadFilterType.HIGHPASS,
+        BiquadFilterType.HIGHPASS_VARIABLE_Q,
+    ):
+        return 7
+    if filter_type == BiquadFilterType.BANDPASS:
+        return 5
+    if filter_type == BiquadFilterType.PEAK:
+        return 3
+    return 1
+
+
+def filter_peqs_by_gain(peq: Peq, max_count: int) -> Peq:
+    """Keep at most ``max_count`` bands, preferring high priority then
+    high |gain|, preserving the original band order (iir.rs:2000)."""
+    if len(peq) <= max_count:
+        return list(peq)
+    ranked = sorted(
+        range(len(peq)),
+        key=lambda i: (-get_filter_priority(peq[i][1].filter_type), -abs(peq[i][1].db_gain)),
+    )[:max_count]
+    return [peq[i] for i in sorted(ranked)]
+
+
 def peq_print(peq: Peq) -> str:
     """Formatted filter table (iir.rs:1697), returned as a string."""
     lines = [f"{'#':>2} {'Type':<4} {'Freq(Hz)':>9} {'Q':>6} {'Gain(dB)':>8}"]

@@ -345,3 +345,116 @@ class TestShortBlocks:
             yi, state = biquad_process_block(jnp.asarray([xi]), coeffs, state)
             ys.append(float(yi[0]))
         np.testing.assert_allclose(ys, np.asarray(y_long), rtol=1e-10, atol=1e-12)
+
+
+class TestBandLimiting:
+    """filter_peqs_by_gain + RME room slot rules (iir.rs:1975-2160)."""
+
+    def _pk(self, freq, gain):
+        return (1.0, Biquad(FT.PEAK, freq, SRATE, 1.0, gain))
+
+    def test_filter_peqs_under_limit_unchanged(self):
+        from mathaudio_tpu.dsp import filter_peqs_by_gain
+
+        peq = [self._pk(100.0 * (i + 1), 1.0 + i) for i in range(3)]
+        assert filter_peqs_by_gain(peq, 5) == peq
+
+    def test_filter_peqs_over_limit_keeps_largest_gains(self):
+        from mathaudio_tpu.dsp import filter_peqs_by_gain
+
+        peq = [self._pk(100.0 * (i + 1), float(i)) for i in range(12)]
+        out = filter_peqs_by_gain(peq, 9)
+        assert len(out) == 9
+        kept = {bq.db_gain for _, bq in out}
+        assert kept == {float(i) for i in range(3, 12)}
+        # original order preserved
+        assert [bq.freq for _, bq in out] == sorted(bq.freq for _, bq in out)
+
+    def test_filter_peqs_priority_over_gain(self):
+        """A low-gain shelf outranks high-gain peaks."""
+        from mathaudio_tpu.dsp import filter_peqs_by_gain, get_filter_priority
+
+        assert get_filter_priority(FT.LOWSHELF) > get_filter_priority(FT.PEAK)
+        peq = [self._pk(100.0 * (i + 1), 10.0) for i in range(9)]
+        peq.append((1.0, Biquad(FT.LOWSHELF, 80.0, SRATE, 0.0, 0.5)))
+        out = filter_peqs_by_gain(peq, 9)
+        assert any(bq.filter_type == FT.LOWSHELF for _, bq in out)
+        assert len(out) == 9
+
+    def _room_slots(self, peq):
+        from mathaudio_tpu.dsp.formats import _enforce_rme_room_constraints
+
+        return _enforce_rme_room_constraints(peq)
+
+    def test_room_empty_pads_nine_neutral_pk(self):
+        out = self._room_slots([])
+        assert len(out) == 9
+        assert all(bq.filter_type == FT.PEAK and bq.db_gain == 0.0 for _, bq in out)
+
+    def test_room_no_shelves_keeps_pk_order(self):
+        peq = [self._pk(100.0 * (i + 1), 1.0) for i in range(4)]
+        out = self._room_slots(peq)
+        assert len(out) == 9
+        assert [bq.freq for _, bq in out[:4]] == [100.0, 200.0, 300.0, 400.0]
+
+    def test_room_single_lowshelf_goes_to_slot_one(self):
+        peq = [self._pk(500.0, 2.0), (1.0, Biquad(FT.LOWSHELF, 80.0, SRATE, 0.0, 4.0))]
+        out = self._room_slots(peq)
+        assert out[0][1].filter_type == FT.LOWSHELF
+        assert out[1][1].filter_type == FT.PEAK and out[1][1].freq == 500.0
+        assert out[8][1].filter_type == FT.PEAK  # only one non-PK -> slot 9 is PK
+
+    def test_room_both_shelves_slot_one_and_nine(self):
+        peq = [
+            (1.0, Biquad(FT.HIGHSHELF, 8000.0, SRATE, 0.0, -3.0)),
+            self._pk(500.0, 2.0),
+            (1.0, Biquad(FT.LOWSHELF, 80.0, SRATE, 0.0, 4.0)),
+        ]
+        out = self._room_slots(peq)
+        assert out[0][1].filter_type == FT.LOWSHELF  # lowest freq non-PK
+        assert out[8][1].filter_type == FT.HIGHSHELF  # highest freq non-PK
+        assert all(bq.filter_type == FT.PEAK for _, bq in out[1:8])
+
+    def test_room_three_non_pk_picks_extremes(self):
+        peq = [
+            (1.0, Biquad(FT.LOWSHELF, 80.0, SRATE, 0.0, 4.0)),
+            (1.0, Biquad(FT.HIGHPASS, 40.0, SRATE, 0.0, 0.0)),
+            (1.0, Biquad(FT.HIGHSHELF, 8000.0, SRATE, 0.0, -3.0)),
+        ]
+        out = self._room_slots(peq)
+        assert out[0][1].filter_type == FT.HIGHPASS and out[0][1].freq == 40.0
+        assert out[8][1].filter_type == FT.HIGHSHELF
+
+    def test_room_unsupported_type_becomes_pk(self):
+        peq = [(1.0, Biquad(FT.NOTCH, 1000.0, SRATE, 0.0, 0.0))]
+        out = self._room_slots(peq)
+        assert out[0][1].filter_type == FT.PEAK
+        assert out[0][1].freq == 1000.0
+
+    def test_room_excess_pk_dropped(self):
+        peq = [self._pk(100.0 * (i + 1), 1.0) for i in range(12)]
+        out = self._room_slots(peq)
+        assert len(out) == 9
+        assert [bq.freq for _, bq in out] == [100.0 * (i + 1) for i in range(9)]
+
+
+class TestWeightings:
+    """A/K-weighting anchor values (iir.rs test_a_weighting/test_k_weighting)."""
+
+    def test_a_weighting_zero_at_1khz(self):
+        from mathaudio_tpu.dsp.iir import _a_weighting_db
+
+        assert abs(float(_a_weighting_db(jnp.asarray(1000.0)))) < 0.05
+
+    def test_a_weighting_rolls_off_low_frequencies(self):
+        from mathaudio_tpu.dsp.iir import _a_weighting_db
+
+        lo = float(_a_weighting_db(jnp.asarray(50.0)))
+        assert -32.0 < lo < -28.0  # A(50 Hz) ~ -30.2 dB
+
+    def test_k_weighting_boosts_highs(self):
+        from mathaudio_tpu.dsp.iir import _k_weighting_db
+
+        assert abs(float(_k_weighting_db(jnp.asarray(1000.0)))) < 1e-9  # flat mid band
+        assert float(_k_weighting_db(jnp.asarray(10000.0))) > 2.0  # shelf boost ~ +4 dB
+        assert float(_k_weighting_db(jnp.asarray(20.0))) < -10.0  # sub-38 Hz rolloff
