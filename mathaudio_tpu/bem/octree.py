@@ -96,7 +96,14 @@ class Octree:
         # (C, C, 3) broadcast + norm (5x less traffic; at 3656 leaves /
         # N=20480 this is 29s -> <1s of host time).
         sq = np.einsum("cd,cd->c", centers, centers)
-        d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (centers @ centers.T), 0.0)
+        gram = centers @ centers.T
+        # BLAS GEMM is not bit-symmetric; symmetrize so boundary pairs
+        # classify identically in both directions.
+        gram = 0.5 * (gram + gram.T)
+        d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * gram, 0.0)
+        # gram[ii] != sq[i] by an ulp; a tiny-radius leaf must still
+        # near-list itself, so pin the self-distance to exactly zero.
+        np.fill_diagonal(d2, 0.0)
         far = d2 > (separation_ratio * (radii[:, None] + radii[None, :])) ** 2
         nb, na = np.nonzero(~far)
         fb, fa = np.nonzero(far)
