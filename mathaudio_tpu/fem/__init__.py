@@ -31,6 +31,7 @@ from mathaudio_tpu.fem.mesh import (  # noqa: F401
 from mathaudio_tpu.fem.basis import element_tables  # noqa: F401
 from mathaudio_tpu.fem.assembly import (  # noqa: F401
     assemble_stiffness_mass,
+    assemble_lumped_mass,
     assemble_boundary_mass,
     assemble_rhs,
     HelmholtzAssembler,

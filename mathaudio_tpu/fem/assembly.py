@@ -127,6 +127,14 @@ def assemble_stiffness_mass(mesh: Mesh, dtype=None, quad_order: int = 2):
     return csr, k_vals, m_vals, meta
 
 
+def assemble_lumped_mass(mesh: Mesh, dtype=None, quad_order: int = 2):
+    """Row-sum lumped mass diagonal (mass.rs:278 assemble_lumped_mass):
+    (N,) vector with sum_j M_ij per node; total equals the mesh measure."""
+    _csr, _k_vals, m_vals, meta = assemble_stiffness_mass(mesh, dtype, quad_order)
+    n = mesh.num_nodes
+    return jnp.zeros(n, m_vals.dtype).at[jnp.asarray(meta["row_of_slot"])].add(m_vals)
+
+
 _FACE_TYPE = {
     TRIANGLE: "segment",
     QUAD: "segment",
