@@ -37,4 +37,10 @@ from mathaudio_tpu.bem.assembly import (  # noqa: F401
     assemble_mixed_system,
 )
 from mathaudio_tpu.bem.solver import BemProblem, BemSolver, BemSolution  # noqa: F401
-from mathaudio_tpu.bem.postprocess import evaluate_field, FieldResult  # noqa: F401
+from mathaudio_tpu.bem.postprocess import (  # noqa: F401
+    FieldResult,
+    evaluate_field,
+    generate_line_eval_points,
+    generate_plane_eval_points,
+    generate_sphere_eval_points,
+)

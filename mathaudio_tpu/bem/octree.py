@@ -36,6 +36,13 @@ class Octree:
     def build(cls, points: np.ndarray, max_per_leaf: int = 64, max_depth: int = 8) -> "Octree":
         """octree.rs:189 build."""
         points = np.asarray(points, float)
+        if points.shape[0] == 0:
+            # octree.rs test_octree_empty: an empty cloud is a single
+            # empty leaf at the origin, not a crash.
+            root = OctreeNode(
+                center=np.zeros(3), half=1e-12, indices=np.arange(0)
+            )
+            return cls(root, [root], points.reshape(0, 3))
         lo = points.min(axis=0)
         hi = points.max(axis=0)
         center = 0.5 * (lo + hi)

@@ -268,3 +268,40 @@ def evaluate_field_fmm(
     pts_j = jnp.asarray(points, dtype)
     p_inc = incident.pressure(pts_j, k)
     return FieldResult(points=pts_j, p_inc=p_inc, p_scat=p_scat)
+
+
+def generate_sphere_eval_points(radius: float, n_theta: int, n_phi: int) -> np.ndarray:
+    """(n_theta*n_phi, 3) points on a sphere around the origin, cell-center
+    polar spacing (pressure.rs:320 generate_sphere_eval_points)."""
+    theta = np.pi * (np.arange(n_theta) + 0.5) / n_theta
+    phi = 2.0 * np.pi * np.arange(n_phi) / n_phi
+    st, ct = np.sin(theta), np.cos(theta)
+    x = radius * st[:, None] * np.cos(phi)[None, :]
+    y = radius * st[:, None] * np.sin(phi)[None, :]
+    z = radius * np.broadcast_to(ct[:, None], (n_theta, n_phi))
+    return np.stack([x, y, z], axis=-1).reshape(-1, 3)
+
+
+def generate_line_eval_points(start, end, n_points: int) -> np.ndarray:
+    """(n_points, 3) points from start to end inclusive
+    (pressure.rs:350 generate_line_eval_points)."""
+    t = np.arange(n_points) / max(n_points - 1, 1)
+    start = np.asarray(start, float)
+    end = np.asarray(end, float)
+    return start[None, :] + t[:, None] * (end - start)[None, :]
+
+
+def generate_plane_eval_points(center, normal, extent: float, n_points: int) -> np.ndarray:
+    """(n_points^2, 3) grid on the plane through ``center`` with the given
+    ``normal``, spanning +-extent along two in-plane basis vectors
+    (pressure.rs:373 generate_plane_eval_points — field maps)."""
+    n = np.asarray(normal, float)
+    n = n / np.linalg.norm(n)
+    arbitrary = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    u = np.cross(n, arbitrary)
+    u = u / np.linalg.norm(u)
+    v = np.cross(n, u)
+    s = -extent + 2.0 * extent * np.arange(n_points) / max(n_points - 1, 1)
+    center = np.asarray(center, float)
+    grid = center[None, None, :] + s[:, None, None] * u[None, None, :] + s[None, :, None] * v[None, None, :]
+    return grid.reshape(-1, 3)

@@ -341,3 +341,82 @@ class TestIncidentFieldGradients:
         fd = (inc.pressure(pts + h * nrm, k) - inc.pressure(pts - h * nrm, k)) / (2 * h)
         ana = inc.normal_derivative(pts, nrm, k)
         np.testing.assert_allclose(np.asarray(ana), np.asarray(fd), rtol=1e-6, atol=1e-8)
+
+
+class TestEvalPointGenerators:
+    """pressure.rs:320-420 eval-point generators."""
+
+    def test_sphere_eval_points(self):
+        from mathaudio_tpu.bem import generate_sphere_eval_points
+
+        pts = generate_sphere_eval_points(2.5, 6, 8)
+        assert pts.shape == (48, 3)
+        np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 2.5, rtol=1e-12)
+        # cell-centered polar grid avoids the poles
+        assert np.abs(pts[:, 2]).max() < 2.5
+
+    def test_line_eval_points(self):
+        from mathaudio_tpu.bem import generate_line_eval_points
+
+        pts = generate_line_eval_points([0, 0, 0], [1, 2, 3], 5)
+        assert pts.shape == (5, 3)
+        np.testing.assert_allclose(pts[0], [0, 0, 0], atol=0)
+        np.testing.assert_allclose(pts[-1], [1, 2, 3], atol=0)
+        np.testing.assert_allclose(pts[2], [0.5, 1.0, 1.5], atol=1e-14)
+
+    def test_plane_eval_points(self):
+        from mathaudio_tpu.bem import generate_plane_eval_points
+
+        center = np.array([1.0, -2.0, 0.5])
+        normal = np.array([0.0, 0.0, 1.0])
+        pts = generate_plane_eval_points(center, normal, 2.0, 7)
+        assert pts.shape == (49, 3)
+        # all points in the plane through center with that normal
+        np.testing.assert_allclose((pts - center) @ normal, 0.0, atol=1e-12)
+        # spans +-extent
+        d = np.linalg.norm(pts - center, axis=1)
+        np.testing.assert_allclose(d.max(), 2.0 * np.sqrt(2.0), rtol=1e-12)
+        assert d.min() < 1e-12  # center point included (odd n)
+
+    def test_plane_points_near_parallel_normal(self):
+        from mathaudio_tpu.bem import generate_plane_eval_points
+
+        pts = generate_plane_eval_points([0, 0, 0], [1.0, 0.0, 0.0], 1.0, 3)
+        np.testing.assert_allclose(pts[:, 0], 0.0, atol=1e-12)
+
+
+class TestErrorMetrics:
+    """testing/mod.rs ErrorMetrics::compute edge cases."""
+
+    def test_perfect_match(self):
+        from mathaudio_tpu.bem.testing import ErrorMetrics
+
+        a = np.array([1 + 1j, 2.0, -3.0])
+        m = ErrorMetrics.compute(a, a)
+        assert m.l2_error == 0.0 and m.l2_relative == 0.0 and m.linf_error == 0.0
+
+    def test_nonzero(self):
+        from mathaudio_tpu.bem.testing import ErrorMetrics
+
+        m = ErrorMetrics.compute(np.array([1.0, 0.0]), np.array([0.0, 0.0]))
+        assert m.l2_error == 1.0
+        assert m.l2_relative == 1.0  # zero-norm reference falls back to absolute
+        assert m.linf_error == 1.0
+
+
+class TestOctreeEdgeCases:
+    """octree.rs test_octree_empty / test_octree_single_point."""
+
+    def test_empty(self):
+        from mathaudio_tpu.bem.octree import Octree
+
+        t = Octree.build(np.empty((0, 3)))
+        assert len(t.leaves) == 1 and len(t.leaves[0].indices) == 0
+
+    def test_single_point(self):
+        from mathaudio_tpu.bem.octree import Octree
+
+        t = Octree.build(np.array([[1.0, 2.0, 3.0]]), max_per_leaf=4)
+        assert len(t.leaves) == 1
+        near, far = t.interaction_lists(2.0)
+        assert near.shape == (1, 2) and far.shape == (0, 2)
