@@ -90,3 +90,45 @@ class TestScaleRobustness:
         h = quickhull_3d(pts)
         assert h.num_faces == 12
         np.testing.assert_allclose(h.volume(), 1.0, rtol=1e-9)
+
+
+class TestHullParity:
+    """Reference hull checks not covered above (math-convex-hull tests:
+    icosahedron, coplanarity, insufficient vertices, surface area,
+    dense-sphere vertex extremality)."""
+
+    def test_icosahedron(self):
+        from mathaudio_tpu.hull.testdata import icosahedron_points
+
+        pts = icosahedron_points()
+        hull = quickhull_3d(pts)
+        assert len(hull.vertices) == 12
+        assert hull.num_faces == 20
+
+    def test_coplanar_input_raises(self):
+        pts = np.column_stack([np.random.default_rng(0).random((20, 2)), np.zeros(20)])
+        with pytest.raises(ValueError):
+            quickhull_3d(pts)
+
+    def test_insufficient_vertices(self):
+        with pytest.raises(ValueError):
+            quickhull_3d(np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]))
+
+    def test_cube_surface_area(self):
+        from mathaudio_tpu.hull.testdata import cube_points
+
+        hull = quickhull_3d(cube_points())
+        assert abs(hull.surface_area() - 6.0) < 1e-12
+        assert abs(hull.volume() - 1.0) < 1e-12
+
+    def test_fibonacci_sphere_all_points_extreme(self):
+        from mathaudio_tpu.hull.testdata import fibonacci_sphere_points
+
+        pts = fibonacci_sphere_points(180, radius=2.0)
+        hull = quickhull_3d(pts)
+        assert len(hull.vertices) == 180
+        # Euler: V - E + F = 2 with triangulated surface -> F = 2V - 4
+        assert hull.num_faces == 2 * 180 - 4
+        # volume/area approach the sphere's from inside
+        assert 0.95 * (4 / 3) * np.pi * 8 < hull.volume() < (4 / 3) * np.pi * 8
+        assert 0.95 * 4 * np.pi * 4 < hull.surface_area() < 4 * np.pi * 4
