@@ -205,3 +205,71 @@ class TestDE:
                                                wls_scale=0.05))
         report = differential_evolution(F.rosenbrock, [(-2.0, 2.0)] * 2, config=cfg)
         assert report.fun < 1e-3, report.fun
+
+
+class TestDEParity:
+    """Reference DE behaviors not covered above (mod.rs/de_tests.rs:
+    seeded determinism, LHS init properties, popsize floor, 1-D
+    problems, strategy parsing, adaptive convergence)."""
+
+    def test_deterministic_with_seed(self):
+        bounds = [(-5.0, 5.0)] * 3
+        r1 = differential_evolution(F.rosenbrock, bounds, seed=7, maxiter=60)
+        r2 = differential_evolution(F.rosenbrock, bounds, seed=7, maxiter=60)
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+        assert r1.fun == r2.fun and r1.nfev == r2.nfev
+
+    def test_latin_hypercube_stratified_in_bounds(self):
+        """One sample per 1/npop stratum in every dimension
+        (init_latin_hypercube.rs)."""
+        import jax
+
+        from mathaudio_tpu.optim.de import _latin_hypercube
+
+        npop, n = 16, 4
+        lb = jnp.asarray([-2.0, 0.0, 1.0, -1.0])
+        ub = jnp.asarray([2.0, 10.0, 3.0, 0.0])
+        pop = np.asarray(_latin_hypercube(jax.random.PRNGKey(0), npop, n, lb, ub))
+        assert pop.shape == (npop, n)
+        assert (pop >= np.asarray(lb)).all() and (pop <= np.asarray(ub)).all()
+        unit = (pop - np.asarray(lb)) / (np.asarray(ub) - np.asarray(lb))
+        for j in range(n):
+            strata = np.floor(unit[:, j] * npop).astype(int)
+            assert sorted(strata.tolist()) == list(range(npop))
+
+    def test_single_dimension(self):
+        r = differential_evolution(
+            lambda x: (x[0] - 1.5) ** 2, [(-4.0, 4.0)], seed=3, maxiter=150
+        )
+        assert abs(float(r.x[0]) - 1.5) < 1e-3
+
+    def test_strategy_parse_variants(self):
+        from mathaudio_tpu.optim.de import Strategy
+
+        assert Strategy.from_str("best1bin") is Strategy.BEST1BIN
+        assert Strategy.from_str("Best1Bin") is Strategy.BEST1BIN
+        assert Strategy.from_str("rand_1_exp") is Strategy.RAND1EXP
+        assert Strategy.from_str("best1") is Strategy.BEST1BIN
+        assert Strategy.from_str("adaptive") is Strategy.ADAPTIVEBIN
+        with pytest.raises(ValueError):
+            Strategy.from_str("nope9bin")
+
+    def test_adaptive_strategy_converges(self):
+        """JADE-style adaptive mutation solves Rastrigin 2-D
+        (test_adaptive_basic)."""
+        r = differential_evolution(
+            F.rastrigin,
+            [(-5.12, 5.12)] * 2,
+            strategy="adaptive",
+            seed=11,
+            maxiter=300,
+            popsize=20,
+        )
+        assert float(r.fun) < 1e-3
+        np.testing.assert_allclose(np.asarray(r.x), 0.0, atol=0.05)
+
+    def test_string_strategy_in_config(self):
+        r = differential_evolution(
+            F.sphere, [(-1.0, 1.0)] * 2, strategy="rand1bin", seed=1, maxiter=80
+        )
+        assert float(r.fun) < 1e-6
