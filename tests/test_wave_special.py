@@ -257,3 +257,68 @@ class TestWronskian:
             w = j[n] * yp[n] - jp[n] * y[n]
             np.testing.assert_allclose(np.asarray(w), 1.0 / np.asarray(x) ** 2,
                                        rtol=1e-8, err_msg=f"n={n}")
+
+
+class TestLegendreIdentities:
+    """legendre.rs tests not covered above: endpoint values and
+    orthogonality."""
+
+    def test_endpoints(self):
+        """P_n(1) = 1, P_n(-1) = (-1)^n."""
+        from mathaudio_tpu.wave.special.legendre import legendre_all
+
+        p1 = np.asarray(legendre_all(8, jnp.asarray(1.0)))
+        pm1 = np.asarray(legendre_all(8, jnp.asarray(-1.0)))
+        np.testing.assert_allclose(p1, 1.0, atol=1e-12)
+        np.testing.assert_allclose(pm1, [(-1.0) ** n for n in range(9)], atol=1e-12)
+
+    def test_orthogonality(self):
+        """int_-1^1 P_m P_n dx = 2/(2n+1) delta_mn (Gauss-Legendre
+        quadrature is exact for the products)."""
+        from mathaudio_tpu.wave.special.legendre import legendre_all
+
+        x, w = np.polynomial.legendre.leggauss(16)
+        p = np.asarray(legendre_all(6, jnp.asarray(x)))  # (7, 16)
+        gram = (p * w) @ p.T
+        expect = np.diag([2.0 / (2 * n + 1) for n in range(7)])
+        np.testing.assert_allclose(gram, expect, atol=1e-12)
+
+
+class TestHankelAsymptotics:
+    def test_hankel_large_argument(self):
+        """h_n(x) ~ (-i)^{n+1} e^{ix}/x for x >> n (spherical.rs
+        test_hankel_asymptotic)."""
+        from mathaudio_tpu.wave.special.spherical import spherical_hankel1_all
+
+        x = 100.0  # inside the max_arg=120 overflow guard
+        h = np.asarray(spherical_hankel1_all(4, jnp.asarray(x)))
+        for n in range(5):
+            expect = (-1j) ** (n + 1) * np.exp(1j * x) / x
+            # leading correction is n(n+1)/(2x)
+            tol = 1e-4 + n * (n + 1) / (2 * x) * 1.1
+            assert abs(h[n] - expect) / abs(expect) < tol, n
+
+
+class TestNormalDerivativeGeometry:
+    """helmholtz.rs test_normal_derivative_radial/_tangential."""
+
+    def test_radial_normal_maximal(self):
+        from mathaudio_tpu.wave.special.helmholtz import (
+            greens_function_normal_derivative_3d,
+        )
+
+        src = jnp.asarray([0.0, 0.0, 0.0])
+        fld = jnp.asarray([2.0, 0.0, 0.0])
+        k = 1.3
+        radial = complex(
+            greens_function_normal_derivative_3d(src, fld, jnp.asarray([1.0, 0.0, 0.0]), k)
+        )
+        tangential = complex(
+            greens_function_normal_derivative_3d(src, fld, jnp.asarray([0.0, 1.0, 0.0]), k)
+        )
+        assert abs(tangential) < 1e-14  # dG/dn = 0 for n perp r
+        # radial derivative matches d/dr[e^{ikr}/(4 pi r)]
+        r = 2.0
+        g = np.exp(1j * k * r) / (4 * np.pi * r)
+        expect = (1j * k - 1.0 / r) * g
+        assert abs(radial - expect) < 1e-12
