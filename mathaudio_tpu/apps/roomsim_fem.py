@@ -48,8 +48,14 @@ def _mesh_dims(w, d, h, resolution, multiple=1):
 class FemRoomSimulation:
     """Device-resident room simulation state (built once per config)."""
 
-    def __init__(self, config: RoomConfig, use_multigrid: bool = True, verbose: int = 1):
+    def __init__(self, config: RoomConfig, use_multigrid: bool = True, verbose: int = 1,
+                 source_width: float = 0.1, restart: Optional[int] = None,
+                 batch_size: int = 0, memory_gb: float = 0.0):
         self.config = config
+        self.source_width = source_width
+        self.restart_override = restart
+        self.batch_override = batch_size
+        self.memory_gb = memory_gb
         self.sim = config.to_simulation()
         self.verbose = verbose
         w, d, h = self.sim.geometry.dimensions()
@@ -86,7 +92,7 @@ class FemRoomSimulation:
             rhs_list = []
             for s in self.sim.sources:
                 pos = jnp.asarray(s.position.to_array(), default_float())
-                sigma = 0.1  # m (:42)
+                sigma = self.source_width  # m (:42; --source-width)
                 sw = 2.0 * sigma**2
                 # normalize to a unit monopole: int f dV = 1 so that the
                 # near field matches G = e^{ikr}/(4 pi r) (the BEM source)
@@ -166,9 +172,9 @@ class FemRoomSimulation:
                 out[fi, si] = s.amplitude * s.crossover.amplitude_at_frequency(float(f))
         return out
 
-    def run(self, hierarchical: bool = False):
+    def run(self, hierarchical: bool = False, anchor_stride: int = 4):
         if hierarchical:
-            return self._run_hierarchical()
+            return self._run_hierarchical(anchor_stride=anchor_stride)
         return self._run_flat()
 
     def _run_hierarchical(self, anchor_stride: int = 4):
@@ -180,7 +186,7 @@ class FemRoomSimulation:
         kcfg = KrylovConfig(
             max_iterations=cfg.solver.gmres.max_iter * 10,
             tolerance=cfg.solver.gmres.tolerance,
-            restart=cfg.solver.gmres.restart,
+            restart=self.restart_override or cfg.solver.gmres.restart,
         )
         sweep = jax.jit(self._sweep_fn(kcfg))
         ks = 2.0 * np.pi * freqs / SPEED_OF_SOUND
@@ -250,19 +256,26 @@ class FemRoomSimulation:
         kcfg = KrylovConfig(
             max_iterations=cfg.solver.gmres.max_iter * 10,
             tolerance=cfg.solver.gmres.tolerance,
-            restart=cfg.solver.gmres.restart,
+            restart=self.restart_override or cfg.solver.gmres.restart,
         )
         sweep = jax.jit(self._sweep_fn(kcfg))
         ks = 2.0 * np.pi * freqs / SPEED_OF_SOUND
         weights = self.source_weights(freqs)
 
         n = self.mesh.num_nodes
-        batch = hbm_frequency_batch(
-            num_dofs=n,
-            nnz=self.assembler.csr.nnz,
-            restart=kcfg.restart,
-            levels=3 if self.mg is not None else 1,
-        )
+        if self.batch_override:
+            batch = self.batch_override
+        else:
+            kwargs = {}
+            if self.memory_gb:
+                kwargs["budget_bytes"] = int(self.memory_gb * 2**30)
+            batch = hbm_frequency_batch(
+                num_dofs=n,
+                nnz=self.assembler.csr.nnz,
+                restart=kcfg.restart,
+                levels=3 if self.mg is not None else 1,
+                **kwargs,
+            )
         if self.verbose:
             print(
                 f"mesh: {self.mesh.num_elements} tets, {n} nodes; "
@@ -334,7 +347,7 @@ class FemRoomSimulation:
         kcfg = KrylovConfig(
             max_iterations=self.config.solver.gmres.max_iter * 10,
             tolerance=self.config.solver.gmres.tolerance,
-            restart=self.config.solver.gmres.restart,
+            restart=self.restart_override or self.config.solver.gmres.restart,
         )
         sweep = jax.jit(self._sweep_fn(kcfg))
         cd = self.assembler.cdtype
@@ -360,10 +373,14 @@ class FemRoomSimulation:
 
 
 def run_fem_simulation(config: RoomConfig, verbose: int = 1, use_multigrid: bool = True,
-                       hierarchical: bool = False):
-    return FemRoomSimulation(config, use_multigrid=use_multigrid, verbose=verbose).run(
-        hierarchical=hierarchical
-    )
+                       hierarchical: bool = False, anchor_stride: int = 4,
+                       source_width: float = 0.1, restart: Optional[int] = None,
+                       batch_size: int = 0, memory_gb: float = 0.0):
+    return FemRoomSimulation(
+        config, use_multigrid=use_multigrid, verbose=verbose,
+        source_width=source_width, restart=restart,
+        batch_size=batch_size, memory_gb=memory_gb,
+    ).run(hierarchical=hierarchical, anchor_stride=anchor_stride)
 
 
 def main(argv=None):
@@ -378,6 +395,18 @@ def main(argv=None):
     ap.add_argument("--hierarchical", action="store_true",
                     help="anchor + warm-start sweep (room_simulator_fem.rs:1640)")
     ap.add_argument("--mesh-resolution", type=int, default=None, help="elements per meter")
+    ap.add_argument("--elements-per-wavelength", type=float, default=None,
+                    help="set mesh resolution from the max frequency "
+                         "(room_simulator_fem.rs adaptive-mesh rule, 6-10 typical)")
+    ap.add_argument("--source-width", type=float, default=0.1,
+                    help="Gaussian source sigma in meters (:42)")
+    ap.add_argument("--restart", type=int, default=None, help="Krylov subspace size override")
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="frequency batch size (0 = HBM-budget automatic)")
+    ap.add_argument("--memory-gb", type=float, default=0.0,
+                    help="HBM budget in GB for automatic batch sizing")
+    ap.add_argument("--anchor-stride", type=int, default=4,
+                    help="hierarchical warm-start anchor stride (:1640)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -387,9 +416,21 @@ def main(argv=None):
     config = RoomConfig.from_file(args.config)
     if args.mesh_resolution:
         config.solver.mesh_resolution = args.mesh_resolution
+    if args.elements_per_wavelength:
+        f_max = float(max(config.to_simulation().frequencies))
+        res = int(np.ceil(args.elements_per_wavelength * f_max / SPEED_OF_SOUND))
+        config.solver.mesh_resolution = max(res, 1)
+        if args.verbose:
+            print(
+                f"adaptive mesh: {args.elements_per_wavelength} elem/wavelength "
+                f"at {f_max:.0f} Hz -> {config.solver.mesh_resolution} elem/m",
+                file=sys.stderr,
+            )
     results = run_fem_simulation(
         config, verbose=args.verbose, use_multigrid=not args.no_multigrid,
-        hierarchical=args.hierarchical,
+        hierarchical=args.hierarchical, anchor_stride=args.anchor_stride,
+        source_width=args.source_width, restart=args.restart,
+        batch_size=args.batch_size, memory_gb=args.memory_gb,
     )
     results.save(args.output)
     if args.verbose:
