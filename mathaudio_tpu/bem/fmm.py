@@ -242,9 +242,13 @@ def build_slfmm_system(
         mesh, clusters, mask, nb, na, k, beta, dtype
     )
 
-    # diagonal: jump term + self contributions (already inside near blocks
-    # for the diagonal pair) -> only the 1/2 identity here
-    diag_add = np.full(n, 0.5, complex)
+    # Diagonal: jump term + the dense path's exact static row-sum
+    # regularization of the double layer. The dense CBIE sets
+    # D0_ii = -1/2 - row_sum_i (half-solid-angle identity), so
+    # diag(A) = 1/2 - D0_ii = 1 + row_sum_i; the naive flat 1/2 left a
+    # ~5e-3 matvec gap vs dense that was entirely diagonal. BM self
+    # contributions stay inside the near blocks.
+    diag_add = 1.0 + _static_dlp_row_sums(mesh, dtype).astype(complex)
 
     # S.D.T expands +D (the double layer); the CBIE is A = (1/2)I - D, so
     # the far field enters with a minus sign (near blocks carry their own).
@@ -546,7 +550,8 @@ def build_mlfmm_system(
 
     nb, na = np.where(near_leaf)
     near_blocks = _near_blocks(mesh, cl_f, mk_f, nb, na, k, 0.0, dtype)
-    diag_add = np.full(n, 0.5, complex)
+    # same exact static row-sum diagonal as build_slfmm_system
+    diag_add = 1.0 + _static_dlp_row_sums(mesh, dtype).astype(complex)
     pref = -1j * k / (16.0 * np.pi**2)
 
     leaf_data = SlfmmData(
@@ -625,11 +630,19 @@ def build_room_fmm_system(
     nb, na = np.where(~far)
     near_blocks = _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype)
 
-    # self terms: (1/2) jump - ik beta S_ii (analytic radial)
+    # Self terms: jump + static-D0 solid-angle diagonal - ik beta S_ii.
+    # The dense path (room_acoustics._room_matrix) forces each static
+    # double-layer row to sum to -1/2, i.e. D0_ii = -1/2 - row_sum_i, so
+    # diag(A) = 1/2 + D0_ii - ik beta S_ii = -row_sum_i - ik beta S_ii.
+    # This absorbs both quadrature error and the mesh's normal
+    # orientation (room meshes carry into-the-fluid normals, where the
+    # naive +1/2 diagonal is wrong by exactly 1 — see
+    # tests/test_fmm.py::TestRoomFmm::test_room_mesh_matvec_vs_dense).
     from mathaudio_tpu.bem.assembly import single_layer_self_terms
 
     s_self = np.asarray(single_layer_self_terms(mesh, k, dtype=dtype))
-    diag_add = 0.5 - 1j * k * admittance * s_self
+    row0 = _static_dlp_row_sums(mesh, dtype)
+    diag_add = -row0 - 1j * k * admittance * s_self
 
     data = SlfmmData(
         clusters=jnp.asarray(clusters),
@@ -646,6 +659,42 @@ def build_room_fmm_system(
         prefactor=jnp.asarray(1j * k / (16.0 * np.pi**2), cdtype),
     )
     return SlfmmOperator(data, n)
+
+
+def _static_dlp_row_sums(mesh: SurfaceMesh, dtype, chunk: int = 512) -> np.ndarray:
+    """sum_{j != i} int_elem_j dG0/dn_y(x_i, y) dS — the static
+    double-layer row sums the dense interior path folds into its
+    solid-angle diagonal (room_acoustics._room_matrix: d0 diagonal is
+    set to -1/2 - row_sum so each D0 row sums to the half-solid-angle
+    value regardless of mesh normal orientation or quadrature error).
+    One-time O(N^2 nq) pass, row-chunked under jit."""
+    qp, qw = mesh.quad_points(3)
+    centers = jnp.asarray(mesh.centers, dtype)
+    normals = jnp.asarray(mesh.normals, dtype)
+    qp_j = jnp.asarray(qp, dtype)
+    qw_j = jnp.asarray(qw, dtype)
+    n = mesh.num_elements
+
+    @jax.jit
+    def rows(xc, idx):
+        x = xc[:, None, None, :]
+        nx = jnp.zeros_like(x)  # unused by the double layer
+        y = qp_j[None, :, :, :]
+        ny = normals[None, :, None, :]
+        dg0, _ = _static_pair_kernels(x, nx, y, ny)
+        s = jnp.sum(dg0 * qw_j[None, :, :], axis=-1)  # (C, N)
+        cols = jnp.arange(n)[None, :]
+        s = jnp.where(cols == idx[:, None], 0.0, s)  # drop self column
+        return jnp.sum(s, axis=1)
+
+    out = np.zeros(n)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        pad = chunk - (stop - start)
+        idx = np.pad(np.arange(start, stop), (0, pad), mode="edge")
+        vals = np.asarray(rows(centers[jnp.asarray(idx)], jnp.asarray(idx)))
+        out[start:stop] = vals[: stop - start]
+    return out
 
 
 def _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype):
@@ -984,7 +1033,8 @@ def build_mlfmm_tree_system(
         near_a=jnp.asarray(na.astype(np.int32)),
         near_b=jnp.asarray(nb.astype(np.int32)),
         near_blocks=near_blocks,
-        diag_add=jnp.asarray(np.full(n, 0.5, complex), cdtype),
+        # same exact static row-sum diagonal as build_slfmm_system
+        diag_add=jnp.asarray(1.0 + _static_dlp_row_sums(mesh, dtype), cdtype),
         prefactor=jnp.asarray(-1j * k / (16.0 * np.pi**2), cdtype),
         levels=tuple(levels),
     )

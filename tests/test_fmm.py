@@ -61,9 +61,9 @@ class TestSlfmm:
         y_fmm = np.asarray(op.matvec(x))
         y_dense = np.asarray(a_dense @ x)
         rel = np.linalg.norm(y_fmm - y_dense) / np.linalg.norm(y_dense)
-        # reference accepts < 0.5 (test_fmm_validation.rs:142); the padded
-        # diagonal-form build should do far better
-        assert rel < 0.05, rel
+        # reference accepts < 0.5 (test_fmm_validation.rs:142); with the
+        # exact static row-sum diagonal the build matches dense to ~1e-6
+        assert rel < 1e-4, rel
 
     def test_solve_vs_mie(self):
         from mathaudio_tpu.solvers import KrylovConfig, gmres
@@ -407,3 +407,35 @@ class TestTranslationKernels:
         full = translation_operator(k, d65, dirs, 6)
         head = translation_operator(k, d65[:64], dirs, 6)
         np.testing.assert_allclose(full[:64], head, rtol=1e-12, atol=0)
+
+
+class TestRoomFmmOnRoomMesh:
+    def test_room_mesh_matvec_vs_dense(self):
+        """Regression: on an actual room mesh (into-the-fluid normals,
+        flat walls) the FMM diagonal must carry the same static
+        solid-angle row-sum correction as the dense path — the naive
+        +1/2 jump term is wrong by exactly 1 there and produced O(1)
+        matvec error (fixed via _static_dlp_row_sums)."""
+        from mathaudio_tpu.common import RectangularRoom
+        from mathaudio_tpu.bem.fmm import build_room_fmm_system
+        from mathaudio_tpu.bem.room_acoustics import _room_matrix
+        from mathaudio_tpu.bem.assembly import _self_angular_rule
+        from mathaudio_tpu.xtypes import default_float
+
+        mesh = RectangularRoom(3.0, 4.0, 2.5).generate_mesh(2).to_surface_mesh()
+        k, beta = 1.76, 0.1
+        dt = default_float()
+        qp, qw = mesh.quad_points(3)
+        sr, sw = _self_angular_rule(mesh)
+        a = _room_matrix(
+            jnp.asarray(mesh.centers, dt), jnp.asarray(mesh.normals, dt),
+            jnp.asarray(qp, dt), jnp.asarray(qw, dt),
+            jnp.asarray(sr, dt), jnp.asarray(sw, dt), k,
+            jnp.broadcast_to(jnp.asarray(beta, dt), (mesh.num_elements,)),
+        )
+        op = build_room_fmm_system(mesh, k, admittance=beta, max_per_leaf=48)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal(mesh.num_elements)
+                        + 1j * rng.standard_normal(mesh.num_elements))
+        rel = float(jnp.linalg.norm(op.matvec(x) - a @ x) / jnp.linalg.norm(a @ x))
+        assert rel < 1e-4, rel
