@@ -25,7 +25,7 @@ from mathaudio_tpu.utils.profiling import span
 from mathaudio_tpu.xtypes import pressure_to_spl
 
 
-def run_bem_simulation(config: RoomConfig, verbose: int = 1):
+def run_bem_simulation(config: RoomConfig, verbose: int = 1, solver: str = "auto"):
     sim = config.to_simulation()
     with span("surface mesh", verbose):
         room_mesh = sim.geometry.generate_mesh(config.solver.mesh_resolution)
@@ -49,10 +49,26 @@ def run_bem_simulation(config: RoomConfig, verbose: int = 1):
             betas.append(0.0)
     beta = float(np.mean(betas))
 
-    # reference solver-selection table (qa_suite.rs:9-14): direct for small,
-    # GMRES for medium, FMM-accelerated GMRES for large meshes
+    # --solver override (room_simulator_bem.rs:26 Args.solver), else the
+    # reference solver-selection table (qa_suite.rs:9-14): direct for
+    # small, GMRES for medium, FMM-accelerated GMRES for large meshes.
+    # gmres-ilu maps to GMRES+Jacobi on the dense tier (triangular ILU
+    # solves are serial; Jacobi is the TPU-native dense preconditioner);
+    # fmm / fmm-ilu / fmm-batched all route through the batched-GEMM
+    # SLFMM operator with the near-field ILU preconditioner, which is
+    # simultaneously the reference's "ilu" and "batched" variant.
     n = mesh.num_elements
-    if config.solver.method == "direct" or n < 1000:
+    if solver != "auto":
+        t = solver.replace("_", "-")
+        if t in ("direct", "lu"):
+            method = "lu"
+        elif t in ("gmres", "gmres-ilu", "gmres-jacobi"):
+            method = "gmres"
+        elif t in ("fmm", "fmm-ilu", "fmm-batched"):
+            method = "fmm"
+        else:
+            raise SystemExit(f"unknown solver {solver!r}")
+    elif config.solver.method == "direct" or n < 1000:
         method = "lu"
     elif "fmm" in config.solver.method or n >= 4000:
         method = "fmm"
@@ -140,12 +156,21 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="room_bem_results.json")
     ap.add_argument("-v", "--verbose", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--solver", default="auto",
+                    choices=["auto", "direct", "gmres", "gmres-ilu", "fmm",
+                             "fmm-ilu", "fmm-batched"],
+                    help="override the size-based solver table "
+                         "(room_simulator_bem.rs dispatch)")
+    ap.add_argument("--mesh-resolution", type=int, default=None,
+                    help="surface elements per meter")
     args = ap.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     config = RoomConfig.from_file(args.config)
-    results = run_bem_simulation(config, verbose=args.verbose)
+    if args.mesh_resolution:
+        config.solver.mesh_resolution = args.mesh_resolution
+    results = run_bem_simulation(config, verbose=args.verbose, solver=args.solver)
     results.save(args.output)
     if args.verbose:
         print(f"wrote {args.output}", file=sys.stderr)
