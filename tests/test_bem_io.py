@@ -120,3 +120,76 @@ class TestNativeConfig:
         cfg = BemConfig.from_file(str(path))
         prob = cfg.build_problem()
         assert prob.mesh.num_elements > 0
+
+
+class TestNcParserDetails:
+    """Granular parser checks mirroring nc_format.rs's
+    test_parse_boundary_line / test_parse_plane_wave / point sources /
+    frequency curve."""
+
+    def test_boundary_line(self):
+        from mathaudio_tpu.bem.io import parse_nc_input_string
+
+        txt = "v1\ndesc\nBOUNDARY\nELEM 0 TO 99 ADMI 0.5 1 0.25 1\nRETU\nEND\n"
+        cfg = parse_nc_input_string(txt)
+        assert len(cfg.boundary_conditions) == 1
+        b = cfg.boundary_conditions[0]
+        assert (b.elem_start, b.elem_end) == (0, 99)
+        assert b.bc_type == "ADMI"
+        assert b.value_re == 0.5 and b.value_im == 0.25
+
+    def test_malformed_boundary_line_skipped(self):
+        from mathaudio_tpu.bem.io import parse_nc_input_string
+
+        txt = "v1\ndesc\nBOUNDARY\nELEM 0 99 ADMI 0.5\nRETU\nEND\n"
+        cfg = parse_nc_input_string(txt)
+        assert cfg.boundary_conditions == []
+
+    def test_plane_wave_and_point_source(self):
+        from mathaudio_tpu.bem.io import parse_nc_input_string
+
+        txt = (
+            "v1\ndesc\n"
+            "PLANE WAVES\n1 0.0 0.0 1.0 1.0 1 0.0 1\nRETU\n"
+            "POINT SOURCES\n1 0.1 0.2 0.3 2.0 1 -1.0 1\nRETU\nEND\n"
+        )
+        cfg = parse_nc_input_string(txt)
+        assert len(cfg.plane_waves) == 1 and len(cfg.point_sources) == 1
+        pw = cfg.plane_waves[0]
+        np.testing.assert_allclose(pw.direction, [0.0, 0.0, 1.0])
+        assert pw.amplitude == 1.0 + 0.0j
+        ps = cfg.point_sources[0]
+        np.testing.assert_allclose(ps.position, [0.1, 0.2, 0.3])
+        assert ps.amplitude == 2.0 - 1.0j
+
+    def test_frequency_curve_lines(self):
+        from mathaudio_tpu.bem.io import parse_nc_input_string
+
+        txt = (
+            "v1\ndesc\n"
+            "## Frequency Curve\n"
+            "0 2\n"
+            "1 100.0 1.0\n"
+            "2 200.0 1.0\n"
+            "END\n"
+        )
+        cfg = parse_nc_input_string(txt)
+        assert len(cfg.frequency_curve) == 2
+        assert cfg.frequency_curve[0][1] == 100.0
+
+    def test_header_and_main_params(self):
+        from mathaudio_tpu.bem.io import parse_nc_input_string
+
+        txt = (
+            "NC.inp 1.0\nmy simulation\n"
+            "## Main Parameters I\n2 8 6 0 0 1 0 0\n"
+            "## Main Parameters IV\n346.0 1.3\n"
+            "END\n"
+        )
+        cfg = parse_nc_input_string(txt)
+        assert cfg.version == "NC.inp 1.0"
+        assert cfg.description == "my simulation"
+        assert cfg.main_params_i.num_nodes == 8
+        assert cfg.main_params_i.num_elements == 6
+        assert cfg.main_params_iv.speed_of_sound == 346.0
+        assert cfg.main_params_iv.density == 1.3
