@@ -136,6 +136,9 @@ def main(argv=None):
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--fast", action="store_true", help="coarse meshes only")
     args = ap.parse_args(argv)
+    from mathaudio_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)

@@ -164,6 +164,9 @@ def main(argv=None):
     ap.add_argument("--mesh-resolution", type=int, default=None,
                     help="surface elements per meter")
     args = ap.parse_args(argv)
+    from mathaudio_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)

@@ -409,6 +409,9 @@ def main(argv=None):
                     help="hierarchical warm-start anchor stride (:1640)")
     args = ap.parse_args(argv)
 
+    from mathaudio_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
