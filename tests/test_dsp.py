@@ -458,3 +458,64 @@ class TestWeightings:
         assert abs(float(_k_weighting_db(jnp.asarray(1000.0)))) < 1e-9  # flat mid band
         assert float(_k_weighting_db(jnp.asarray(10000.0))) > 2.0  # shelf boost ~ +4 dB
         assert float(_k_weighting_db(jnp.asarray(20.0))) < -10.0  # sub-38 Hz rolloff
+
+
+class TestFirParity:
+    """fir.rs tests not covered above: tap symmetry (linear phase),
+    DC response, window properties, bank preamp, bandstop."""
+
+    def test_taps_symmetric_linear_phase(self):
+        for ft, kw in [
+            (FirFilterType.LOWPASS, {}),
+            (FirFilterType.HIGHPASS, {}),
+            (FirFilterType.BANDPASS, {"bandwidth": 800.0}),
+            (FirFilterType.BANDSTOP, {"bandwidth": 800.0}),
+        ]:
+            f = Fir(ft, 2000.0, SRATE, num_taps=51, **kw)
+            np.testing.assert_allclose(f.taps, f.taps[::-1], atol=1e-12)
+
+    def test_lowpass_dc_unity_highpass_dc_rejected(self):
+        lp = Fir(FirFilterType.LOWPASS, 2000.0, SRATE, num_taps=101)
+        hp = Fir(FirFilterType.HIGHPASS, 2000.0, SRATE, num_taps=101)
+        assert abs(np.sum(lp.taps) - 1.0) < 1e-6  # DC gain 1
+        # windowed-sinc HP: small residual DC leakage, strong in-band rejection
+        assert abs(np.sum(hp.taps)) < 0.01
+        assert float(hp.np_log_result(jnp.asarray([100.0]))[0]) < -40.0
+
+    def test_bandstop_kills_center_passes_dc(self):
+        bs = Fir(FirFilterType.BANDSTOP, 3000.0, SRATE, num_taps=151, bandwidth=1000.0)
+        center = float(bs.np_log_result(jnp.asarray([3000.0]))[0])
+        dc_ish = float(bs.np_log_result(jnp.asarray([100.0]))[0])
+        assert center < -30.0
+        assert abs(dc_ish) < 0.5
+
+    def test_windows_properties(self):
+        from mathaudio_tpu.dsp import generate_window
+        from mathaudio_tpu.dsp.fir import WindowType
+
+        n = 65
+        for wt in WindowType:
+            w = generate_window(wt, n)
+            assert w.shape == (n,)
+            np.testing.assert_allclose(w, w[::-1], atol=1e-12)  # symmetric
+            assert w.max() <= 1.0 + 1e-12
+            assert abs(w[n // 2] - w.max()) < 1e-12  # peak at center
+        rect = generate_window(WindowType.RECTANGULAR, n)
+        np.testing.assert_allclose(rect, 1.0)
+        hann = generate_window(WindowType.HANN, n)
+        assert abs(hann[0]) < 1e-12 and abs(hann[-1]) < 1e-12
+
+    def test_fir_bank(self):
+        from mathaudio_tpu.dsp import FirBank
+
+        lp = Fir(FirFilterType.LOWPASS, 1000.0, SRATE, num_taps=101)
+        hp = Fir(FirFilterType.HIGHPASS, 1000.0, SRATE, num_taps=101)
+        bank = FirBank([(1.0, lp), (0.5, hp)])
+        freqs = jnp.asarray([100.0, 10000.0])
+        r = np.asarray(bank.np_log_result(freqs))
+        # bank response is the weighted dB sum (fir.rs:708, like peq_spl)
+        expect = np.asarray(lp.np_log_result(freqs)) + 0.5 * np.asarray(hp.np_log_result(freqs))
+        np.testing.assert_allclose(r, expect, atol=1e-12)
+        empty = FirBank([])
+        assert float(empty.preamp_gain()) == 0.0
+        assert bank.preamp_gain() <= 0.0
