@@ -457,14 +457,23 @@ def _agg_disagg_jit(yg_rel, qw_cl, n_cl, y_rel, dirs, mask, k, agg_offset):
     return t_tensor, s_tensor
 
 
-def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0):
+def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0,
+                        single_layer=False):
     """(T, S) padded aggregation/disaggregation tensors for one level.
 
     ``agg_offset``: extra additive term in the per-source direction-space
     factor (-ik s.n_y + agg_offset) — the interior room system merges its
-    admittance single layer into the aggregation as offset -ik beta."""
+    admittance single layer into the aggregation as offset -ik beta.
+
+    ``single_layer``: drop the double-layer normal factor entirely so the
+    aggregation expands the plain single layer G (factor 1 per source
+    point) — used by the radiating-field evaluator for the -G q term of
+    the Kirchhoff-Helmholtz formula (pressure.rs field sweep with
+    dp/dn != 0)."""
     centers = mesh.centers
-    normals = mesh.normals
+    normals = np.zeros_like(mesh.normals) if single_layer else mesh.normals
+    if single_layer:
+        agg_offset = 1.0
     qp_e, qw_e = mesh.quad_points(2)
     yg_rel = qp_e[clusters] - c_centers[:, None, None, :]
     y_rel = centers[clusters] - c_centers[:, None, :]

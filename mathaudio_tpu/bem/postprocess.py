@@ -136,18 +136,25 @@ def evaluate_field_fmm(
     p_surf,
     points,
     k: float,
-    incident: IncidentField,
+    incident: Optional[IncidentField] = None,
     quad_order: int = 3,
     max_per_leaf: int = 32,
     separation_ratio: float = 2.0,
     dtype=None,
+    q_surf=None,
 ) -> FieldResult:
     """FMM-accelerated Kirchhoff–Helmholtz evaluation (pressure.rs field
     sweep made O((N+M) log): octrees over surface elements and field
     points; far cluster pairs go through the diagonal-form expansion
     (aggregation shared with bem/fmm.py), near pairs use the exact
     kernel. Unstable low-frequency pairs demote to exact evaluation
-    (same h_l blowup cap as the MLFMM builder)."""
+    (same h_l blowup cap as the MLFMM builder).
+
+    ``q_surf`` (dp/dn at element centers) adds the single-layer -G q term
+    for radiating / mixed-BC surfaces: the far field aggregates a second
+    density through the factor-1 (single-layer) aggregation tensor and
+    rides the same diagonal translations; near pairs reuse the exact G
+    already computed for dG/dn. ``incident=None`` = pure radiation."""
     from mathaudio_tpu.bem.fmm import (
         _MLFMM_STABILITY_TAU,
         _agg_disagg_tensors,
@@ -212,6 +219,12 @@ def evaluate_field_fmm(
         l_pair = np.minimum(l_acc[stable], order)
 
     t_tensor, _ = _agg_disagg_tensors(mesh, s_cl, s_mk, s_cc, k, dirs)
+    if q_surf is not None:
+        t_single, _ = _agg_disagg_tensors(
+            mesh, s_cl, s_mk, s_cc, k, dirs, single_layer=True
+        )
+    else:
+        t_single = np.zeros((1, 1, 1), complex)
     x_rel = points[t_cl] - t_cc[:, None, :]
     s_field = np.exp(1j * k * np.einsum("qd,cmd->cqm", dirs, x_rel)) * t_mk[:, None, :]
     if len(fb):
@@ -224,10 +237,16 @@ def evaluate_field_fmm(
     qp, qw = mesh.quad_points(quad_order)
 
     @jax.jit
-    def field(p):
-        # far: aggregate, translate (pair-packed), disaggregate
+    def field(p, q):
+        # far: aggregate, translate (pair-packed), disaggregate. The
+        # translation is diagonal/linear, so the single-layer density -q
+        # merges into mu before translating — one D/S pass serves both
+        # Kirchhoff-Helmholtz terms.
         xc = p[jnp.asarray(s_cl)] * jnp.asarray(s_mk, p.dtype)
         mu = jnp.einsum("cqm,cm->cq", jnp.asarray(t_tensor, cd), xc)
+        if q is not None:
+            qc = q[jnp.asarray(s_cl)] * jnp.asarray(s_mk, q.dtype)
+            mu = mu - jnp.einsum("cqm,cm->cq", jnp.asarray(t_single, cd), qc)
         lam = jnp.zeros((len(tgt), len(dirs)), cd)
         if t_op.shape[0]:
             lam = lam.at[jnp.asarray(fb)].add(
@@ -250,11 +269,17 @@ def evaluate_field_fmm(
         ik = jnp.asarray(1j * k, cd)
         dg = (ik - 1.0 / rs) * g * jnp.sum(rv * ny, axis=-1) / rs
         wq = jnp.asarray(qw, dtype)[jnp.asarray(s_cl)][jnp.asarray(na)][:, None, :, :]
-        blocks = jnp.sum(dg * wq.astype(cd), axis=-1)  # (P, mt, ms)
-        blocks = blocks * jnp.asarray(t_mk, dtype)[jnp.asarray(nb)][:, :, None].astype(cd)
-        blocks = blocks * jnp.asarray(s_mk, dtype)[jnp.asarray(na)][:, None, :].astype(cd)
+        mask_ts = (
+            jnp.asarray(t_mk, dtype)[jnp.asarray(nb)][:, :, None].astype(cd)
+            * jnp.asarray(s_mk, dtype)[jnp.asarray(na)][:, None, :].astype(cd)
+        )
+        blocks = jnp.sum(dg * wq.astype(cd), axis=-1) * mask_ts  # (P, mt, ms)
         pa = p[jnp.asarray(s_cl)][jnp.asarray(na)] * jnp.asarray(s_mk, p.dtype)[jnp.asarray(na)]
         near_vals = jnp.einsum("pij,pj->pi", blocks, pa)
+        if q is not None:
+            s_blocks = jnp.sum(g * wq.astype(cd), axis=-1) * mask_ts
+            qa = q[jnp.asarray(s_cl)][jnp.asarray(na)] * jnp.asarray(s_mk, q.dtype)[jnp.asarray(na)]
+            near_vals = near_vals - jnp.einsum("pij,pj->pi", s_blocks, qa)
         out = jnp.zeros(m_pts, cd)
         out = out.at[jnp.asarray(t_cl).reshape(-1)].add(
             (p_far * jnp.asarray(t_mk, dtype).astype(cd)).reshape(-1)
@@ -264,9 +289,13 @@ def evaluate_field_fmm(
         )
         return out
 
-    p_scat = field(p_surf.astype(cd))
+    q_in = None if q_surf is None else jnp.asarray(q_surf).astype(cd)
+    p_scat = field(p_surf.astype(cd), q_in)
     pts_j = jnp.asarray(points, dtype)
-    p_inc = incident.pressure(pts_j, k)
+    if incident is not None:
+        p_inc = incident.pressure(pts_j, k)
+    else:
+        p_inc = jnp.zeros_like(p_scat)
     return FieldResult(points=pts_j, p_inc=p_inc, p_scat=p_scat)
 
 

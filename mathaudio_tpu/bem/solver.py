@@ -103,11 +103,6 @@ class BemSolution:
         if method == "fmm":
             from mathaudio_tpu.bem.postprocess import evaluate_field_fmm
 
-            if self.surface_q is not None:
-                raise NotImplementedError(
-                    "FMM field evaluation currently supports rigid surfaces "
-                    "(q = 0); use method='dense' for mixed-BC solutions"
-                )
             return evaluate_field_fmm(
                 self.problem.mesh,
                 self.surface_pressure,
@@ -115,6 +110,7 @@ class BemSolution:
                 self.problem.physics.wave_number,
                 self.problem.incident,
                 quad_order=quad_order,
+                q_surf=self.surface_q,
             )
         return evaluate_field(
             self.problem.mesh,

@@ -234,6 +234,44 @@ class TestFmmPostprocess:
             np.asarray(pf.p_total), np.asarray(pd.p_total), rtol=1e-4, atol=1e-8
         )
 
+    def test_field_eval_fmm_single_layer_radiating(self):
+        """Radiating (mixed-BC) solution: evaluate_field_fmm with q_surf
+        carries the -G q single-layer term through the clustered far
+        field and exact near pairs — matches the dense evaluation and
+        the pulsating-sphere analytic field (pressure.rs field sweep for
+        dp/dn != 0 surfaces)."""
+        from mathaudio_tpu.bem import BemProblem, BemSolver, BemSolverConfig
+        from mathaudio_tpu.bem.postprocess import evaluate_field, evaluate_field_fmm
+        from mathaudio_tpu.wave.analytical.solutions_3d import pulsating_sphere_3d
+
+        ka = 2.0
+        prob = BemProblem.radiating_sphere(ka, subdivisions=3)
+        sol = BemSolver(BemSolverConfig(burton_miller=True)).solve(prob)
+        assert sol.surface_q is not None
+        rng = np.random.default_rng(1)
+        pts = rng.standard_normal((300, 3))
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        pts = pts * rng.uniform(2.0, 6.0, (300, 1))
+        dense = evaluate_field(
+            prob.mesh, sol.surface_pressure, pts, ka, None, q_surf=sol.surface_q
+        )
+        fmm = evaluate_field_fmm(
+            prob.mesh, sol.surface_pressure, pts, ka, None, q_surf=sol.surface_q
+        )
+        rel = float(
+            jnp.linalg.norm(fmm.p_scat - dense.p_scat) / jnp.linalg.norm(dense.p_scat)
+        )
+        assert rel < 1e-4, rel
+        exact = np.asarray(pulsating_sphere_3d(ka, 1.0, pts).pressure)
+        rel_exact = np.abs(np.asarray(fmm.p_total) - exact).max() / np.abs(exact).max()
+        assert rel_exact < 0.05, rel_exact
+        # front door no longer rejects mixed-BC solutions for method='fmm'
+        pf = sol.evaluate_pressure_field(pts[:40], method="fmm")
+        pd = sol.evaluate_pressure_field(pts[:40])
+        np.testing.assert_allclose(
+            np.asarray(pf.p_total), np.asarray(pd.p_total), rtol=1e-4, atol=1e-8
+        )
+
 
 class TestNearIlu:
     def test_near_ilu_beats_jacobi_on_room(self):
