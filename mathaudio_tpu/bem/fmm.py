@@ -376,6 +376,222 @@ def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype, quad_order: int =
                   jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
 
 
+def _near_blocks_mixed(mesh, clusters, mask, nb, na, k, beta, m_elem, adm_elem,
+                       dtype, quad_order: int = 3):
+    """Near-field blocks for the mixed-BC SLFMM: per-column combination of
+    the off-diagonal Ap = -D + beta T and Aq = S - beta K' entries
+    (assembly._mixed_rows off-diagonal math restricted to near cluster
+    pairs). Returns (blk_main, blk_comp): main applies Ap to unknown-p
+    columns (plus the -ik adm single-layer coupling) and Aq to unknown-q
+    columns; comp swaps the roles (prescribed values -> RHS). Same-element
+    entries are zeroed — ALL self/jump terms live in the operator
+    diagonal."""
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    qp, qw = mesh.quad_points(quad_order)
+    centers = jnp.asarray(mesh.centers, dtype)
+    normals = jnp.asarray(mesh.normals, dtype)
+    qp = jnp.asarray(qp, dtype)
+    qw = jnp.asarray(qw, dtype)
+    cl = jnp.asarray(clusters)
+    mk = jnp.asarray(mask, dtype)
+    m_d = jnp.asarray(m_elem, dtype)
+    adm_d = jnp.asarray(adm_elem, cdtype)
+
+    @jax.jit
+    def blocks(centers, normals, qp, qw, cl, mk, m_d, adm_d, nb_d, na_d):
+        bi = cl[nb_d]  # (P, mi) target element ids (rows)
+        ai = cl[na_d]  # (P, mj) source element ids (columns)
+        x = centers[bi][:, :, None, None, :]
+        nx = normals[bi][:, :, None, None, :]
+        y = qp[ai][:, None, :, :, :]
+        ny = normals[ai][:, None, :, None, :]
+        dg, hyp = _pair_kernels(x, nx, y, ny, k)  # (P, mi, mj, nq)
+        w = qw[ai][:, None, :, :].astype(cdtype)
+        bconst = jnp.asarray(beta, cdtype)
+        ap_off = -jnp.sum(dg * w, axis=-1)
+        if beta != 0.0:
+            ap_off = ap_off + bconst * jnp.sum(hyp * w, axis=-1)
+        # single layer + adjoint double layer (kernels as _mixed_rows)
+        rv = y - x
+        r = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+        rs = jnp.where(r < 1e-15, 1.0, r)
+        g = jnp.exp(1j * (k * rs).astype(cdtype)) / (4.0 * jnp.pi * rs)
+        aq_off = jnp.sum(g * w, axis=-1)
+        if beta != 0.0:
+            ik = jnp.asarray(1j * k, cdtype)
+            kp = -(ik - 1.0 / rs) * g * jnp.sum(rv * nx, axis=-1) / rs
+            aq_off = aq_off - bconst * jnp.sum(kp * w, axis=-1)
+        mc = m_d[ai][:, None, :].astype(cdtype)  # (P, 1, mj)
+        ikadm = (-1j * jnp.asarray(k, cdtype)) * adm_d[ai][:, None, :]
+        blk_main = ap_off * mc + aq_off * (ikadm * mc + (1.0 - mc))
+        blk_comp = ap_off * (1.0 - mc) + aq_off * mc
+        same = bi[:, :, None] == ai[:, None, :]
+        pair_mask = (
+            mk[nb_d][:, :, None].astype(cdtype) * mk[na_d][:, None, :].astype(cdtype)
+        )
+        zero = jnp.asarray(0.0, cdtype)
+        blk_main = jnp.where(same, zero, blk_main) * pair_mask
+        blk_comp = jnp.where(same, zero, blk_comp) * pair_mask
+        return blk_main, blk_comp
+
+    return blocks(centers, normals, qp, qw, cl, mk, m_d, adm_d,
+                  jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
+
+
+def build_slfmm_mixed_system(
+    mesh: SurfaceMesh,
+    k: float,
+    bc,
+    beta: complex = 0.0,
+    incident=None,
+    density: float = 1.204,
+    speed_of_sound: float = 343.0,
+    max_per_leaf: int = 64,
+    separation_ratio: float = 2.0,
+    expansion_order: Optional[int] = None,
+    quad_order: int = 3,
+    dtype=None,
+):
+    """Matrix-free SLFMM system for per-element velocity/pressure BCs —
+    the FMM analog of assembly.assemble_mixed_system (tbem.rs:323
+    BC-dependent columns; the reference's own SLFMM only switches the
+    free term, slfmm.rs:524-531 — this build also routes prescribed
+    values to the RHS, so inhomogeneous BCs work at FMM scale).
+
+    System convention (matches the dense mixed path exactly):
+        Ap = 1/2 I - D + beta T       (columns where p is the unknown)
+        Aq = S - beta (1/2 I + K')    (columns where q = dp/dn is unknown)
+
+    TPU mapping: the far field selects the layer PER COLUMN through the
+    direction-space aggregation factor f_j = m_j (-ik s.n_j + ik adm_j)
+    - (1 - m_j) under the CBIE-minus prefactor; the Burton-Miller
+    disaggregation factor (1 - beta ik s.n_x) then produces -D + beta T
+    and S - beta K' simultaneously (d/dn_x is diagonal in direction
+    space for both layers). Prescribed values enter the RHS through a
+    complementary-column operator sharing the same translations and
+    disaggregation.
+
+    Returns (operator, rhs, unknown_p) with the same solution-vector
+    semantics as the dense path: u holds p on velocity elements and
+    dp/dn on pressure elements."""
+    from mathaudio_tpu.bem.assembly import single_layer_self_terms
+
+    dtype = dtype or default_float()
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    n = mesh.num_elements
+    centers = mesh.centers
+    normals = mesh.normals
+
+    bc_types = np.asarray(bc.types, np.int32)
+    bc_values = np.asarray(bc.values, complex)
+    assert bc_types.shape == (n,) and bc_values.shape == (n,)
+    m = (bc_types == 0).astype(float)  # 1 where p is the unknown (velocity BC)
+    omega = k * speed_of_sound
+    q_known = np.where(bc_types == 0, 1j * omega * density * bc_values, 0.0)
+    p_known = np.where(bc_types == 1, bc_values, 0.0)
+    adm = getattr(bc, "admittance", None)
+    adm_arr = (
+        np.zeros(n, complex) if adm is None
+        else np.broadcast_to(np.asarray(adm, complex), (n,)).astype(complex)
+    )
+
+    tree = Octree.build(centers, max_per_leaf=max_per_leaf)
+    clusters, mask, c_centers, radii = _pack_clusters(tree.leaves, centers)
+
+    if expansion_order is None:
+        kr = k * radii.max()
+        expansion_order = int(np.ceil(kr + 4 * np.log(kr + np.pi) + 4))
+    dirs, w = unit_sphere_quadrature(expansion_order)
+
+    dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
+    far = dist > separation_ratio * (radii[:, None] + radii[None, :])
+
+    # Far-field column factors under the CBIE-minus prefactor: +S needs
+    # sigma = -1 (the global minus flips it), and the admittance coupling
+    # (-ik adm) * (+S) lands as sigma = +ik adm on unknown-p columns.
+    alpha_main = m.astype(complex)
+    sigma_main = 1j * k * adm_arr * m - (1.0 - m)
+    alpha_comp = (1.0 - m).astype(complex)
+    sigma_comp = -m.astype(complex)
+    t_main, s_tensor = _agg_disagg_tensors(
+        mesh, clusters, mask, c_centers, k, dirs,
+        agg_alpha=alpha_main, agg_sigma=sigma_main,
+    )
+    t_comp, _ = _agg_disagg_tensors(
+        mesh, clusters, mask, c_centers, k, dirs,
+        agg_alpha=alpha_comp, agg_sigma=sigma_comp,
+    )
+    if beta != 0.0:
+        # shared Burton-Miller row factor (see build_slfmm_system)
+        s_nx = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
+        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
+
+    c_count, q_dirs = len(c_centers), len(dirs)
+    d_tensor = np.zeros((c_count, c_count, q_dirs), complex)
+    fb, fa = np.where(far)
+    if len(fb):
+        d_tensor[fb, fa] = translation_operator(
+            k, c_centers[fb] - c_centers[fa], dirs, expansion_order
+        )
+
+    nb, na = np.where(~far)
+    blk_main, blk_comp = _near_blocks_mixed(
+        mesh, clusters, mask, nb, na, k, beta, m, adm_arr, dtype,
+        quad_order=quad_order,
+    )
+
+    # Diagonals (dense-path formulas, assembly._mixed_rows):
+    #   ap_diag = 1/2 - D0_ii (+ beta t_self) = 1 + rowsum0 + beta t_self
+    #   aq_diag = S_ii - beta/2                       (flat-element K'_ii = 0)
+    rowsum0 = _static_dlp_row_sums(mesh, dtype)
+    ap_diag = (1.0 + rowsum0).astype(complex)
+    if beta != 0.0:
+        self_r, self_w = _self_angular_rule(mesh)
+        ikc = 1j * k
+        t_diff_self = np.sum(
+            self_w * (ikc - (np.exp(ikc * self_r) - 1.0) / self_r), axis=1
+        ) / (4.0 * np.pi)
+        s0 = _static_hyper_row_sums(mesh, quad_order)
+        ap_diag = ap_diag + beta * (t_diff_self - s0)
+    s_self = np.asarray(single_layer_self_terms(mesh, k, dtype=dtype))
+    aq_diag = s_self - (beta / 2.0 if beta != 0.0 else 0.0)
+    diag_main = m * (ap_diag + (-1j * k * adm_arr) * aq_diag) + (1.0 - m) * aq_diag
+    diag_comp = m * aq_diag + (1.0 - m) * ap_diag
+
+    prefactor = -1j * k / (16.0 * np.pi**2)
+
+    def _data(t_tensor, near_b, diag):
+        return SlfmmData(
+            clusters=jnp.asarray(clusters),
+            cluster_mask=jnp.asarray(mask, dtype),
+            t_tensor=jnp.asarray(t_tensor, cdtype),
+            s_tensor=jnp.asarray(s_tensor, cdtype),
+            d_tensor=jnp.asarray(d_tensor, cdtype),
+            quad_w=jnp.asarray(w, dtype),
+            near_a=jnp.asarray(na.astype(np.int32)),
+            near_b=jnp.asarray(nb.astype(np.int32)),
+            near_blocks=near_b,
+            diag_add=jnp.asarray(diag, cdtype),
+            prefactor=jnp.asarray(prefactor, cdtype),
+        )
+
+    op = SlfmmOperator(_data(t_main, blk_main, diag_main), n)
+    comp_op = SlfmmOperator(_data(t_comp, blk_comp, diag_comp), n)
+
+    centers_j = jnp.asarray(centers, dtype)
+    if incident is not None:
+        rhs_inc = incident.pressure(centers_j, k).astype(cdtype)
+        if beta != 0.0:
+            rhs_inc = rhs_inc - jnp.asarray(beta, cdtype) * incident.normal_derivative(
+                centers_j, jnp.asarray(normals, dtype), k
+            ).astype(cdtype)
+    else:
+        rhs_inc = jnp.zeros(n, cdtype)
+    known = jnp.asarray(q_known * m + p_known * (1.0 - m), cdtype)
+    rhs = rhs_inc - comp_op.matvec(known)
+    return op, rhs, bc_types == 0
+
+
 class MlfmmData(NamedTuple):
     """Two-level FMM pytree: leaf level (near blocks + leaf-far
     translations) plus a coarse level handling pairs that are far at the
@@ -441,15 +657,20 @@ def _pack_clusters(nodes, centers):
 
 
 @jax.jit
-def _agg_disagg_jit(yg_rel, qw_cl, n_cl, y_rel, dirs, mask, k, agg_offset):
-    """Jitted core of `_agg_disagg_tensors` (k / agg_offset are traced so
-    a frequency sweep reuses one compilation per level geometry)."""
+def _agg_disagg_jit(yg_rel, qw_cl, n_cl, y_rel, dirs, mask, k, alpha_cl, sigma_cl):
+    """Jitted core of `_agg_disagg_tensors` (k and the per-element factor
+    coefficients are traced so a frequency sweep reuses one compilation
+    per level geometry). The per-source direction-space factor is
+    ``alpha_j * (-ik s.n_j) + sigma_j`` — alpha=1/sigma=0 is the plain
+    double layer; per-element (alpha, sigma) select the layer per column
+    for mixed boundary conditions."""
     phase_g = jnp.einsum("qd,cmgd->cqmg", dirs, yg_rel)
     s_dot_ny = jnp.einsum("qd,cmd->cqm", dirs, n_cl)
     ik = jax.lax.complex(jnp.zeros_like(k), k)
+    factor = alpha_cl[:, None, :] * (-ik * s_dot_ny) + sigma_cl[:, None, :]
     t_tensor = (
         jnp.einsum("cqmg,cmg->cqm", jnp.exp(-ik * phase_g), qw_cl.astype(ik.dtype))
-        * (-ik * s_dot_ny + agg_offset)
+        * factor
         * mask[:, None, :]
     )
     phase_y = jnp.einsum("qd,cmd->cqm", dirs, y_rel)
@@ -458,7 +679,7 @@ def _agg_disagg_jit(yg_rel, qw_cl, n_cl, y_rel, dirs, mask, k, agg_offset):
 
 
 def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0,
-                        single_layer=False):
+                        single_layer=False, agg_alpha=None, agg_sigma=None):
     """(T, S) padded aggregation/disaggregation tensors for one level.
 
     ``agg_offset``: extra additive term in the per-source direction-space
@@ -469,15 +690,29 @@ def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0
     aggregation expands the plain single layer G (factor 1 per source
     point) — used by the radiating-field evaluator for the -G q term of
     the Kirchhoff-Helmholtz formula (pressure.rs field sweep with
-    dp/dn != 0)."""
+    dp/dn != 0).
+
+    ``agg_alpha`` / ``agg_sigma``: per-element (N,) complex coefficients
+    of the factor alpha_j * (-ik s.n_j) + sigma_j, overriding the scalar
+    forms above — the mixed-BC builder selects double layer (alpha=1) or
+    single layer (sigma=+-1) per column with these."""
     centers = mesh.centers
-    normals = np.zeros_like(mesh.normals) if single_layer else mesh.normals
-    if single_layer:
-        agg_offset = 1.0
+    normals = mesh.normals
     qp_e, qw_e = mesh.quad_points(2)
     yg_rel = qp_e[clusters] - c_centers[:, None, None, :]
     y_rel = centers[clusters] - c_centers[:, None, :]
     cdt = np.complex128 if jax.config.jax_enable_x64 else np.complex64
+    n = len(centers)
+    if agg_alpha is None and agg_sigma is None:
+        if single_layer:
+            alpha = np.zeros(n, cdt)
+            sigma = np.ones(n, cdt)
+        else:
+            alpha = np.ones(n, cdt)
+            sigma = np.full(n, complex(agg_offset), cdt)
+    else:
+        alpha = np.zeros(n, cdt) if agg_alpha is None else np.asarray(agg_alpha, cdt)
+        sigma = np.zeros(n, cdt) if agg_sigma is None else np.asarray(agg_sigma, cdt)
     t_tensor, s_tensor = _agg_disagg_jit(
         jnp.asarray(yg_rel),
         jnp.asarray(qw_e[clusters]),
@@ -486,7 +721,8 @@ def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0
         jnp.asarray(dirs),
         jnp.asarray(mask),
         jnp.asarray(float(k)),
-        jnp.asarray(complex(agg_offset), cdt),
+        jnp.asarray(alpha[clusters]),
+        jnp.asarray(sigma[clusters]),
     )
     return np.asarray(t_tensor), np.asarray(s_tensor)
 

@@ -138,10 +138,7 @@ class BemSolver:
 
         if problem.bc is not None:
             if cfg.assembly in (BemMethod.SLFMM, BemMethod.MLFMM):
-                raise NotImplementedError(
-                    "mixed boundary conditions require dense assembly "
-                    "(BemMethod.TBEM); the FMM paths assume a rigid surface"
-                )
+                return self._solve_mixed_fmm(problem)
             return self._solve_mixed(problem)
 
         if cfg.assembly in (BemMethod.SLFMM, BemMethod.MLFMM):
@@ -235,6 +232,72 @@ class BemSolver:
             u = sol.x
             info["converged"] = bool(sol.converged)
             info["iterations"] = int(sol.iterations)
+
+        bc_types = np.asarray(problem.bc.types)
+        bc_values = np.asarray(problem.bc.values, complex)
+        up = jnp.asarray(unknown_p)
+        omega = k * ph.speed_of_sound
+        q_known = jnp.asarray(
+            np.where(bc_types == 0, 1j * omega * ph.density * bc_values, 0.0),
+            u.dtype,
+        )
+        p_known = jnp.asarray(np.where(bc_types == 1, bc_values, 0.0), u.dtype)
+        p_full = jnp.where(up, u, p_known)
+        q_full = jnp.where(up, q_known, u)
+        adm = getattr(problem.bc, "admittance", None)
+        if adm is not None:
+            # velocity-with-admittance: q = i omega rho v - i k adm * p
+            adm_j = jnp.asarray(
+                np.broadcast_to(np.asarray(adm, complex), bc_types.shape), u.dtype
+            )
+            q_full = jnp.where(up, q_known - 1j * k * adm_j * p_full, q_full)
+        return BemSolution(problem, p_full, info, surface_q=q_full)
+
+    def _solve_mixed_fmm(self, problem: BemProblem) -> BemSolution:
+        """Matrix-free mixed-BC solve (fmm.build_slfmm_mixed_system):
+        per-element velocity/pressure/admittance BCs at FMM scale — beyond
+        the reference, whose SLFMM assumes a rigid surface (slfmm.rs:524).
+        Only the SLFMM operator exists for mixed columns; an MLFMM config
+        routes here too (recorded in info). LU is impossible matrix-free,
+        so Krylov methods other than GMRES fall back to GMRES."""
+        from mathaudio_tpu.bem.fmm import build_slfmm_mixed_system
+
+        cfg = self.config
+        mesh = problem.mesh
+        ph = problem.physics
+        k = ph.wave_number
+        beta = 0.0
+        if cfg.burton_miller:
+            # same beta selection as the dense paths
+            ka = k * mesh.ka_radius()
+            scale = cfg.beta_scale or ph.optimal_beta_scale(ka)
+            beta = ph.burton_miller_beta_optimal(mesh.avg_element_size()) * scale
+        op, rhs, unknown_p = build_slfmm_mixed_system(
+            mesh,
+            k,
+            problem.bc,
+            beta=beta,
+            incident=problem.incident,
+            density=ph.density,
+            speed_of_sound=ph.speed_of_sound,
+            quad_order=cfg.quad_order,
+        )
+        kcfg = KrylovConfig(
+            max_iterations=cfg.max_iterations,
+            tolerance=cfg.tolerance,
+            restart=cfg.restart,
+        )
+        sol = gmres(op.matvec, rhs, config=kcfg)
+        info = {
+            "method": "gmres",  # matrix-free: LU/BiCGStab configs fall back
+            "assembly": BemMethod.SLFMM.value,
+            "burton_miller": cfg.burton_miller,
+            "mixed_bc": True,
+            "n": mesh.num_elements,
+            "converged": bool(sol.converged),
+            "iterations": int(sol.iterations),
+        }
+        u = sol.x
 
         bc_types = np.asarray(problem.bc.types)
         bc_values = np.asarray(problem.bc.values, complex)
