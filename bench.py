@@ -43,12 +43,18 @@ import time
 # MXU matmul against one shared inverse) -> 39.1M (first GMRES restart
 # cycle unrolled out of the while loop, so the restart residual — one
 # matvec + one V-cycle — is only computed when a second cycle actually
-# runs, which the bench band never needs). The CPU baseline runs the
-# same harness at the CPU's best configuration, re-measured after each
-# algorithm change since the improvements apply to the CPU too
-# (currently 16-freq batches with 4 Schulz-chained anchor inverses;
-# --device cpu --calibrate --freqs 16 --anchors 4 reproduces it; the
-# old per-frequency-inverse best was 1.035e5).
+# runs, which the bench band never needs) -> 51.9M (node-major layout:
+# (N, F) arrays with the frequency axis in lanes, DIA streaming matvecs
+# instead of per-frequency gathers — 716 vs 142 GB/s effective on the
+# SpMV, models/room_sweep_nm.py; now the default --sweep layout). The
+# CPU baseline runs the same harness at the CPU's best configuration,
+# re-measured after each algorithm change since the improvements apply
+# to the CPU too (currently 16-freq batches with 4 Schulz-chained anchor
+# inverses; --device cpu --calibrate --freqs 16 --anchors 4 reproduces
+# it; the old per-frequency-inverse best was 1.035e5). The node-major
+# layout was calibrated on CPU too and does NOT beat the vmapped CPU
+# best (6.5e4 at 16 freqs, 1.539e5 — a tie — at 128), so the baseline
+# value is layout-independent.
 #
 # Knob scans that did NOT raise the headline (recorded so they are not
 # re-tried): nu_post=0 removes 1 of the 3 big gather-matvec passes per
@@ -374,9 +380,10 @@ if __name__ == "__main__":
                          "(freqs/anchors a multiple of 128 enables the nested "
                          "anchor-chunk vmap fast path)")
     ap.add_argument("--cycle", default="v", choices=["v", "w", "f"])
-    ap.add_argument("--sweep", default="vmapped", choices=["vmapped", "nm"],
-                    help="sweep layout: vmapped frequency-major or nm "
-                         "node-major (DIA + batched GMRES/MG)")
+    ap.add_argument("--sweep", default="nm", choices=["vmapped", "nm"],
+                    help="sweep layout: nm node-major (DIA + batched GMRES/MG, "
+                         "default — 5.19e7 DoF-solves/s) or vmapped "
+                         "frequency-major (3.94e7)")
     ap.add_argument("--restart", type=int, default=6)
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
     ap.add_argument("--bem-subdiv", type=int, default=4,
