@@ -1,0 +1,266 @@
+"""Phase-by-phase breakdown of the NODE-MAJOR headline FEM sweep.
+
+Companion to fem_roofline_breakdown.py (which profiles the frequency-
+major vmapped layout and shows it is address-bound on the VPU gather).
+The node-major DIA layout (models/room_sweep_nm.py, the bench default)
+removed the gathers; this diagnostic measures where its time goes so
+optimization aims at the right pass:
+
+  - P0 streaming copy of one (N, F) c64 vector (achievable-BW anchor)
+  - P1 level-0 DIA matvec (fem/dia.py)
+  - P2 one full V-cycle preconditioner application (nu=1, anchored coarse)
+  - P3 one CGS2 projection pair at full basis depth (the 4 (m+1,N,F)
+       basis sweeps per Arnoldi step)
+  - P4 coarse anchored MXU matmul
+  - P5 the full sweep, with a per-phase reconstruction
+
+Usage: python examples/fem_roofline_nm.py [--n 20] [--freqs 2048]
+       [--device tpu|cpu] (CPU works at small --freqs for a smoke run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--freqs", type=int, default=2048)
+    ap.add_argument("--anchors", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import jax.lax as lax
+
+    from mathaudio_tpu.fem.dia import dia_matvec
+    from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy, build_coarse_inv_chain
+    from mathaudio_tpu.fem.multigrid_batched import make_dia_mg, mg_cycle_batched
+    from mathaudio_tpu.models import RoomSweepModel
+    from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
+    from mathaudio_tpu.solvers import KrylovConfig
+
+    F, R = args.freqs, args.repeats
+    meshes = box_hierarchy(args.n, 4 if args.n >= 24 else 3)
+    mesh = meshes[0]
+    model = RoomSweepModel(
+        mesh,
+        wall_tags=(1, 2, 3, 4, 5, 6),
+        absorption=0.15,
+        listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
+    )
+    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+    nm = NodeMajorRoomSweep(model, mg)
+    params = nm.params()
+    N = mesh.num_nodes
+    cd = params.rhs.dtype
+    m = 6  # bench restart
+    ks = jnp.linspace(0.55, 2.2, F, dtype=model.dtype)
+    vec_gb = N * F * np.dtype(cd).itemsize / 1e9
+    print(f"# n={args.n}: N={N} nodes, F={F}, dtype={cd}; one vector = {vec_gb*1e3:.0f} MB")
+
+    n_anchor = min(args.anchors, F)
+
+    @jax.jit
+    def _anchor_setup(ks, builder):
+        anchor_ks = jnp.mean(ks.reshape(n_anchor, F // n_anchor), axis=1)
+        return build_coarse_inv_chain(
+            builder, anchor_ks,
+            jnp.asarray(-1j * 0.15, cd) * anchor_ks.astype(cd),
+        )
+
+    anchor_inv = _anchor_setup(ks, params.mg_builder)
+
+    # Initial vectors born on device (eager complex full() unsupported on axon).
+    x0 = jax.jit(lambda: (jnp.ones((N, F), jnp.float32) / N).astype(cd))()
+    basis0 = jax.jit(lambda: (jnp.ones((m + 1, N, F), jnp.float32) / N).astype(cd))()
+
+    _sync_jit = jax.jit(lambda o: jnp.sum(jnp.real(o)).astype(jnp.float32))
+
+    def _sync(out):
+        return float(_sync_jit(out))
+
+    tiny = jax.jit(lambda: jnp.zeros((8,), jnp.float32))()
+    _sync(tiny)
+    t_fetch = min(
+        (lambda t0: (_sync(tiny), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(5)
+    )
+    print(f"# scalar-fetch round trip: {t_fetch*1e3:.1f} ms (subtracted per phase)")
+
+    def timed(fn, *a, reps=R):
+        out = fn(*a)
+        _sync(out)  # compile + warm
+        t0 = time.perf_counter()
+        out = fn(*a)
+        _sync(out)
+        dt = (time.perf_counter() - t0 - t_fetch) / reps
+        return max(dt, 1e-9), out
+
+    offsets = nm.offsets
+    tables = params.fine_tables
+
+    def _scalars(ks):
+        k = ks.astype(cd)
+        return k * k, jnp.asarray(-1j * 0.15, cd) * k
+
+    # -- P0: streaming copy anchor at vector shape --
+    @jax.jit
+    def p0(y):
+        return lax.fori_loop(0, R, lambda i, y: y * (1.0 + 1e-9 * i), y)
+
+    t_copy, _ = timed(p0, x0)
+    bw_copy = 2 * vec_gb / t_copy
+    print(f"P0 stream copy   : {t_copy*1e3:7.2f} ms/pass  {bw_copy:6.1f} GB/s (achievable-BW anchor)")
+
+    # -- P1: level-0 DIA matvec --
+    @jax.jit
+    def p1(x, tabs, ks):
+        cmv, cbv = _scalars(ks)
+
+        def body(i, x):
+            y = dia_matvec(offsets[0], tabs, cmv, cbv, x)
+            return y * (1.0 / (1.0 + 1e-9 * i))
+
+        return lax.fori_loop(0, R, body, x)
+
+    t_mv, _ = timed(p1, x0, tables, ks)
+    bw_mv = 2 * vec_gb / t_mv  # x-read + y-write accounting
+    print(
+        f"P1 DIA matvec    : {t_mv*1e3:7.2f} ms/pass  {bw_mv:6.1f} GB/s eff "
+        f"({bw_mv/bw_copy*100:4.1f}% of copy)"
+    )
+
+    # -- P2: one V-cycle application --
+    mgp = jax.jit(
+        lambda lv, kk, ai: make_dia_mg(offsets, lv, kk, 0.15, ai)
+    )(params.levels, ks, anchor_inv)
+
+    @jax.jit
+    def p2(r, mgp):
+        def body(i, r):
+            x = mg_cycle_batched(mgp, offsets, r, omega=1.0, nu=1)
+            return x * (1.0 / (1.0 + 1e-9 * i))
+
+        return lax.fori_loop(0, R, body, r)
+
+    t_vc, _ = timed(p2, x0, mgp)
+    print(f"P2 V-cycle       : {t_vc*1e3:7.2f} ms/pass  ({t_vc/t_mv:.1f}x matvec)")
+
+    # -- P2a/P2b: the V-cycle's transfer passes in isolation --
+    from mathaudio_tpu.fem.multigrid_batched import _prolong_b, _restrict_b
+
+    lvl0 = params.levels[0]
+    nc1 = params.levels[1].tables.dk.shape[0] if len(params.levels) > 1 else (
+        anchor_inv.shape[1] // 2)
+    xc0 = jax.jit(lambda: (jnp.ones((nc1, F), jnp.float32) / nc1).astype(cd))()
+
+    @jax.jit
+    def p2a(rf, lvl):
+        def body(i, rf_):
+            rc = _restrict_b(lvl, rf_, nc1)
+            return rf_ * (1.0 + 1e-9 * jnp.real(rc[0, 0]))
+
+        return lax.fori_loop(0, R, body, rf)
+
+    t_rst, _ = timed(p2a, x0, lvl0)
+    print(f"P2a restrict     : {t_rst*1e3:7.2f} ms/pass  (fine-scale scatter-add)")
+
+    @jax.jit
+    def p2b(xc, lvl):
+        def body(i, xc_):
+            xf = _prolong_b(lvl, xc_)
+            return xc_ * (1.0 + 1e-9 * jnp.real(xf[0, 0]))
+
+        return lax.fori_loop(0, R, body, xc)
+
+    t_prl, _ = timed(p2b, xc0, lvl0)
+    print(f"P2b prolong      : {t_prl*1e3:7.2f} ms/pass  (fine-scale row gather)")
+
+    # -- P3: CGS2 projection pair at full depth --
+    @jax.jit
+    def p3(w, basis):
+        def body(i, w):
+            h1 = jnp.einsum("inf,nf->if", jnp.conj(basis), w)
+            w1 = w - jnp.einsum("if,inf->nf", h1, basis)
+            h2 = jnp.einsum("inf,nf->if", jnp.conj(basis), w1)
+            w2 = w1 - jnp.einsum("if,inf->nf", h2, basis)
+            return w2 * (1.0 / (1.0 + 1e-9 * i))
+
+        return lax.fori_loop(0, R, body, w)
+
+    t_cgs, _ = timed(p3, x0, basis0)
+    bw_cgs = 4 * (m + 1) * vec_gb / t_cgs
+    print(
+        f"P3 CGS2 pair     : {t_cgs*1e3:7.2f} ms/step  {bw_cgs:6.1f} GB/s over "
+        f"4x{m+1} basis sweeps"
+    )
+
+    # -- P4: coarse anchored matmul --
+    nc2 = anchor_inv.shape[1]
+    chunk = F // n_anchor
+    a4 = jnp.ones((nc2, n_anchor, chunk), jnp.float32)
+
+    @jax.jit
+    def p4(a, inv):
+        inv = inv.astype(a.dtype)
+
+        def body(i, a):
+            return jnp.einsum("aij,jac->iac", inv, a) * (1.0 / nc2)
+
+        return lax.fori_loop(0, R, body, a)
+
+    t_coarse, _ = timed(p4, a4, anchor_inv)
+    print(f"P4 coarse matmul : {t_coarse*1e3:7.2f} ms/pass  ({n_anchor}x({nc2},{nc2})x({nc2},{chunk}))")
+
+    # -- P5: full sweep --
+    config = KrylovConfig(max_iterations=500, tolerance=1e-5, restart=m)
+    sweep = nm.sweep_fn(config, mg_nu=1, mg_omega=1.0, mg_coarse_anchors=n_anchor)
+    fn = jax.jit(sweep)
+    p, its, conv = fn(params, ks)
+    _sync(its)
+    t0 = time.perf_counter()
+    p, its, conv = fn(params, ks)
+    _sync(its)
+    t_sweep = time.perf_counter() - t0 - t_fetch
+    iters = int(jnp.max(its))
+    rate = N * F / t_sweep
+    print(f"P5 full sweep    : {t_sweep*1e3:7.2f} ms  (max iters {iters}, "
+          f"{int(conv.sum())}/{F} converged, {rate:.3e} DoF-solves/s)")
+
+    # -- attribution: per iteration = 1 outer matvec + 1 V-cycle + 1 CGS2
+    # step (basis depth grows j/m, so scale P3 by the mean depth) --
+    mean_depth = (np.arange(1, iters + 1).mean() + 1) / (m + 1)
+    model_ms = (
+        iters * (t_mv + t_vc + t_cgs * mean_depth)
+        + 2 * (t_mv + t_vc)  # x-update + restart residual + final combine
+    ) * 1e3
+    print(
+        f"\n# reconstruction: {iters}x(matvec + V-cycle + CGS2*{mean_depth:.2f}) + setup"
+        f" = {model_ms:.0f} ms vs measured {t_sweep*1e3:.0f} ms"
+        f" ({model_ms/t_sweep/10:.0f}% attributed)"
+    )
+    for name, tt, cnt in (
+        ("matvec", t_mv, iters + 2),
+        ("V-cycle", t_vc, iters + 2),
+        ("CGS2", t_cgs * mean_depth, iters),
+    ):
+        print(f"#   {name:8s}: {cnt} x {tt*1e3:6.2f} ms = {cnt*tt/t_sweep*100:5.1f}% of sweep")
+
+
+if __name__ == "__main__":
+    main()

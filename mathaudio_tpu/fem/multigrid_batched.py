@@ -29,6 +29,8 @@ class DiaLevel(NamedTuple):
     tables: DiaTables  # frequency-shared (D, N_l) real tables
     p_idx: jnp.ndarray  # (N_l, 2^d) prolongation from level l+1
     p_w: jnp.ndarray  # (N_l, 2^d)
+    r_idx: jnp.ndarray  # (N_{l+1}, K) transposed (restriction) stencil
+    r_w: jnp.ndarray  # (N_{l+1}, K)
 
 
 class DiaMg(NamedTuple):
@@ -80,12 +82,13 @@ def _prolong_b(lvl: DiaLevel, xc):
 
 
 def _restrict_b(lvl: DiaLevel, rf, n_coarse: int):
-    """(N_f, F) -> (N_c, F): transpose scatter-add."""
-    w = lvl.p_w.astype(rf.dtype)[:, :, None]
-    contrib = (w * rf[:, None, :]).reshape(-1, rf.shape[1])
-    return jnp.zeros((n_coarse, rf.shape[1]), rf.dtype).at[
-        lvl.p_idx.reshape(-1)
-    ].add(contrib)
+    """(N_f, F) -> (N_c, F): R = P^T as a coarse-side row gather
+    (fem.multigrid.transpose_transfer). The scatter-add form this
+    replaces serialized on TPU: 22 ms vs 0.9 ms per pass at bench scale
+    (examples/fem_roofline_nm.py)."""
+    del n_coarse  # shape comes from the transposed stencil
+    w = lvl.r_w.astype(rf.dtype)[:, :, None]
+    return jnp.sum(w * jnp.take(rf, lvl.r_idx, axis=0), axis=1)
 
 
 def _coarse_solve_b(anchor_inv, r):

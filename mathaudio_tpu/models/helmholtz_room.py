@@ -168,7 +168,8 @@ def sweep_pressure(
             # levels do — and the level-0 shifted table (2.3 GB at bench
             # scale) is never built.
             levels[0] = MgLevel(
-                params.ell_indices, ell_c, inv_diag, levels[0].p_idx, levels[0].p_w
+                params.ell_indices, ell_c, inv_diag, levels[0].p_idx,
+                levels[0].p_w, levels[0].r_idx, levels[0].r_w,
             )
             mgp = MgParams(tuple(levels), coarse_inv)
             pre = lambda r: mg_cycle(mgp, r, omega=mg_omega, nu=mg_nu,

@@ -80,7 +80,7 @@ class NodeMajorRoomSweep:
                 self._check_structured(asm)
                 offs_l, tabs = dia_tables_of(asm, b_sum_of(asm))
                 offsets.append(offs_l)
-            levels.append(DiaLevel(tabs, bl.p_idx, bl.p_w))
+            levels.append(DiaLevel(tabs, bl.p_idx, bl.p_w, bl.r_idx, bl.r_w))
         self.offsets: Tuple[Tuple[int, ...], ...] = tuple(offsets)
         self._params = NodeMajorParams(
             fine_tables=fine_tables,

@@ -227,6 +227,9 @@ class AmgPreconditioner(LinearOperator):
                 c = sl.stop - sl.start
                 p_idx[i, :c] = p_csr.indices[sl]
                 p_w[i, :c] = p_csr.data[sl].real
+            from mathaudio_tpu.fem.multigrid import transpose_transfer
+
+            r_idx, r_w = transpose_transfer(p_idx, p_w, p_csr.shape[1])
             levels.append(
                 MgLevel(
                     ell_idx,
@@ -234,6 +237,8 @@ class AmgPreconditioner(LinearOperator):
                     jnp.asarray(inv_diag, cdtype),
                     jnp.asarray(p_idx),
                     jnp.asarray(p_w, default_float()),
+                    jnp.asarray(r_idx),
+                    jnp.asarray(r_w, default_float()),
                 )
             )
 
