@@ -72,7 +72,8 @@ BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
-        cycle: str = "v", restart: int = 6, levels: int = 3, sweep_layout: str = "vmapped"):
+        cycle: str = "v", restart: int = 6, levels: int = 3, sweep_layout: str = "vmapped",
+        orth: str = "cgs1", transfers: str = "gather"):
     import os
 
     import jax
@@ -108,14 +109,15 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
     # cliff (ARCHITECTURE.md §10) — one more level keeps it small.
     meshes = box_hierarchy(n, levels)
     mesh = meshes[0]
+    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
     model = RoomSweepModel(
         mesh,
         wall_tags=(1, 2, 3, 4, 5, 6),
         absorption=0.15,
         listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
+        assembler=mg.assemblers[0],  # fine level assembled once, shared
     )
     params = model.params()
-    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
     t_build = time.perf_counter() - t0
     print(
         f"# mesh n={n}: {mesh.num_elements} tets, {mesh.num_nodes} nodes, "
@@ -137,7 +139,8 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
         params = nm.params()
         sweep = nm.sweep_fn(config, mg_nu=1, mg_omega=1.0,
                             mg_coarse_anchors=min(anchors, n_freq),
-                            mg_cycle_type=cycle)
+                            mg_cycle_type=cycle, gmres_orth=orth,
+                            mg_transfers=transfers)
     else:
         sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
                                mg_coarse_anchors=min(anchors, n_freq),
@@ -385,6 +388,20 @@ if __name__ == "__main__":
                          "default — 5.19e7 DoF-solves/s) or vmapped "
                          "frequency-major (3.94e7)")
     ap.add_argument("--restart", type=int, default=6)
+    ap.add_argument("--orth", default="cgs1", choices=["cgs2", "cgs1"],
+                    help="node-major Arnoldi orthogonalization (cgs1 default: "
+                         "halves the basis traffic — 228 ms vs 252 ms back-to-"
+                         "back at bench shape, identical iteration counts; safe "
+                         "only because the MG-preconditioned band converges in "
+                         "~6 short-cycle iterations and the recomputed true "
+                         "residuals match CGS2 to tolerance — see "
+                         "solvers/krylov_batched.py and tests/test_nodemajor.py)")
+    ap.add_argument("--transfers", default="gather", choices=["gather", "tp"],
+                    help="node-major multigrid transfer lowering: gather "
+                         "stencil (default, 224 ms at bench shape) or "
+                         "separable tensor-product matmuls (264 ms in-context "
+                         "despite a 6x microbench win — see "
+                         "models/room_sweep_nm.py sweep_fn docstring)")
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
     ap.add_argument("--bem-subdiv", type=int, default=4,
                     help="icosphere subdivision for the BEM metric (3=1280, 4=5120, 5=20480)")
@@ -400,7 +417,8 @@ if __name__ == "__main__":
         out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
     elif args.metric == "fem":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
-                  args.anchors, args.cycle, args.restart, args.levels, args.sweep)
+                  args.anchors, args.cycle, args.restart, args.levels, args.sweep,
+                  args.orth, args.transfers)
     else:
         # all three (VERDICT r1 item 4): secondary metrics first, headline
         # FEM last; ONE combined JSON line (headline fields at top level so
@@ -408,7 +426,8 @@ if __name__ == "__main__":
         iir = run_iir(args.device, args.repeats, args.calibrate)
         bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
-                  args.anchors, args.cycle, args.restart, args.levels, args.sweep)
+                  args.anchors, args.cycle, args.restart, args.levels, args.sweep,
+                  args.orth, args.transfers)
         out = dict(fem, secondary=[iir, bem]) if fem else None
     if out is not None:
         print(json.dumps(out))

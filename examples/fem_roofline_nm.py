@@ -57,13 +57,14 @@ def main():
     F, R = args.freqs, args.repeats
     meshes = box_hierarchy(args.n, 4 if args.n >= 24 else 3)
     mesh = meshes[0]
+    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
     model = RoomSweepModel(
         mesh,
         wall_tags=(1, 2, 3, 4, 5, 6),
         absorption=0.15,
         listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
+        assembler=mg.assemblers[0],
     )
-    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
     nm = NodeMajorRoomSweep(model, mg)
     params = nm.params()
     N = mesh.num_nodes
@@ -147,8 +148,8 @@ def main():
 
     # -- P2: one V-cycle application --
     mgp = jax.jit(
-        lambda lv, kk, ai: make_dia_mg(offsets, lv, kk, 0.15, ai)
-    )(params.levels, ks, anchor_inv)
+        lambda lv, kk, ai, tp: make_dia_mg(offsets, lv, kk, 0.15, ai, tp=tp)
+    )(params.levels, ks, anchor_inv, params.tp)
 
     @jax.jit
     def p2(r, mgp):
@@ -165,31 +166,33 @@ def main():
     from mathaudio_tpu.fem.multigrid_batched import _prolong_b, _restrict_b
 
     lvl0 = params.levels[0]
+    tp0 = params.tp[0] if params.tp else ()
     nc1 = params.levels[1].tables.dk.shape[0] if len(params.levels) > 1 else (
         anchor_inv.shape[1] // 2)
     xc0 = jax.jit(lambda: (jnp.ones((nc1, F), jnp.float32) / nc1).astype(cd))()
 
     @jax.jit
-    def p2a(rf, lvl):
+    def p2a(rf, lvl, tp):
         def body(i, rf_):
-            rc = _restrict_b(lvl, rf_, nc1)
+            rc = _restrict_b(lvl, rf_, nc1, tp)
             return rf_ * (1.0 + 1e-9 * jnp.real(rc[0, 0]))
 
         return lax.fori_loop(0, R, body, rf)
 
-    t_rst, _ = timed(p2a, x0, lvl0)
-    print(f"P2a restrict     : {t_rst*1e3:7.2f} ms/pass  (fine-scale scatter-add)")
+    t_rst, _ = timed(p2a, x0, lvl0, tp0)
+    mode = "separable matmuls" if tp0 else "coarse-side gather"
+    print(f"P2a restrict     : {t_rst*1e3:7.2f} ms/pass  ({mode})")
 
     @jax.jit
-    def p2b(xc, lvl):
+    def p2b(xc, lvl, tp):
         def body(i, xc_):
-            xf = _prolong_b(lvl, xc_)
+            xf = _prolong_b(lvl, xc_, tp)
             return xc_ * (1.0 + 1e-9 * jnp.real(xf[0, 0]))
 
         return lax.fori_loop(0, R, body, xc)
 
-    t_prl, _ = timed(p2b, xc0, lvl0)
-    print(f"P2b prolong      : {t_prl*1e3:7.2f} ms/pass  (fine-scale row gather)")
+    t_prl, _ = timed(p2b, xc0, lvl0, tp0)
+    print(f"P2b prolong      : {t_prl*1e3:7.2f} ms/pass  ({mode})")
 
     # -- P3: CGS2 projection pair at full depth --
     @jax.jit

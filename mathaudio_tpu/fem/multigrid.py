@@ -126,6 +126,39 @@ def structured_prolongation(n_f, n_c, dim: int):
     return idx, w
 
 
+def prolongation_1d(n_c: int) -> np.ndarray:
+    """Dense (2*n_c+1, n_c+1) 1D linear-interpolation prolongation.
+
+    structured_prolongation is separable: P = Pz (x) Py (x) Px with these
+    1D factors (even fine node -> its coarse node, odd -> the two
+    neighbours at 0.5 each). The node-major batched cycle applies them as
+    three streamed matmuls instead of a 2^d-point gather
+    (fem.multigrid_batched._prolong_tp)."""
+    n_f = 2 * n_c
+    p = np.zeros((n_f + 1, n_c + 1))
+    c = np.arange(n_c + 1)
+    p[2 * c, c] = 1.0
+    p[2 * c[:-1] + 1, c[:-1]] = 0.5
+    p[2 * c[:-1] + 1, c[:-1] + 1] = 0.5
+    return p
+
+
+def box_grid_dims(mesh) -> Optional[Tuple[int, int, int]]:
+    """(nx+1, ny+1, nz+1) if ``mesh`` is a lexicographic 3D box grid
+    (x fastest, matching fem.mesh._box_nodes), else None."""
+    nodes = np.asarray(mesh.nodes)
+    if nodes.ndim != 2 or nodes.shape[1] != 3:
+        return None
+    xs, ys, zs = (np.unique(nodes[:, a]) for a in range(3))
+    if len(xs) * len(ys) * len(zs) != nodes.shape[0]:
+        return None
+    zz, yy, xx = np.meshgrid(zs, ys, xs, indexing="ij")
+    ref = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=1)
+    if not np.allclose(ref, nodes):
+        return None
+    return len(xs), len(ys), len(zs)
+
+
 def transpose_transfer(p_idx, p_w, n_coarse: int):
     """Host-side transpose of a padded prolongation stencil.
 

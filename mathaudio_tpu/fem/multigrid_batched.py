@@ -42,6 +42,9 @@ class DiaMg(NamedTuple):
     cbs: Tuple[jnp.ndarray, ...]  # per-level (F,) boundary coefficients
     inv_diags: Tuple[jnp.ndarray, ...]  # per-level (N_l, F)
     anchor_inv: jnp.ndarray  # (n_anchor, 2Nc, 2Nc) real-embedded inverses
+    # Per-level separable transfer: () to use the gather stencil, or
+    # (pz, py, px) 1D prolongation matrices, each (n_f_ax+1, n_c_ax+1).
+    tp: Tuple[tuple, ...] = ()
 
 
 def make_dia_mg(
@@ -51,6 +54,7 @@ def make_dia_mg(
     absorption: float,
     anchor_inv,
     shift: Tuple[float, float] = (1.0, 0.5),
+    tp: Tuple[tuple, ...] = (),
 ) -> DiaMg:
     """Per-frequency scalars + inverse diagonals for one solve batch.
 
@@ -72,21 +76,71 @@ def make_dia_mg(
         inv_diags.append(jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0))
         cms.append(cm)
         cbs.append(cb)
-    return DiaMg(tuple(levels), tuple(cms), tuple(cbs), tuple(inv_diags), anchor_inv)
+    return DiaMg(tuple(levels), tuple(cms), tuple(cbs), tuple(inv_diags),
+                 anchor_inv, tuple(tp))
 
 
-def _prolong_b(lvl: DiaLevel, xc):
-    """(N_c, F) -> (N_f, F): row-gather interpolation."""
+def _real_view(x):
+    """(N, F) complex -> ((N, 2F) real lane-interleaved view, undo).
+
+    The transfers are real linear maps over nodes, so they apply to the
+    re/im-interleaved float view unchanged — all matmuls stay real."""
+    rdt = jnp.float32 if x.dtype == jnp.complex64 else jnp.float64
+    return x.view(rdt), lambda y: y.view(x.dtype)
+
+
+def _prolong_tp(tp, xc):
+    """Separable prolongation on a lexicographic box grid (x fastest):
+    P = Pz (x) Py (x) Px applied as three streamed per-axis matmuls —
+    no gathers at all. Exact same operator as the stencil path
+    (fem.multigrid.structured_prolongation is separable trilinear).
+    ~6x faster than the 2^d-point row gather in isolation, but SLOWER
+    inside the full sweep (relayouts around the 4D einsum views), so the
+    gather path stays the default — see room_sweep_nm.sweep_fn."""
+    pz, py, px = tp
+    cz, cy, cx = pz.shape[1], py.shape[1], px.shape[1]
+    xr, undo = _real_view(xc)
+    x4 = xr.reshape(cz, cy, cx, xr.shape[1])
+    rdt = x4.dtype
+    x4 = jnp.einsum("zyxl,Xx->zyXl", x4, px.astype(rdt))
+    x4 = jnp.einsum("zyxl,Yy->zYxl", x4, py.astype(rdt))
+    x4 = jnp.einsum("zyxl,Zz->Zyxl", x4, pz.astype(rdt))
+    return undo(x4.reshape(pz.shape[0] * py.shape[0] * px.shape[0], -1))
+
+
+def _restrict_tp(tp, rf):
+    """Separable restriction R = P^T: the same three per-axis matmuls
+    with the 1D factors transposed (largest axis contracted first so the
+    intermediate shrinks fastest)."""
+    pz, py, px = tp
+    fz, fy, fx = pz.shape[0], py.shape[0], px.shape[0]
+    xr, undo = _real_view(rf)
+    x4 = xr.reshape(fz, fy, fx, xr.shape[1])
+    rdt = x4.dtype
+    x4 = jnp.einsum("zyxl,zZ->Zyxl", x4, pz.astype(rdt))
+    x4 = jnp.einsum("zyxl,yY->zYxl", x4, py.astype(rdt))
+    x4 = jnp.einsum("zyxl,xX->zyXl", x4, px.astype(rdt))
+    return undo(x4.reshape(pz.shape[1] * py.shape[1] * px.shape[1], -1))
+
+
+def _prolong_b(lvl: DiaLevel, xc, tp=()):
+    """(N_c, F) -> (N_f, F): separable matmuls when the level carries 1D
+    factors, row-gather interpolation otherwise."""
+    if tp:
+        return _prolong_tp(tp, xc)
     w = lvl.p_w.astype(xc.dtype)[:, :, None]
     return jnp.sum(w * jnp.take(xc, lvl.p_idx, axis=0), axis=1)
 
 
-def _restrict_b(lvl: DiaLevel, rf, n_coarse: int):
-    """(N_f, F) -> (N_c, F): R = P^T as a coarse-side row gather
+def _restrict_b(lvl: DiaLevel, rf, n_coarse: int, tp=()):
+    """(N_f, F) -> (N_c, F): R = P^T — separable matmuls when 1D factors
+    are available, else a coarse-side row gather
     (fem.multigrid.transpose_transfer). The scatter-add form this
     replaces serialized on TPU: 22 ms vs 0.9 ms per pass at bench scale
     (examples/fem_roofline_nm.py)."""
     del n_coarse  # shape comes from the transposed stencil
+    if tp:
+        return _restrict_tp(tp, rf)
     w = lvl.r_w.astype(rf.dtype)[:, :, None]
     return jnp.sum(w * jnp.take(rf, lvl.r_idx, axis=0), axis=1)
 
@@ -138,7 +192,8 @@ def mg_cycle_batched(
         if level + 1 < len(mgp.levels)
         else mgp.anchor_inv.shape[1] // 2
     )
-    rc = _restrict_b(lvl, res, n_coarse)
+    tp_l = mgp.tp[level] if level < len(mgp.tp) else ()
+    rc = _restrict_b(lvl, res, n_coarse, tp_l)
     xc = mg_cycle_batched(mgp, offsets, rc, omega, nu, level + 1, cycle, nu_post)
     if cycle in ("w", "f") and level + 1 < len(mgp.levels):
         nxt = mgp.levels[level + 1]
@@ -148,7 +203,7 @@ def mg_cycle_batched(
         rc2 = rc - mv_c(xc)
         second = "v" if cycle == "f" else "w"
         xc = xc + mg_cycle_batched(mgp, offsets, rc2, omega, nu, level + 1, second, nu_post)
-    x = x + _prolong_b(lvl, xc)
+    x = x + _prolong_b(lvl, xc, tp_l)
     for _ in range(nu_post):
         x = x + om * inv_diag * (r - mv(x))
     return x

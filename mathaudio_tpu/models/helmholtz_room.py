@@ -232,12 +232,18 @@ class RoomSweepModel:
         source_width: float = 0.1,
         listening_positions=((0.25, 0.25, 0.25),),
         dtype=None,
+        assembler: Optional[HelmholtzAssembler] = None,
     ):
+        """``assembler``: a prebuilt HelmholtzAssembler for ``mesh`` (e.g.
+        GeometricMultigrid.assemblers[0]) to avoid assembling the fine
+        level twice — it must match mesh/wall_tags/dtype."""
         dtype = dtype or default_float()
         self.dtype = dtype
         self.mesh = mesh
         self.absorption = absorption
-        self.assembler = HelmholtzAssembler(mesh, robin_tags=tuple(wall_tags), dtype=dtype)
+        self.assembler = assembler if assembler is not None else HelmholtzAssembler(
+            mesh, robin_tags=tuple(wall_tags), dtype=dtype
+        )
         self.wall_tags = tuple(wall_tags)
         self.num_nodes = mesh.num_nodes
         self.ell_width = self.assembler.ell_width

@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from mathaudio_tpu.fem.dia import DiaTables, dia_diag, dia_matvec, dia_tables_of
-from mathaudio_tpu.fem.multigrid import GeometricMultigrid, MgBuilder, build_coarse_inv_chain
+from mathaudio_tpu.fem.multigrid import (
+    GeometricMultigrid,
+    MgBuilder,
+    box_grid_dims,
+    build_coarse_inv_chain,
+    prolongation_1d,
+)
 from mathaudio_tpu.fem.multigrid_batched import DiaLevel, make_dia_mg, mg_cycle_batched
 from mathaudio_tpu.models.helmholtz_room import RoomSweepModel
 from mathaudio_tpu.solvers import KrylovConfig
@@ -46,6 +52,9 @@ class NodeMajorParams(NamedTuple):
     mg_builder: MgBuilder  # coarsest-level pieces for the anchor inverses
     rhs: jnp.ndarray  # (N,) complex
     listen_idx: jnp.ndarray
+    # Per-level (pz, py, px) separable 1D transfer factors, or () when the
+    # hierarchy is not a lexicographic box grid (gather-stencil fallback).
+    tp: Tuple[tuple, ...] = ()
 
 
 class NodeMajorRoomSweep:
@@ -88,7 +97,40 @@ class NodeMajorRoomSweep:
             mg_builder=builder,
             rhs=model.params().rhs,
             listen_idx=model.params().listen_idx,
+            tp=self._tp_factors(mg, levels, model.dtype),
         )
+
+    @staticmethod
+    def _tp_factors(mg, levels, dtype) -> Tuple[tuple, ...]:
+        """Separable 1D transfer factors per level, verified against the
+        gather stencil on a random vector; () if any level is not a
+        lexicographic box grid (the cycle then keeps the gather path)."""
+        tps = []
+        for l in range(len(levels)):
+            df = box_grid_dims(mg.meshes[l])
+            dc = box_grid_dims(mg.meshes[l + 1])
+            if (
+                df is None
+                or dc is None
+                or any(f != 2 * (c - 1) + 1 for f, c in zip(df, dc))
+            ):
+                return ()
+            mats = [prolongation_1d(c - 1) for c in (dc[2], dc[1], dc[0])]
+            # cross-check vs the stencil transfer (same operator exactly)
+            rng = np.random.default_rng(l)
+            nc = dc[0] * dc[1] * dc[2]
+            v = rng.standard_normal(nc)
+            v4 = v.reshape(dc[2], dc[1], dc[0])
+            y4 = np.einsum("zyx,Xx->zyX", v4, mats[2])
+            y4 = np.einsum("zyx,Yy->zYx", y4, mats[1])
+            y4 = np.einsum("zyx,Zz->Zyx", y4, mats[0])
+            p_idx = np.asarray(levels[l].p_idx)
+            p_w = np.asarray(levels[l].p_w)
+            y_st = (p_w * v[p_idx]).sum(axis=1)
+            if not np.allclose(y4.ravel(), y_st, atol=1e-12 * max(1.0, abs(v).max())):
+                return ()
+            tps.append(tuple(jnp.asarray(m, dtype) for m in mats))
+        return tuple(tps)
 
     @staticmethod
     def _check_structured(asm):
@@ -119,6 +161,8 @@ class NodeMajorRoomSweep:
         mg_coarse_anchors: int = 0,
         mg_nu_post=None,
         mg_cycle_type: str = "v",
+        gmres_orth: str = "cgs2",
+        mg_transfers: str = "gather",
     ):
         """(params, ks) -> (pressure (F, L), iterations (F,), converged
         (F,)); jit this. ``ks`` must be sorted ascending (anchored coarse
@@ -128,8 +172,20 @@ class NodeMajorRoomSweep:
         count that does not divide len(ks) is rounded down to the nearest
         divisor with a warning. Smoothing defaults match
         RoomSweepModel.sweep_fn (the bench passes its tuned knobs
-        explicitly)."""
+        explicitly).
+
+        ``mg_transfers``: "gather" (default) applies the transfer stencils
+        as row gathers; "tp" applies them as separable per-axis matmuls
+        (fem.multigrid_batched._prolong_tp — identical operator, requires
+        params.tp). TP wins the isolated microbench ~6x
+        (examples/fem_roofline_nm.py) but LOSES in the full sweep: 264 ms
+        vs 224 ms at bench shape (2048 x 9261), because the 4D reshaped
+        einsum views force relayouts against the (N, F) pipeline that the
+        out-of-context timing never pays, and the transfers are only ~4%
+        of the cycle to begin with. Measured on v5e, 2026-08-18."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
+        if mg_transfers not in ("gather", "tp"):
+            raise ValueError(f"unknown mg_transfers {mg_transfers!r}")
         offsets = self.offsets
         absorption = self.absorption
 
@@ -159,7 +215,9 @@ class NodeMajorRoomSweep:
                 shift=mg_shift,
             )
             mgp = make_dia_mg(
-                offsets, params.levels, ks, absorption, anchor_inv, shift=mg_shift
+                offsets, params.levels, ks, absorption, anchor_inv,
+                shift=mg_shift,
+                tp=params.tp if mg_transfers == "tp" else (),
             )
             a_mv = lambda x: dia_matvec(
                 offsets[0], params.fine_tables, cm_fine, cb_fine, x
@@ -169,7 +227,8 @@ class NodeMajorRoomSweep:
                 omega=mg_omega, nu=mg_nu, cycle=mg_cycle_type, nu_post=mg_nu_post,
             )
             b = jnp.broadcast_to(params.rhs[:, None], (n, nf))
-            sol = gmres_batched(a_mv, b, config=config, preconditioner=pre)
+            sol = gmres_batched(a_mv, b, config=config, preconditioner=pre,
+                                orth=gmres_orth)
             p = sol.x[params.listen_idx, :].T  # (F, L)
             return p, sol.iterations, sol.converged
 

@@ -30,13 +30,26 @@ def _bnorm(v):
     return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
 
 
-def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner=None):
+def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner=None,
+                  orth: str = "cgs2"):
     """Solve F systems A_f x_f = b_f, vectors stored (N, F).
 
     ``a_mv`` / ``preconditioner``: (N, F) -> (N, F), applying each lane's
     operator to its column. Returns KrylovSolution with x (N, F),
     iterations (F,) int32, residual (F,), converged (F,) bool.
-    """
+
+    ``orth``: Arnoldi orthogonalization. "cgs2" (default, two classical
+    Gram-Schmidt passes — the robust choice matching solvers.krylov.gmres)
+    or "cgs1" (single pass: half the basis traffic per step, 2 sweeps
+    instead of 4). CGS1 loses orthogonality like cond(H)^2, which is safe
+    only for strongly preconditioned systems with short cycles (e.g. the
+    MG-preconditioned room sweep at restart 6, where the measured true
+    residuals match CGS2 to the convergence tolerance — see bench.py
+    --orth and tests/test_nodemajor.py); keep cgs2 anywhere ill-
+    conditioned. Convergence flags remain gated on the Givens residual
+    either way."""
+    if orth not in ("cgs1", "cgs2"):
+        raise ValueError(f"unknown orthogonalization {orth!r}")
     m_mv = preconditioner if preconditioner is not None else (lambda v: v)
     b = jnp.asarray(b)
     n, nf = b.shape
@@ -74,14 +87,16 @@ def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner
             cnt = cnt + jnp.where(done, 0, 1).astype(jnp.int32)
             w = m_mv(a_mv(basis[j]))
             bj = basis[: j + 1]  # (j+1, N, F) static slice
-            # CGS2: two classical Gram-Schmidt passes; each projection is
+            # CGS: classical Gram-Schmidt passes; each projection is
             # one (j+1, N, F)x(N, F) lane-batched contraction over nodes.
             h1 = jnp.einsum("inf,nf->if", jnp.conj(bj), w)
             w = w - jnp.einsum("if,inf->nf", h1, bj)
-            h2 = jnp.einsum("inf,nf->if", jnp.conj(bj), w)
-            w = w - jnp.einsum("if,inf->nf", h2, bj)
+            if orth == "cgs2":
+                h2 = jnp.einsum("inf,nf->if", jnp.conj(bj), w)
+                w = w - jnp.einsum("if,inf->nf", h2, bj)
+                h1 = h1 + h2
             pad = jnp.zeros((m - j, nf), dtype)
-            h = jnp.concatenate([h1 + h2, pad])  # (m+1, F): column j
+            h = jnp.concatenate([h1, pad])  # (m+1, F): column j
             h_last = _bnorm(w)
             safe_h = jnp.where(h_last > 1e-30, h_last, 1.0)
             v_next = w / safe_h.astype(dtype)[None, :]

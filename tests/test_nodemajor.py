@@ -217,3 +217,170 @@ class TestNodeMajorSweep:
         assert np.all(np.asarray(conv))
         scale = np.max(np.abs(np.asarray(p_ref)))
         np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-6 * scale)
+
+
+class TestTensorProductTransfers:
+    """Separable (tensor-product) multigrid transfers: three streamed 1D
+    matmuls replacing the 2^d-point gather stencil on box hierarchies —
+    exactly the same operator (fem.multigrid.prolongation_1d)."""
+
+    def test_prolongation_1d_matches_stencil_rows(self):
+        from mathaudio_tpu.fem.multigrid import prolongation_1d
+
+        p = prolongation_1d(3)  # 7 fine x 4 coarse
+        assert p.shape == (7, 4)
+        np.testing.assert_allclose(p[::2], np.eye(4))  # even rows: injection
+        np.testing.assert_allclose(p[1::2].sum(axis=1), 1.0)  # odd rows: averages
+        np.testing.assert_allclose(p[1, :2], [0.5, 0.5])
+
+    def test_box_grid_dims_detects_and_rejects(self):
+        from types import SimpleNamespace
+
+        from mathaudio_tpu.fem.multigrid import box_grid_dims
+
+        mesh = unit_cube_tetrahedra(4)
+        assert box_grid_dims(mesh) == (5, 5, 5)
+        # perturbed nodes are not a lexicographic grid
+        nodes = mesh.nodes.copy()
+        nodes[7, 0] += 0.01
+        assert box_grid_dims(SimpleNamespace(nodes=nodes)) is None
+        # 2D meshes fall back too
+        assert box_grid_dims(SimpleNamespace(nodes=nodes[:, :2])) is None
+
+    def test_tp_factors_built_and_lane_exact(self):
+        meshes = box_hierarchy(8, 3)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            assembler=mg.assemblers[0],
+        )
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        assert len(params.tp) == 2  # one per smoothing level
+        assert params.tp[0][0].shape == (9, 5)  # (pz) level-0: 8 -> 4 cells
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 8, dtype=model.dtype)
+        fn_tp = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                    mg_coarse_anchors=4, mg_transfers="tp"))
+        fn_g = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0, mg_coarse_anchors=4))
+        p_tp, it_tp, cv_tp = fn_tp(params, ks)
+        p_g, it_g, cv_g = fn_g(params, ks)  # gather default
+        assert np.all(np.asarray(cv_tp)) and np.all(np.asarray(cv_g))
+        np.testing.assert_array_equal(np.asarray(it_tp), np.asarray(it_g))
+        scale = np.max(np.abs(np.asarray(p_g)))
+        np.testing.assert_allclose(np.asarray(p_tp), np.asarray(p_g),
+                                   atol=1e-10 * scale)
+
+    def test_unknown_transfers_rejected(self):
+        meshes = box_hierarchy(4, 2)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(meshes[0], assembler=mg.assemblers[0])
+        nm = NodeMajorRoomSweep(model, mg)
+        with pytest.raises(ValueError, match="mg_transfers"):
+            nm.sweep_fn(mg_transfers="matfree")
+
+    def test_transfer_ops_equal_stencil_apply(self):
+        from mathaudio_tpu.fem.multigrid_batched import (
+            _prolong_b,
+            _restrict_b,
+        )
+
+        meshes = box_hierarchy(6, 2)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(meshes[0], assembler=mg.assemblers[0])
+        nm = NodeMajorRoomSweep(model, mg)
+        lvl = nm.params().levels[0]
+        tp = nm.params().tp[0]
+        rng = np.random.default_rng(5)
+        nf, nc = meshes[0].num_nodes, meshes[1].num_nodes
+        xc = jnp.asarray(rng.normal(size=(nc, 4)) + 1j * rng.normal(size=(nc, 4)))
+        rf = jnp.asarray(rng.normal(size=(nf, 4)) + 1j * rng.normal(size=(nf, 4)))
+        np.testing.assert_allclose(
+            np.asarray(_prolong_b(lvl, xc, tp)), np.asarray(_prolong_b(lvl, xc)),
+            atol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(_restrict_b(lvl, rf, nc, tp)),
+            np.asarray(_restrict_b(lvl, rf, nc)),
+            atol=1e-13,
+        )
+
+
+class TestCgs1Orthogonalization:
+    def test_cgs1_matches_cgs2_on_preconditioned_sweep(self):
+        # The bench-style workload: MG-preconditioned short cycles. CGS1
+        # must deliver the same solutions to solver tolerance, with true
+        # residuals (not just Givens estimates) below tol.
+        meshes = box_hierarchy(8, 3)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            assembler=mg.assemblers[0],
+        )
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 8, dtype=model.dtype)
+        out = {}
+        for orth in ("cgs1", "cgs2"):
+            fn = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                     mg_coarse_anchors=4, gmres_orth=orth))
+            out[orth] = fn(params, ks)
+            assert np.all(np.asarray(out[orth][2])), orth
+        p1, p2 = np.asarray(out["cgs1"][0]), np.asarray(out["cgs2"][0])
+        scale = np.max(np.abs(p2))
+        np.testing.assert_allclose(p1, p2, atol=2e-6 * scale)
+
+    def test_cgs1_true_residual_below_tol(self):
+        # Givens residual can drift from the true residual when
+        # orthogonality degrades; verify it does not on this workload.
+        # "True" means the recomputed LEFT-PRECONDITIONED residual
+        # ||M(b - Ax)|| / ||M b|| — the quantity left-preconditioned GMRES
+        # minimizes and the Givens recurrence estimates (gmres.rs:282
+        # semantics); the unpreconditioned ratio is larger by ~cond(M A)
+        # for BOTH cgs1 and cgs2 and is not what the stop test promises.
+        from mathaudio_tpu.fem.dia import dia_matvec
+
+        meshes = box_hierarchy(8, 2)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(meshes[0], wall_tags=(1, 2, 3, 4, 5, 6),
+                               absorption=0.15, assembler=mg.assemblers[0])
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 8, dtype=model.dtype)
+        mgb = nm.sweep_fn  # noqa: F841  (keep model alive)
+        from mathaudio_tpu.solvers.krylov_batched import gmres_batched
+        from mathaudio_tpu.fem.multigrid_batched import make_dia_mg, mg_cycle_batched
+        from mathaudio_tpu.fem.multigrid import build_coarse_inv_chain
+
+        cd = params.rhs.dtype
+        k = ks.astype(cd)
+        cm, cb = k * k, jnp.asarray(-1j * 0.15, cd) * k
+        anchor_ks = jnp.mean(ks.reshape(4, 2), axis=1)
+        anchor_inv = build_coarse_inv_chain(
+            params.mg_builder, anchor_ks,
+            jnp.asarray(-1j * 0.15, cd) * anchor_ks.astype(cd))
+        mgp = make_dia_mg(nm.offsets, params.levels, ks, 0.15, anchor_inv,
+                          tp=params.tp)
+        a_mv = lambda x: dia_matvec(nm.offsets[0], params.fine_tables, cm, cb, x)
+        pre = lambda r: mg_cycle_batched(mgp, nm.offsets, r, omega=1.0, nu=1)
+        b = jnp.broadcast_to(params.rhs[:, None], (params.rhs.shape[0], 8))
+        sol = gmres_batched(a_mv, b, config=cfg, preconditioner=pre, orth="cgs1")
+        assert np.all(np.asarray(sol.converged))
+
+        def pnorm(v):
+            return jnp.sqrt(jnp.sum(jnp.abs(pre(v)) ** 2, axis=0))
+
+        true_res = np.asarray(pnorm(b - a_mv(sol.x)) / pnorm(b))
+        # recomputed preconditioned residual vs the Givens estimate
+        assert np.all(true_res < 2 * cfg.tolerance), true_res
+        np.testing.assert_allclose(true_res, np.asarray(sol.residual_norm),
+                                   rtol=0.1, atol=1e-9)
+
+    def test_unknown_orth_rejected(self):
+        from mathaudio_tpu.solvers.krylov_batched import gmres_batched
+
+        with pytest.raises(ValueError, match="orthogonalization"):
+            gmres_batched(lambda x: x, jnp.ones((4, 2), jnp.complex128),
+                          orth="mgs")
