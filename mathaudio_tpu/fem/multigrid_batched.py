@@ -40,7 +40,12 @@ class DiaMg(NamedTuple):
     levels: Tuple[DiaLevel, ...]
     cms: Tuple[jnp.ndarray, ...]  # per-level (F,) mass coefficients
     cbs: Tuple[jnp.ndarray, ...]  # per-level (F,) boundary coefficients
-    inv_diags: Tuple[jnp.ndarray, ...]  # per-level (N_l, F)
+    # Per-level (N_l, F) precomputed inverse diagonals, or () to compute
+    # them on the fly inside each smoothing expression from the three
+    # per-node real diagonal tables (dk/dm/db) + frequency scalars —
+    # trading a fused broadcast+reciprocal recompute for the (N, F)
+    # complex reads (the default; see make_dia_mg fuse_diag).
+    inv_diags: Tuple[jnp.ndarray, ...]
     anchor_inv: jnp.ndarray  # (n_anchor, 2Nc, 2Nc) real-embedded inverses
     # Per-level separable transfer: () to use the gather stencil, or
     # (pz, py, px) 1D prolongation matrices, each (n_f_ax+1, n_c_ax+1).
@@ -55,12 +60,19 @@ def make_dia_mg(
     anchor_inv,
     shift: Tuple[float, float] = (1.0, 0.5),
     tp: Tuple[tuple, ...] = (),
+    fuse_diag: bool = True,
 ) -> DiaMg:
     """Per-frequency scalars + inverse diagonals for one solve batch.
 
     Level 0 smooths on the TRUE operator (cm = k², the fine system);
     deeper levels use the shifted-Laplacian operator cm = (b1+ib2) k²
     (matching models.helmholtz_room.sweep_pressure's level-0 reuse).
+
+    ``fuse_diag`` (default): skip precomputing the per-level (N_l, F)
+    inverse diagonals; the cycle recomputes them inside each smoothing
+    expression from the three per-node real tables + frequency scalars,
+    so the smoother reads 3 (N,) vectors instead of one (N, F) complex
+    array per application. Pass False to precompute (the original form).
     """
     del offsets  # shape bookkeeping only; kept in the signature for parity
     cd = levels[0].tables.k.dtype
@@ -72,8 +84,9 @@ def make_dia_mg(
     cms, cbs, inv_diags = [], [], []
     for l, lvl in enumerate(levels):
         cm = (k * k) if l == 0 else zshift * (k * k)
-        diag = dia_diag(lvl.tables, cm, cb)
-        inv_diags.append(jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0))
+        if not fuse_diag:
+            diag = dia_diag(lvl.tables, cm, cb)
+            inv_diags.append(jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0))
         cms.append(cm)
         cbs.append(cb)
     return DiaMg(tuple(levels), tuple(cms), tuple(cbs), tuple(inv_diags),
@@ -180,7 +193,12 @@ def mg_cycle_batched(
     if nu_post is None:
         nu_post = nu
     lvl = mgp.levels[level]
-    cm, cb, inv_diag = mgp.cms[level], mgp.cbs[level], mgp.inv_diags[level]
+    cm, cb = mgp.cms[level], mgp.cbs[level]
+    if mgp.inv_diags:
+        inv_diag = mgp.inv_diags[level]
+    else:  # fused: recomputed per use from 3 (N,) tables (make_dia_mg)
+        diag = dia_diag(lvl.tables, cm, cb)
+        inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
     mv = lambda v: dia_matvec(offsets[level], lvl.tables, cm, cb, v)
     om = jnp.asarray(omega, r.dtype)
     x = om * inv_diag * r

@@ -30,6 +30,25 @@ def _bnorm(v):
     return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
 
 
+def _dotc(bj, w):
+    """Lane-batched projections <b_i, w>: (j+1, N, F), (N, F) -> (j+1, F).
+
+    Written as multiply + reduce rather than einsum: einsum lowers this
+    contraction to dot_general with F as a batch dimension, which
+    relayouts the (j+1, N, F) basis block (batch dims lead in the MXU
+    lowering) — a full transpose of up to 1 GB per Arnoldi step at
+    headline shapes. The reduce form streams the basis in place over the
+    sublane axis at copy bandwidth (measured on the bench chip:
+    see /tmp-style A/B recorded in solvers/krylov_batched.py history and
+    ARCHITECTURE.md §10)."""
+    return jnp.sum(jnp.conj(bj) * w[None], axis=1)
+
+
+def _expand(h, bj):
+    """Sum_i h[i] b_i: (j+1, F), (j+1, N, F) -> (N, F) (same rationale)."""
+    return jnp.sum(h[:, None, :] * bj, axis=0)
+
+
 def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner=None,
                   orth: str = "cgs2"):
     """Solve F systems A_f x_f = b_f, vectors stored (N, F).
@@ -89,11 +108,11 @@ def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner
             bj = basis[: j + 1]  # (j+1, N, F) static slice
             # CGS: classical Gram-Schmidt passes; each projection is
             # one (j+1, N, F)x(N, F) lane-batched contraction over nodes.
-            h1 = jnp.einsum("inf,nf->if", jnp.conj(bj), w)
-            w = w - jnp.einsum("if,inf->nf", h1, bj)
+            h1 = _dotc(bj, w)
+            w = w - _expand(h1, bj)
             if orth == "cgs2":
-                h2 = jnp.einsum("inf,nf->if", jnp.conj(bj), w)
-                w = w - jnp.einsum("if,inf->nf", h2, bj)
+                h2 = _dotc(bj, w)
+                w = w - _expand(h2, bj)
                 h1 = h1 + h2
             pad = jnp.zeros((m - j, nf), dtype)
             h = jnp.concatenate([h1, pad])  # (m+1, F): column j
@@ -140,12 +159,12 @@ def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner
 
         def back(i_rev, y):
             i = m - 1 - i_rev
-            acc = rhs[i] - jnp.einsum("jf,jf->f", hess[i, :, :], y)
+            acc = rhs[i] - jnp.sum(hess[i, :, :] * y, axis=0)
             di = jnp.where(ok[i], hess[i, i], jnp.ones((nf,), dtype))
             return y.at[i].set(jnp.where(ok[i], acc / di, jnp.zeros((nf,), dtype)))
 
         y = jax.lax.fori_loop(0, m, back, y)
-        x_new = x + jnp.einsum("if,inf->nf", y, basis[:m])
+        x_new = x + _expand(y, basis[:m])
         return x_new, total_it + cnt, res
 
     r_init = _bnorm(r_pre0)
