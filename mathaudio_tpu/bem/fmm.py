@@ -139,6 +139,43 @@ def translation_operator(k: float, d_vecs: np.ndarray, dirs: np.ndarray, order: 
     )
 
 
+def _stable_far_orders(k, c_centers, radii, far, order: int, tau: float):
+    """Per-pair stability screen of the diagonal translation form.
+
+    The high-frequency (Rokhlin) translation series carries terms
+    (2l+1) h_l(kD) P_l that blow up when l outruns kD (low-frequency
+    breakdown); the unit-sphere quadrature only cancels them back down
+    to O(1) with ~log10(amp) digits of precision — amplitudes beyond the
+    arithmetic's headroom (tau) turn into O(1) noise (f64: tau ~ 1e8;
+    f32 chip execution: tau ~ 1e4, see bem/fmm_chip.py).
+
+    For each far pair this caps the series order at the largest l whose
+    cumulative amplitude stays <= tau (truncation above the signature
+    bandwidth is exact for band-limited aggregates, so capping costs
+    only the accuracy margin, not correctness); pairs whose stable order
+    falls below the bare propagation bandwidth ceil(k(r_a+r_b)) + 2 are
+    DEMOTED to the exact near field. Returns (far_mask_updated,
+    orders_per_remaining_far_pair) with pairs ordered by np.where(far).
+    """
+    fb, fa = np.where(far)
+    if not len(fb):
+        return far, np.zeros(0, np.int32)
+    d_len = np.linalg.norm(c_centers[fb] - c_centers[fa], axis=1)
+    krp = k * (radii[fb] + radii[fa])
+    l_acc = np.minimum(
+        np.ceil(krp + 4 * np.log(krp + np.pi) + 4).astype(int), order
+    )
+    h_abs = _hankel_abs_padded(order, k * d_len)  # (order+1, P)
+    amp = (2 * np.arange(order + 1) + 1)[:, None] * h_abs
+    exceed = np.maximum.accumulate(amp, axis=0) > tau
+    l_stab = np.where(exceed.any(axis=0), exceed.argmax(axis=0) - 1, order)
+    l_min = np.ceil(krp).astype(int) + 2
+    keep = l_stab >= np.minimum(l_min, l_acc)
+    far = far.copy()
+    far[fb[~keep], fa[~keep]] = False
+    return far, np.minimum(l_acc, l_stab)[keep].astype(np.int32)
+
+
 class SlfmmData(NamedTuple):
     """Pytree of the padded FMM tensors (device)."""
 
@@ -197,12 +234,17 @@ def build_slfmm_system(
     separation_ratio: float = 1.5,
     expansion_order: Optional[int] = None,
     dtype=None,
+    stability_tau: float = 1.0e8,
 ) -> SlfmmOperator:
     """Assemble the SLFMM operator for the exterior CBIE
     (A = (1/2)I - D [- beta T_hyper off-diagonal approximation]).
 
     beta != 0 adds the Burton-Miller coupling using direction-space
     factors for the far field and exact near-field blocks.
+
+    ``stability_tau``: translation-series amplitude headroom (see
+    _stable_far_orders); 1e8 suits f64 execution, pass ~1e4 when the
+    matvec will run in f32/c64 on the chip (bem/fmm_chip.py).
     """
     dtype = dtype or default_float()
     cdtype = complex_dtype_for(jnp.dtype(dtype))
@@ -219,14 +261,19 @@ def build_slfmm_system(
         expansion_order = int(np.ceil(kr + 4 * np.log(kr + np.pi) + 4))
     dirs, w = unit_sphere_quadrature(expansion_order)
 
-    # near/far classification
+    # near/far classification + stability screen (unstable pairs demoted
+    # to exact near blocks, remaining pairs' series stability-capped)
     dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
     far = dist > separation_ratio * (radii[:, None] + radii[None, :])
+    far, orders_pair = _stable_far_orders(
+        k, c_centers, radii, far, expansion_order, stability_tau
+    )
 
     # T: sum_g w_g e^{-ik s.(y_g - c_a)} * (-ik s.n_j) (double layer);
     # S: e^{+ik s.(x_i - c_b)}; D on far pairs — the shared level build.
     t_tensor, s_tensor, d_tensor = _level_tensors(
-        mesh, clusters, mask, c_centers, far, k, dirs, w, expansion_order, dtype
+        mesh, clusters, mask, c_centers, far, k, dirs, w, expansion_order, dtype,
+        orders_pair=orders_pair,
     )
     if beta != 0.0:
         # Burton-Miller row factor: d/dn_x -> (ik s.n_x) in direction
@@ -451,6 +498,7 @@ def build_slfmm_mixed_system(
     expansion_order: Optional[int] = None,
     quad_order: int = 3,
     dtype=None,
+    stability_tau: float = 1.0e8,
 ):
     """Matrix-free SLFMM system for per-element velocity/pressure BCs —
     the FMM analog of assembly.assemble_mixed_system (tbem.rs:323
@@ -505,6 +553,9 @@ def build_slfmm_mixed_system(
 
     dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
     far = dist > separation_ratio * (radii[:, None] + radii[None, :])
+    far, orders_pair = _stable_far_orders(
+        k, c_centers, radii, far, expansion_order, stability_tau
+    )
 
     # Far-field column factors under the CBIE-minus prefactor: +S needs
     # sigma = -1 (the global minus flips it), and the admittance coupling
@@ -530,8 +581,8 @@ def build_slfmm_mixed_system(
     d_tensor = np.zeros((c_count, c_count, q_dirs), complex)
     fb, fa = np.where(far)
     if len(fb):
-        d_tensor[fb, fa] = translation_operator(
-            k, c_centers[fb] - c_centers[fa], dirs, expansion_order
+        d_tensor[fb, fa] = translation_operator_pairwise(
+            k, c_centers[fb] - c_centers[fa], dirs, expansion_order, orders_pair
         )
 
     nb, na = np.where(~far)
@@ -728,17 +779,23 @@ def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0
 
 
 def _level_tensors(mesh, clusters, mask, c_centers, far, k, dirs, w, order, dtype,
-                   agg_offset=0.0):
-    """(T, S, D) padded tensors for one level (shared by SL and ML)."""
+                   agg_offset=0.0, orders_pair=None):
+    """(T, S, D) padded tensors for one level (shared by SL and ML).
+    ``orders_pair``: per-far-pair series truncation (np.where(far) order)
+    from the stability screen; None = uniform level order."""
     t_tensor, s_tensor = _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs,
                                              agg_offset)
     c_count, q = len(c_centers), len(dirs)
     d_tensor = np.zeros((c_count, c_count, q), complex)
     fb, fa = np.where(far)
     if len(fb):
-        d_tensor[fb, fa] = translation_operator(
-            k, c_centers[fb] - c_centers[fa], dirs, order
-        )
+        d_vecs = c_centers[fb] - c_centers[fa]
+        if orders_pair is None:
+            d_tensor[fb, fa] = translation_operator(k, d_vecs, dirs, order)
+        else:
+            d_tensor[fb, fa] = translation_operator_pairwise(
+                k, d_vecs, dirs, order, orders_pair
+            )
     return t_tensor, s_tensor, d_tensor
 
 
@@ -748,6 +805,7 @@ def build_mlfmm_system(
     max_per_leaf: int = 32,
     separation_ratio: float = 1.5,
     dtype=None,
+    stability_tau: float = 1.0e8,
 ) -> MlfmmOperator:
     """Two-level FMM (mlfmm.rs:979 build_mlfmm_system): pairs that are
     far at the coarse (parent) scale translate between coarse clusters
@@ -776,22 +834,35 @@ def build_mlfmm_system(
     far_leaf = d_f > separation_ratio * (r_f[:, None] + r_f[None, :])
     d_c = np.linalg.norm(cc_c[:, None] - cc_c[None, :], axis=-1)
     far_coarse = d_c > separation_ratio * (r_c[:, None] + r_c[None, :])
-    # leaf pairs whose parents are far are handled at the coarse level
-    parents_far = far_coarse[leaf_parent[:, None], leaf_parent[None, :]]
-    far_leaf_only = far_leaf & ~parents_far
-    near_leaf = ~far_leaf & ~parents_far
 
     kr_f = k * r_f.max()
     order_f = int(np.ceil(kr_f + 4 * np.log(kr_f + np.pi) + 4))
-    dirs_f, w_f = unit_sphere_quadrature(order_f)
     kr_c = k * r_c.max()
     order_c = int(np.ceil(kr_c + 4 * np.log(kr_c + np.pi) + 4))
+
+    # Stability screen first at the coarse level (demoted pairs fall to
+    # the leaf level), then at the leaf level (demoted pairs fall to
+    # exact near blocks) — graceful wideband degradation.
+    far_coarse, orders_c = _stable_far_orders(
+        k, cc_c, r_c, far_coarse, order_c, stability_tau
+    )
+    # leaf pairs whose parents are far are handled at the coarse level
+    parents_far = far_coarse[leaf_parent[:, None], leaf_parent[None, :]]
+    far_leaf_only = far_leaf & ~parents_far
+    far_leaf_only, orders_f = _stable_far_orders(
+        k, cc_f, r_f, far_leaf_only, order_f, stability_tau
+    )
+    near_leaf = ~far_leaf_only & ~parents_far
+
+    dirs_f, w_f = unit_sphere_quadrature(order_f)
     dirs_c, w_c = unit_sphere_quadrature(order_c)
 
     t_f, s_f, d_tf = _level_tensors(mesh, cl_f, mk_f, cc_f, far_leaf_only, k,
-                                    dirs_f, w_f, order_f, dtype)
+                                    dirs_f, w_f, order_f, dtype,
+                                    orders_pair=orders_f)
     t_c, s_c, d_tc = _level_tensors(mesh, cl_c, mk_c, cc_c, far_coarse, k,
-                                    dirs_c, w_c, order_c, dtype)
+                                    dirs_c, w_c, order_c, dtype,
+                                    orders_pair=orders_c)
 
     nb, na = np.where(near_leaf)
     near_blocks = _near_blocks(mesh, cl_f, mk_f, nb, na, k, 0.0, dtype)
@@ -840,6 +911,7 @@ def build_room_fmm_system(
     separation_ratio: float = 2.0,
     expansion_order: Optional[int] = None,
     dtype=None,
+    stability_tau: float = 1.0e8,
 ) -> SlfmmOperator:
     """FMM operator for the *interior* room system
     A = (1/2)I + D - ik beta S  (room_acoustics/solver.rs:909
@@ -864,12 +936,15 @@ def build_room_fmm_system(
     dirs, w = unit_sphere_quadrature(expansion_order)
     dist = np.linalg.norm(c_centers[:, None] - c_centers[None, :], axis=-1)
     far = dist > separation_ratio * (radii[:, None] + radii[None, :])
+    far, orders_pair = _stable_far_orders(
+        k, c_centers, radii, far, expansion_order, stability_tau
+    )
 
     # +D and -ik*beta*S merged into the aggregation factor
     # (-ik s.n) + (-ik beta) — the shared level build with agg_offset.
     t_tensor, s_tensor, d_tensor = _level_tensors(
         mesh, clusters, mask, c_centers, far, k, dirs, w, expansion_order, dtype,
-        agg_offset=-1j * k * admittance,
+        agg_offset=-1j * k * admittance, orders_pair=orders_pair,
     )
 
     nb, na = np.where(~far)
@@ -1117,6 +1192,7 @@ def build_mlfmm_tree_system(
     max_per_leaf: int = 16,
     separation_ratio: float = 2.0,
     dtype=None,
+    stability_tau: float = _MLFMM_STABILITY_TAU,
 ) -> MlfmmTreeOperator:
     """Hierarchical MLFMM for the exterior CBIE A = (1/2)I - D
     (+ beta T Burton-Miller when beta != 0: the direction-space row
@@ -1172,6 +1248,7 @@ def build_mlfmm_tree_system(
     # stay uncovered and fall through to deeper levels or, at the leaves,
     # to exact near blocks (graceful wideband degradation).
     handled = [np.zeros((len(nodes_at[d]),) * 2, bool) for d in range(depth_max + 1)]
+    pair_orders = [np.zeros(0, np.int32) for _ in range(depth_max + 1)]
     covered_prev = np.zeros((len(nodes_at[0]),) * 2, bool)
     for d in range(1, depth_max + 1):
         dist = np.linalg.norm(cc[d][:, None] - cc[d][None, :], axis=-1)
@@ -1179,16 +1256,12 @@ def build_mlfmm_tree_system(
         pidx = np.asarray(par[d])
         cov_parent = covered_prev[np.ix_(pidx, pidx)]
         cand = far & ~cov_parent
-        cb, ca = np.where(cand)
-        if len(cb):
-            krp = k * (rr[d][cb] + rr[d][ca])
-            l_acc = np.ceil(krp + 4 * np.log(krp + np.pi) + 4).astype(int)
-            kd = k * dist[cb, ca]
-            h_abs = _hankel_abs_padded(int(l_acc.max()), kd)  # (L+1, P)
-            l = np.arange(h_abs.shape[0])
-            amp = np.where(l[:, None] <= l_acc[None, :], (2 * l + 1)[:, None] * h_abs, 0.0)
-            stable = amp.max(axis=0) <= _MLFMM_STABILITY_TAU
-            cand[cb[~stable], ca[~stable]] = False
+        if cand.any():
+            krm = float(k * 2 * rr[d].max())
+            lmax_d = int(np.ceil(krm + 4 * np.log(krm + np.pi) + 4))
+            cand, pair_orders[d] = _stable_far_orders(
+                k, cc[d], rr[d], cand, lmax_d, stability_tau
+            )
         handled[d] = cand
         covered_prev = handled[d] | cov_parent
     near = ~covered_prev  # at leaf depth
@@ -1230,11 +1303,10 @@ def build_mlfmm_tree_system(
         tb, ta = np.where(handled[d])
         if len(tb):
             d_vecs = cc[d][tb] - cc[d][ta]
-            r_pair = rr[d][tb] + rr[d][ta]
-            krp = k * r_pair
-            l_pair = np.minimum(
-                np.ceil(krp + 4 * np.log(krp + np.pi) + 4).astype(int), orders[d]
-            )
+            # stability-capped per-pair orders from the interaction-list
+            # screen (aligned: np.where on the screened mask preserves
+            # the row-major pair order the screen emitted)
+            l_pair = np.minimum(pair_orders[d], orders[d])
             t_op = translation_operator_pairwise(k, d_vecs, dirs_d, orders[d], l_pair)
         else:
             t_op = np.zeros((0, len(dirs_d)), complex)

@@ -35,7 +35,8 @@ class DiaLevel(NamedTuple):
 
 class DiaMg(NamedTuple):
     """Batched-cycle state: levels + per-level frequency scalars +
-    precomputed inverse diagonals + anchored coarse inverses."""
+    optionally precomputed inverse diagonals (empty when fused — the
+    make_dia_mg fuse_diag default) + anchored coarse inverses."""
 
     levels: Tuple[DiaLevel, ...]
     cms: Tuple[jnp.ndarray, ...]  # per-level (F,) mass coefficients

@@ -234,6 +234,57 @@ class NodeMajorRoomSweep:
 
         return fn
 
+    def sharded_sweep_fn(
+        self,
+        mesh,
+        config: Optional[KrylovConfig] = None,
+        axis: str = "freq",
+        **knobs,
+    ):
+        """Multi-device frequency-lane sharding of the headline sweep
+        (VERDICT r2 item 2; reference analog: the rayon frequency loop,
+        room_simulator_fem.rs:1139-1160).
+
+        The node-major layout makes this a pure data split: every (N, F)
+        array shards along its lane (frequency) axis, the DIA tables /
+        transfer stencils / RHS replicate, and each device runs the
+        complete sweep_fn on its contiguous frequency chunk inside
+        ``shard_map`` — no collectives in the solve at all (the sweep is
+        embarrassingly frequency-parallel), and each device's
+        ``while_loop`` exits on its own chunk's convergence instead of
+        the global band's max iteration count.
+
+        ``ks`` must be length-divisible by the mesh's ``axis`` size and
+        sorted ascending. ``mg_coarse_anchors`` (in **knobs) is the
+        PER-DEVICE anchor count: each device anchors its own contiguous
+        chunk, so a single-device run with the same per-chunk grouping
+        (anchors = per_device * n_devices) matches lane for lane —
+        asserted by tests/test_spmd.py::test_nodemajor_sharded_sweep.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        fn = self.sweep_fn(config, **knobs)
+        n_dev = mesh.shape[axis]
+
+        def sharded(params: NodeMajorParams, ks):
+            if ks.shape[0] % n_dev:
+                raise ValueError(
+                    f"{ks.shape[0]} frequencies do not split over {n_dev} devices"
+                )
+
+            def local(params, ks_l):
+                return fn(params, ks_l)
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )(params, ks)
+
+        return sharded
+
     def sweep_fn_jacobi(self, config: Optional[KrylovConfig] = None):
         """Jacobi-preconditioned variant (no multigrid)."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)

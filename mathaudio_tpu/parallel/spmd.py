@@ -200,8 +200,14 @@ class DeviceSchwarz:
     @classmethod
     def from_csr(cls, csr: CsrMatrix, n_shards: int, overlap: int = 1):
         """Contiguous row blocks extended by ``overlap`` adjacency layers
-        (must stay within the two neighbor blocks)."""
-        from mathaudio_tpu.solvers.preconditioners.schwarz import _extend_partition
+        (must stay within the two neighbor blocks). Blocks are gathered
+        directly from CSR rows (csr_diag_blocks) — O(N*bs) work/memory,
+        no global densify, so production-FEM sizes (N ~ 1e5+) build fine
+        (schwarz.rs:67 builds from CSR rows the same way)."""
+        from mathaudio_tpu.solvers.preconditioners.schwarz import (
+            _extend_partition,
+            csr_diag_blocks,
+        )
 
         n = csr.shape[0]
         r = partition_rows(n, n_shards)
@@ -229,19 +235,16 @@ class DeviceSchwarz:
         weights = (1.0 / np.maximum(counts, 1)).reshape(n_shards, r)
 
         bs = max((len(p) for p in parts if p), default=1)
-        dense = csr.to_dense()
+        blocks = csr_diag_blocks(csr, parts, bs)
         gather = np.zeros((n_shards, bs), np.int32)
-        blocks = np.tile(np.eye(bs, dtype=dense.dtype), (n_shards, 1, 1))
         valid = np.zeros((n_shards, bs), np.float64)
         for s, p in enumerate(parts):
             idx = np.asarray(p, np.int64)
             m = len(idx)
             gather[s, :m] = idx - s * r + halo  # buffer-local
-            if m:
-                blocks[s, :m, :m] = dense[np.ix_(idx, idx)]
             valid[s, :m] = 1.0
         inv_blocks = np.linalg.inv(blocks)
-        wdtype = np.zeros(1, dense.dtype).real.dtype
+        wdtype = np.zeros(1, csr.data.dtype).real.dtype
         return cls(
             jnp.asarray(gather),
             jnp.asarray(inv_blocks),

@@ -39,7 +39,8 @@ def _dotc(bj, w):
     lowering) — a full transpose of up to 1 GB per Arnoldi step at
     headline shapes. The reduce form streams the basis in place over the
     sublane axis at copy bandwidth (measured on the bench chip:
-    see /tmp-style A/B recorded in solvers/krylov_batched.py history and
+    reproduce with ``python examples/fem_roofline_nm.py`` — its cgs-dot
+    stage times exactly this contraction both ways; summary in
     ARCHITECTURE.md §10)."""
     return jnp.sum(jnp.conj(bj) * w[None], axis=1)
 

@@ -33,6 +33,40 @@ def _extend_partition(part, indptr, indices, overlap, n):
     return sorted(current)
 
 
+def csr_diag_blocks(csr: CsrMatrix, parts, bs: int) -> np.ndarray:
+    """(k, bs, bs) dense subdomain blocks A[idx, idx] extracted directly
+    from CSR rows — O(sum nnz over part rows) work and O(k*bs^2) memory,
+    never densifying the global matrix (the reference builds its Schwarz
+    blocks from CSR rows the same way, schwarz.rs:67). Padded slots
+    (beyond each part's length) carry identity so the batched inverse
+    stays well-posed."""
+    k = len(parts)
+    blocks = np.tile(np.eye(bs, dtype=csr.data.dtype), (k, 1, 1))
+    n = csr.shape[0]
+    pos = np.full(n, -1, np.int64)
+    indptr = csr.indptr.astype(np.int64)
+    for bi, p in enumerate(parts):
+        idx = np.asarray(p, np.int64)
+        m = len(idx)
+        if m == 0:
+            continue
+        pos[idx] = np.arange(m)
+        blocks[bi, :m, :m] = 0.0
+        counts = indptr[idx + 1] - indptr[idx]
+        total = int(counts.sum())
+        if total:
+            # flat CSR slot indices of all entries in the part's rows
+            flat = np.repeat(indptr[idx], counts) + (
+                np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            cols = csr.indices[flat]
+            keep = pos[cols] >= 0  # columns inside the subdomain
+            rloc = np.repeat(np.arange(m), counts)[keep]
+            np.add.at(blocks[bi], (rloc, pos[cols[keep]]), csr.data[flat][keep])
+        pos[idx] = -1
+    return blocks
+
+
 @jax.tree_util.register_pytree_node_class
 class AdditiveSchwarz(LinearOperator):
     """Overlapping-subdomain additive Schwarz with batched dense solves."""
@@ -64,15 +98,13 @@ class AdditiveSchwarz(LinearOperator):
         weights = 1.0 / np.maximum(counts, 1)
 
         bs = max(len(p) for p in parts)
-        dense = csr.to_dense()
+        blocks = csr_diag_blocks(csr, parts, bs)
         gather = np.zeros((k, bs), np.int32)
-        blocks = np.tile(np.eye(bs, dtype=dense.dtype), (k, 1, 1))
         valid = np.zeros((k, bs), np.float64)
         for bi, p in enumerate(parts):
             idx = np.asarray(p, np.int64)
             m = len(idx)
             gather[bi, :m] = idx
-            blocks[bi, :m, :m] = dense[np.ix_(idx, idx)]
             valid[bi, :m] = 1.0
 
         # explicit block inverses (host): the apply is then one batched

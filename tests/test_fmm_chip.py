@@ -1,0 +1,145 @@
+"""Planes-split FMM execution path (bem/fmm_chip.py): the re/im-plane
+shipping that puts SLFMM/MLFMM on TPU transports without complex
+serialization. On CPU these tests assert the path is *exactly* the
+complex path at f64 planes, and within the f32 gate when downcast
+(VERDICT r2 item 1: matvec rel err < 1e-3 vs the CPU f64 build)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mathaudio_tpu.bem import plane_wave
+from mathaudio_tpu.bem.fmm import (
+    ClusterBlockPreconditioner,
+    build_mlfmm_tree_system,
+    build_slfmm_system,
+)
+from mathaudio_tpu.bem.fmm_chip import (
+    Planes,
+    fmm_chip_matvec_fn,
+    fmm_chip_solve_fn,
+    join_planes,
+    split_planes,
+)
+from mathaudio_tpu.bem.mesh import icosphere
+from mathaudio_tpu.solvers import KrylovConfig, gmres
+
+K = 2.0
+
+
+@pytest.fixture(scope="module")
+def surf():
+    return icosphere(1.0, 2)  # 320 elements
+
+
+@pytest.fixture(scope="module")
+def slfmm_op(surf):
+    return build_slfmm_system(surf, K)
+
+
+def test_split_join_roundtrip(slfmm_op):
+    planes = split_planes(slfmm_op, dtype=None)  # keep f64
+    op2 = join_planes(planes)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(slfmm_op.n)
+        + 1j * np.random.default_rng(1).standard_normal(slfmm_op.n)
+    )
+    np.testing.assert_allclose(
+        np.asarray(op2.matvec(x)), np.asarray(slfmm_op.matvec(x)), rtol=0, atol=0
+    )
+    # complex leaves became Planes of reals; no complex leaf survives
+    leaves = jax.tree_util.tree_leaves(planes)
+    assert not any(np.iscomplexobj(np.asarray(l)) for l in leaves)
+
+
+def test_chip_matvec_f32_gate(surf):
+    """f32 planes matvec within 1e-3 of the f64 complex matvec (the
+    VERDICT item-1 'done' gate). Needs the f32 stability screen
+    (stability_tau ~ 1e4): without it the translation tensor spans 12
+    decades that cancel in the quadrature — measured rel err 12 (!) in
+    f32 at tau=inf vs 3.5e-6 at tau=1e4 on this mesh."""
+    op = build_slfmm_system(surf, K, stability_tau=1e4)
+    planes32 = split_planes(op, dtype=np.float32)
+    mv = jax.jit(fmm_chip_matvec_fn())
+    rng = np.random.default_rng(2)
+    xr = rng.standard_normal(op.n).astype(np.float32)
+    xi = rng.standard_normal(op.n).astype(np.float32)
+    yr, yi = mv(planes32, jnp.asarray(xr), jnp.asarray(xi))
+    y_ref = np.asarray(op.matvec(jnp.asarray(xr + 1j * xi)))
+    rel = np.linalg.norm((np.asarray(yr) + 1j * np.asarray(yi)) - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 1e-3, rel
+
+
+def test_stability_screen_accuracy_vs_dense(surf):
+    """The screened (tau=1e4) f64 operator stays within 2x of the
+    unscreened one against the dense collocation matrix (the screen
+    trades only the accuracy margin, never correctness)."""
+    from mathaudio_tpu.bem.assembly import assemble_collocation_matrix
+
+    a_dense = np.asarray(assemble_collocation_matrix(surf, K))
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(surf.num_elements) + 1j * rng.standard_normal(
+        surf.num_elements
+    )
+    y_ref = a_dense @ x
+    rels = {}
+    for tau in (1e8, 1e4):
+        op = build_slfmm_system(surf, K, stability_tau=tau)
+        y = np.asarray(op.matvec(jnp.asarray(x)))
+        rels[tau] = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rels[1e4] < 1e-2, rels
+    assert rels[1e4] < 4 * rels[1e8] + 1e-3, rels
+
+
+def test_chip_solve_matches_complex_path(surf, slfmm_op):
+    """Full planes-path GMRES (f64 planes, exactness) against the direct
+    complex solve: same x, same iteration count."""
+    inc = plane_wave((0.0, 0.0, 1.0))
+    rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), K))
+    pre = ClusterBlockPreconditioner.from_operator(slfmm_op)
+    config = KrylovConfig(max_iterations=200, tolerance=1e-8, restart=40)
+
+    sol_ref = gmres(slfmm_op, jnp.asarray(rhs), config=config, preconditioner=pre)
+
+    solve = jax.jit(fmm_chip_solve_fn(config))
+    xr, xi, it, conv = solve(
+        split_planes(slfmm_op, dtype=None),
+        split_planes(pre, dtype=None),
+        jnp.asarray(rhs.real),
+        jnp.asarray(rhs.imag),
+    )
+    assert bool(conv)
+    assert int(it) == int(sol_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(xr) + 1j * np.asarray(xi), np.asarray(sol_ref.x), rtol=1e-10
+    )
+
+
+def test_chip_solve_unpreconditioned(surf, slfmm_op):
+    inc = plane_wave((0.0, 0.0, 1.0))
+    rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), K))
+    config = KrylovConfig(max_iterations=300, tolerance=1e-8, restart=40)
+    solve = jax.jit(fmm_chip_solve_fn(config))
+    xr, xi, it, conv = solve(
+        split_planes(slfmm_op, dtype=None), None,
+        jnp.asarray(rhs.real), jnp.asarray(rhs.imag),
+    )
+    assert bool(conv)
+    x = np.asarray(xr) + 1j * np.asarray(xi)
+    res = np.asarray(slfmm_op.matvec(jnp.asarray(x))) - rhs
+    assert np.linalg.norm(res) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_mlfmm_tree_planes_roundtrip(surf):
+    """The hierarchical tree operator (nested MlfmmLevel tuples) survives
+    the split/join round trip exactly."""
+    op = build_mlfmm_tree_system(surf, K)
+    planes = split_planes(op, dtype=None)
+    op2 = join_planes(planes)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(op.n) + 1j * rng.standard_normal(op.n))
+    np.testing.assert_allclose(
+        np.asarray(op2.matvec(x)), np.asarray(op.matvec(x)), rtol=0, atol=0
+    )
