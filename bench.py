@@ -403,26 +403,34 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
 
     cpu = jax.devices("cpu")[0]
     t0 = time.perf_counter()
-    with jax.experimental.enable_x64(), jax.default_device(cpu):
-        surf = icosphere(1.0, subdiv)
-        n = surf.num_elements
-        if tier == "slfmm":
-            op = build_slfmm_system(surf, k, beta=beta, stability_tau=1e4)
-        else:
-            op = build_mlfmm_tree_system(surf, k, beta=beta, stability_tau=1e4)
-        pre = ClusterBlockPreconditioner.from_operator(op)
-        inc = plane_wave((0.0, 0.0, 1.0))
-        rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), k)) - beta * (
-            np.asarray(
-                inc.normal_derivative(
-                    jnp.asarray(surf.centers), jnp.asarray(surf.normals), k
+    x64_was = bool(jax.config.jax_enable_x64)
+    jax.config.update("jax_enable_x64", True)  # f64 host build
+    try:
+        with jax.default_device(cpu):
+            surf = icosphere(1.0, subdiv)
+            n = surf.num_elements
+            if tier == "slfmm":
+                op = build_slfmm_system(surf, k, beta=beta, stability_tau=1e4)
+            else:
+                # max_per_leaf=32: 5x faster host build than the default
+                # 16 at N=20480 (112s vs 560s measured) at equal accuracy
+                op = build_mlfmm_tree_system(surf, k, beta=beta,
+                                             stability_tau=1e4, max_per_leaf=32)
+            pre = ClusterBlockPreconditioner.from_operator(op)
+            inc = plane_wave((0.0, 0.0, 1.0))
+            rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), k)) - beta * (
+                np.asarray(
+                    inc.normal_derivative(
+                        jnp.asarray(surf.centers), jnp.asarray(surf.normals), k
+                    )
                 )
             )
-        )
-        # reference matvec for the chip-accuracy gate (f64, CPU)
-        rng = np.random.default_rng(0)
-        x_chk = rng.standard_normal(n) + 1j * rng.standard_normal(n)
-        y_ref = np.asarray(op.matvec(jnp.asarray(x_chk)))
+            # reference matvec for the chip-accuracy gate (f64, CPU)
+            rng = np.random.default_rng(0)
+            x_chk = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+            y_ref = np.asarray(op.matvec(jnp.asarray(x_chk)))
+    finally:
+        jax.config.update("jax_enable_x64", x64_was or device == "cpu")
     t_build = time.perf_counter() - t0
     print(f"# fmm {tier} build N={n} ka={k}: {t_build:.1f}s (host, f64)",
           file=sys.stderr)
@@ -439,7 +447,11 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
           f"(gate 1e-3)", file=sys.stderr)
     assert rel_mv < 1e-3, f"chip FMM matvec off: {rel_mv:.2e}"
 
-    config = KrylovConfig(max_iterations=400, tolerance=1e-5, restart=60)
+    # restart sized just above the measured iteration counts (17 / 29 on
+    # these tiers): a cycle's fori_loop always runs the full restart with
+    # post-convergence masking, so oversized restarts burn real matvecs.
+    config = KrylovConfig(max_iterations=200, tolerance=1e-5,
+                          restart=24 if tier == "slfmm" else 36)
     solve = jax.jit(fmm_chip_solve_fn(config))
     rr = jnp.asarray(rhs.real.astype(plane_dtype))
     ri = jnp.asarray(rhs.imag.astype(plane_dtype))
@@ -517,7 +529,11 @@ def _check_tpu_reachable(timeout_s: float = 420.0) -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
-    ap.add_argument("--metric", default="all", choices=["all", "fem", "iir", "bem"])
+    ap.add_argument("--metric", default="all", choices=["all", "fem", "iir", "bem", "fmm"])
+    ap.add_argument("--fmm-tier", default="mlfmm", choices=["mlfmm", "slfmm"],
+                    help="FMM metric tier: mlfmm = hierarchical tree N=20480 ka=16 "
+                         "(the reference's 'FMM + batched, N > 20000' row), "
+                         "slfmm = single-level N=5120 ka=8")
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
     ap.add_argument("--freqs", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=3)
@@ -554,23 +570,40 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.device == "tpu":
         _check_tpu_reachable()
+    try:  # persistent compile cache for every metric (see run())
+        from mathaudio_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception as e:
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
     if args.metric == "iir":
         out = run_iir(args.device, args.repeats, args.calibrate)
     elif args.metric == "bem":
         out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
+    elif args.metric == "fmm":
+        out = run_fmm(args.device, args.repeats, args.calibrate, args.fmm_tier)
     elif args.metric == "fem":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
                   args.orth, args.transfers)
     else:
-        # all three (VERDICT r1 item 4): secondary metrics first, headline
-        # FEM last; ONE combined JSON line (headline fields at top level so
-        # existing parsers see the FEM number, secondaries nested).
+        # all metrics (VERDICT r1 item 4 + r2 item 1): secondary metrics
+        # first, headline FEM last; ONE combined JSON line (headline
+        # fields at top level so existing parsers see the FEM number,
+        # secondaries nested). The FMM tier runs guarded: its host build
+        # is the longest stage (~10 min at N=20480), so a failure there
+        # must not cost the other recorded metrics.
         iir = run_iir(args.device, args.repeats, args.calibrate)
         bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
+        try:
+            fmm = run_fmm(args.device, args.repeats, args.calibrate, args.fmm_tier)
+        except Exception as e:  # noqa: BLE001 — record, don't lose the run
+            print(f"# fmm metric failed: {type(e).__name__}: {e}", file=sys.stderr)
+            fmm = {"metric": "bem_fmm_solves_per_s", "error": str(e)[:300]}
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
                   args.orth, args.transfers)
-        out = dict(fem, secondary=[iir, bem]) if fem else None
+        secondary = [iir, bem] + ([fmm] if fmm else [])
+        out = dict(fem, secondary=secondary) if fem else None
     if out is not None:
         print(json.dumps(out))

@@ -1208,6 +1208,44 @@ def build_mlfmm_tree_system(
     dtype = dtype or default_float()
     cdtype = complex_dtype_for(jnp.dtype(dtype))
     n = mesh.num_elements
+
+    clusters, mask, cc_leaf, dirs_leaf, w_leaf, levels, nb, na = _tree_skeleton(
+        mesh, k, max_per_leaf, separation_ratio, stability_tau, cdtype
+    )
+    t_tensor, s_tensor = _agg_disagg_tensors(
+        mesh, clusters, mask, cc_leaf, k, dirs_leaf
+    )
+    if beta != 0.0:
+        # (1 - beta ik s.n_x): the prefactor carries the CBIE minus, so
+        # this yields -D + beta T (see build_slfmm_system)
+        s_nx = np.einsum("qd,cmd->cqm", dirs_leaf, mesh.normals[clusters])
+        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
+
+    near_blocks = _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype)
+    data = MlfmmTreeData(
+        clusters=jnp.asarray(clusters),
+        cluster_mask=jnp.asarray(mask, dtype),
+        t_tensor=jnp.asarray(t_tensor, cdtype),
+        s_tensor=jnp.asarray(s_tensor, cdtype),
+        quad_w=jnp.asarray(w_leaf, dtype),
+        near_a=jnp.asarray(na.astype(np.int32)),
+        near_b=jnp.asarray(nb.astype(np.int32)),
+        near_blocks=near_blocks,
+        # same exact static row-sum diagonal as build_slfmm_system
+        diag_add=jnp.asarray(1.0 + _static_dlp_row_sums(mesh, dtype), cdtype),
+        prefactor=jnp.asarray(-1j * k / (16.0 * np.pi**2), cdtype),
+        levels=levels,
+    )
+    return MlfmmTreeOperator(data, n)
+
+
+def _tree_skeleton(mesh, k, max_per_leaf, separation_ratio, stability_tau,
+                   cdtype):
+    """Shared octree/interaction-list/level construction of the
+    hierarchical MLFMM (rigid and mixed builds): returns
+    (clusters, mask, cc_leaf, dirs_leaf, w_leaf, levels, near_b, near_a)
+    with ``levels`` the tuple of MlfmmLevel pytrees (translation ops,
+    M2M/L2L shifts + grid interpolations) and near pairs at leaf depth."""
     centers = mesh.centers
 
     tree = Octree.build(centers, max_per_leaf=max_per_leaf)
@@ -1288,14 +1326,6 @@ def build_mlfmm_tree_system(
         clusters[i, : len(nd.indices)] = nd.indices
         mask[i, : len(nd.indices)] = 1.0
     dirs_leaf, w_leaf = grids[depth_max]
-    t_tensor, s_tensor = _agg_disagg_tensors(
-        mesh, clusters, mask, cc[depth_max], k, dirs_leaf
-    )
-    if beta != 0.0:
-        # (1 - beta ik s.n_x): the prefactor carries the CBIE minus, so
-        # this yields -D + beta T (see build_slfmm_system)
-        s_nx = np.einsum("qd,cmd->cqm", dirs_leaf, mesh.normals[clusters])
-        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
 
     levels = []
     for d in range(d_top, depth_max + 1):
@@ -1340,22 +1370,131 @@ def build_mlfmm_tree_system(
         )
 
     nb, na = np.where(near)
-    near_blocks = _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype)
-    data = MlfmmTreeData(
-        clusters=jnp.asarray(clusters),
-        cluster_mask=jnp.asarray(mask, dtype),
-        t_tensor=jnp.asarray(t_tensor, cdtype),
-        s_tensor=jnp.asarray(s_tensor, cdtype),
-        quad_w=jnp.asarray(w_leaf, dtype),
-        near_a=jnp.asarray(na.astype(np.int32)),
-        near_b=jnp.asarray(nb.astype(np.int32)),
-        near_blocks=near_blocks,
-        # same exact static row-sum diagonal as build_slfmm_system
-        diag_add=jnp.asarray(1.0 + _static_dlp_row_sums(mesh, dtype), cdtype),
-        prefactor=jnp.asarray(-1j * k / (16.0 * np.pi**2), cdtype),
-        levels=tuple(levels),
+    return (clusters, mask, cc[depth_max], dirs_leaf, w_leaf, tuple(levels),
+            nb, na)
+
+
+def build_mlfmm_tree_mixed_system(
+    mesh: SurfaceMesh,
+    k: float,
+    bc,
+    beta: complex = 0.0,
+    incident=None,
+    density: float = 1.204,
+    speed_of_sound: float = 343.0,
+    max_per_leaf: int = 16,
+    separation_ratio: float = 2.0,
+    quad_order: int = 3,
+    dtype=None,
+    stability_tau: float = _MLFMM_STABILITY_TAU,
+):
+    """Mixed velocity/pressure BCs through the hierarchical MLFMM tree —
+    the SLFMM mixed column combination (build_slfmm_mixed_system)
+    extended to every tree level (VERDICT r2 item 7; mlfmm.rs:954-979
+    upward/downward passes with tbem.rs:234-340's BC-dependent columns,
+    which the reference itself never combined: its MLFMM is rigid-only).
+
+    The per-column layer selection happens entirely in the LEAF
+    aggregation factor f_j = m_j (-ik s.n_j + ik adm_j) - (1 - m_j);
+    M2M translations and per-level diagonal operators act on direction
+    signatures and are layer-agnostic, so the whole tree is shared by
+    the main and complementary (RHS) operators — only the leaf T tensor,
+    near blocks, and diagonal differ.
+
+    Returns (operator, rhs, unknown_p) with dense-mixed-path solution
+    semantics (u holds p on velocity elements, dp/dn on pressure ones)."""
+    from mathaudio_tpu.bem.assembly import single_layer_self_terms
+
+    dtype = dtype or default_float()
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    n = mesh.num_elements
+    normals = mesh.normals
+
+    bc_types = np.asarray(bc.types, np.int32)
+    bc_values = np.asarray(bc.values, complex)
+    assert bc_types.shape == (n,) and bc_values.shape == (n,)
+    m = (bc_types == 0).astype(float)
+    omega = k * speed_of_sound
+    q_known = np.where(bc_types == 0, 1j * omega * density * bc_values, 0.0)
+    p_known = np.where(bc_types == 1, bc_values, 0.0)
+    adm = getattr(bc, "admittance", None)
+    adm_arr = (
+        np.zeros(n, complex) if adm is None
+        else np.broadcast_to(np.asarray(adm, complex), (n,)).astype(complex)
     )
-    return MlfmmTreeOperator(data, n)
+
+    clusters, mask, cc_leaf, dirs_leaf, w_leaf, levels, nb, na = _tree_skeleton(
+        mesh, k, max_per_leaf, separation_ratio, stability_tau, cdtype
+    )
+
+    # leaf aggregation factors (see build_slfmm_mixed_system)
+    alpha_main = m.astype(complex)
+    sigma_main = 1j * k * adm_arr * m - (1.0 - m)
+    alpha_comp = (1.0 - m).astype(complex)
+    sigma_comp = -m.astype(complex)
+    t_main, s_tensor = _agg_disagg_tensors(
+        mesh, clusters, mask, cc_leaf, k, dirs_leaf,
+        agg_alpha=alpha_main, agg_sigma=sigma_main,
+    )
+    t_comp, _ = _agg_disagg_tensors(
+        mesh, clusters, mask, cc_leaf, k, dirs_leaf,
+        agg_alpha=alpha_comp, agg_sigma=sigma_comp,
+    )
+    if beta != 0.0:
+        s_nx = np.einsum("qd,cmd->cqm", dirs_leaf, normals[clusters])
+        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
+
+    blk_main, blk_comp = _near_blocks_mixed(
+        mesh, clusters, mask, nb, na, k, beta, m, adm_arr, dtype,
+        quad_order=quad_order,
+    )
+
+    # diagonals: identical formulas to build_slfmm_mixed_system
+    rowsum0 = _static_dlp_row_sums(mesh, dtype)
+    ap_diag = (1.0 + rowsum0).astype(complex)
+    if beta != 0.0:
+        self_r, self_w = _self_angular_rule(mesh)
+        ikc = 1j * k
+        t_diff_self = np.sum(
+            self_w * (ikc - (np.exp(ikc * self_r) - 1.0) / self_r), axis=1
+        ) / (4.0 * np.pi)
+        s0 = _static_hyper_row_sums(mesh, quad_order)
+        ap_diag = ap_diag + beta * (t_diff_self - s0)
+    s_self = np.asarray(single_layer_self_terms(mesh, k, dtype=dtype))
+    aq_diag = s_self - (beta / 2.0 if beta != 0.0 else 0.0)
+    diag_main = m * (ap_diag + (-1j * k * adm_arr) * aq_diag) + (1.0 - m) * aq_diag
+    diag_comp = m * aq_diag + (1.0 - m) * ap_diag
+
+    def _data(t_tensor, near_b, diag):
+        return MlfmmTreeData(
+            clusters=jnp.asarray(clusters),
+            cluster_mask=jnp.asarray(mask, dtype),
+            t_tensor=jnp.asarray(t_tensor, cdtype),
+            s_tensor=jnp.asarray(s_tensor, cdtype),
+            quad_w=jnp.asarray(w_leaf, dtype),
+            near_a=jnp.asarray(na.astype(np.int32)),
+            near_b=jnp.asarray(nb.astype(np.int32)),
+            near_blocks=near_b,
+            diag_add=jnp.asarray(diag, cdtype),
+            prefactor=jnp.asarray(-1j * k / (16.0 * np.pi**2), cdtype),
+            levels=levels,
+        )
+
+    op = MlfmmTreeOperator(_data(t_main, blk_main, diag_main), n)
+    comp_op = MlfmmTreeOperator(_data(t_comp, blk_comp, diag_comp), n)
+
+    centers_j = jnp.asarray(mesh.centers, dtype)
+    if incident is not None:
+        rhs_inc = incident.pressure(centers_j, k).astype(cdtype)
+        if beta != 0.0:
+            rhs_inc = rhs_inc - jnp.asarray(beta, cdtype) * incident.normal_derivative(
+                centers_j, jnp.asarray(normals, dtype), k
+            ).astype(cdtype)
+    else:
+        rhs_inc = jnp.zeros(n, cdtype)
+    known = jnp.asarray(q_known * m + p_known * (1.0 - m), cdtype)
+    rhs = rhs_inc - comp_op.matvec(known)
+    return op, rhs, bc_types == 0
 
 
 def near_field_csr(data: SlfmmData):

@@ -83,9 +83,15 @@ def fmm_chip_matvec_fn():
     LinearOperator pytree whose complex leaves were split."""
 
     def mv(op_planes, x_re, x_im):
-        op = join_planes(op_planes)
-        y = op.matvec(jax.lax.complex(x_re, x_im))
-        return jnp.real(y), jnp.imag(y)
+        # TPU matmul precision defaults to bf16-truncated inputs; the FMM
+        # einsums carry stability-screened amplitudes up to tau=1e4 that
+        # must cancel through the quadrature, so true-f32 accumulation is
+        # required (measured: default precision -> 1.5e-2 matvec rel err
+        # at N=5120/ka=8, float32 -> ~1e-5).
+        with jax.default_matmul_precision("float32"):
+            op = join_planes(op_planes)
+            y = op.matvec(jax.lax.complex(x_re, x_im))
+            return jnp.real(y), jnp.imag(y)
 
     return mv
 
@@ -103,11 +109,13 @@ def fmm_chip_solve_fn(config: Optional[KrylovConfig] = None):
     config = config or KrylovConfig(max_iterations=400, tolerance=1e-5, restart=60)
 
     def solve(op_planes, pre_planes, rhs_re, rhs_im):
-        op = join_planes(op_planes)
-        pre = None if pre_planes is None else join_planes(pre_planes)
-        rhs = jax.lax.complex(rhs_re, rhs_im)
-        sol = gmres(op, rhs, config=config, preconditioner=pre)
-        return jnp.real(sol.x), jnp.imag(sol.x), sol.iterations, sol.converged
+        # true-f32 matmul accumulation (see fmm_chip_matvec_fn)
+        with jax.default_matmul_precision("float32"):
+            op = join_planes(op_planes)
+            pre = None if pre_planes is None else join_planes(pre_planes)
+            rhs = jax.lax.complex(rhs_re, rhs_im)
+            sol = gmres(op, rhs, config=config, preconditioner=pre)
+            return jnp.real(sol.x), jnp.imag(sol.x), sol.iterations, sol.converged
 
     return solve
 

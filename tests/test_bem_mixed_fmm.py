@@ -173,3 +173,65 @@ def test_mlfmm_config_routes_to_mixed_fmm():
     exact = np.asarray(pulsating_sphere_3d(1.0, 1.0, prob.mesh.centers).pressure)
     rel = np.abs(np.asarray(sol.surface_pressure) - exact).max() / np.abs(exact).max()
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("with_bm", [False, True])
+def test_mixed_mlfmm_tree_matvec_and_rhs_match_dense(with_bm):
+    """Mixed BCs through the hierarchical MLFMM tree
+    (fmm.build_mlfmm_tree_mixed_system; VERDICT r2 item 7): operator and
+    RHS agree with the dense mixed system to FMM expansion error."""
+    from mathaudio_tpu.bem.fmm import build_mlfmm_tree_mixed_system
+
+    ka = 2.0
+    mesh = icosphere(1.0, 3)  # 1280 elements -> a real multi-level tree
+    bc = _hemisphere_bc(mesh, ka)
+    beta = (
+        PhysicsParams.from_wave_number(ka).burton_miller_beta_optimal(
+            mesh.avg_element_size()
+        )
+        if with_bm
+        else 0.0
+    )
+    a, b, up_dense = assemble_mixed_system(mesh, ka, bc, beta=beta, quad_order=3)
+    op, rhs, up = build_mlfmm_tree_mixed_system(
+        mesh, ka, bc, beta=beta, max_per_leaf=16, quad_order=3,
+    )
+    assert len(op.data.levels) >= 2
+    assert (up == np.asarray(up_dense, bool)).all()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(mesh.num_elements) + 1j * rng.standard_normal(
+        mesh.num_elements
+    )
+    y_fmm = np.asarray(op.matvec(x))
+    y_dense = np.asarray(a) @ x
+    rel = np.abs(y_fmm - y_dense).max() / np.abs(y_dense).max()
+    assert rel < 2e-3, f"tree matvec rel err {rel}"
+    rel_b = np.abs(np.asarray(rhs) - np.asarray(b)).max() / np.abs(
+        np.asarray(b)
+    ).max()
+    assert rel_b < 2e-3, f"tree rhs rel err {rel_b}"
+
+
+def test_mixed_mlfmm_tree_pulsating_sphere_solve():
+    """Full GMRES solve of a radiating (pulsating-sphere) problem through
+    the mixed MLFMM tree, gated against the analytic solution."""
+    import jax.numpy as jnp
+
+    from mathaudio_tpu.bem.fmm import build_mlfmm_tree_mixed_system
+    from mathaudio_tpu.solvers import KrylovConfig, gmres
+
+    ka, v0 = 1.3, 1.0
+    mesh = icosphere(1.0, 3)
+    n = mesh.num_elements
+    bc = BoundaryCondition(types=np.zeros(n, np.int32),
+                           values=np.full(n, v0, complex))
+    op, rhs, up = build_mlfmm_tree_mixed_system(mesh, ka, bc, beta=0.0)
+    assert up.all()
+    sol = gmres(op, rhs,
+                config=KrylovConfig(max_iterations=300, tolerance=1e-7, restart=50))
+    assert bool(sol.converged)
+    exact = np.asarray(
+        pulsating_sphere_3d(ka, 1.0, mesh.centers, velocity=v0).pressure
+    )
+    rel = np.linalg.norm(np.asarray(sol.x) - exact) / np.linalg.norm(exact)
+    assert rel < 0.05, f"pulsating sphere rel err {rel}"

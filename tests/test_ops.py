@@ -145,3 +145,82 @@ class TestBurtonMillerKernel:
             jax.clear_caches()
         assert calls, "patched dispatch was never consulted (jit cache hit?)"
         np.testing.assert_allclose(a_pal, a_xla, atol=1e-11, rtol=1e-9)
+
+
+class TestMixedKernel:
+    """pairwise_mixed (D, D0, S, T, T0, K') Pallas vs XLA — the kernel set
+    behind the mixed-BC assembly (VERDICT r2 item 5)."""
+
+    def test_matches_xla(self):
+        from mathaudio_tpu.ops.bem_assembly import (
+            pairwise_mixed_pallas,
+            pairwise_mixed_xla,
+        )
+
+        mesh = icosphere(1.0, 2)
+        qp, qw = mesh.quad_points(3)
+        sel = slice(0, 300)  # not tile-aligned
+        x = jnp.asarray(mesh.centers[sel])
+        nx = jnp.asarray(mesh.normals[sel])
+        yq = jnp.asarray(qp)
+        ny = jnp.asarray(mesh.normals)
+        w = jnp.asarray(qw)
+        k = 1.9
+        for with_bm in (False, True):
+            got = pairwise_mixed_pallas(x, nx, yq, ny, w, k, with_bm)
+            want = pairwise_mixed_xla(x, nx, yq, ny, w, k, with_bm)
+            for name, gp, gx in zip("d d0 s t t0 kp".split(), got, want):
+                if gx is None:
+                    assert gp is None
+                    continue
+                # self entries are regularized downstream; compare off-diag
+                gp_np, gx_np = np.array(gp), np.array(gx)
+                ii = np.arange(300)
+                gp_np[ii, ii] = gx_np[ii, ii] = 0.0
+                np.testing.assert_allclose(gp_np, gx_np, atol=1e-11,
+                                           err_msg=f"{name} with_bm={with_bm}")
+
+    def test_mixed_assembly_identical_through_dispatch(self):
+        """assemble_mixed_system forced through Pallas (interpret) equals
+        the XLA path bit-for-bit at the system level."""
+        import os
+
+        from mathaudio_tpu.bem import plane_wave
+        from mathaudio_tpu.bem.assembly import assemble_mixed_system
+        from mathaudio_tpu.bem.types import BoundaryCondition
+
+        mesh = icosphere(1.0, 1)
+        n = mesh.num_elements
+        rng = np.random.default_rng(5)
+        types = (rng.random(n) < 0.5).astype(np.int32)
+        values = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        bc = BoundaryCondition(
+            types=types, values=values, admittance=np.full(n, 0.02 + 0j)
+        )
+        inc = plane_wave((0.0, 0.0, 1.0))
+        k, beta = 1.3, 0.25j
+
+        a_x, b_x, up_x = assemble_mixed_system(mesh, k, bc, beta=beta, incident=inc)
+        os.environ["MATHAUDIO_PALLAS_FORCE_TEST"] = "1"
+        try:
+            import mathaudio_tpu.ops.bem_assembly as ops
+
+            orig = ops.pairwise_mixed
+
+            def forced(x, nx, yq, ny, w, kk, with_bm, force="auto"):
+                return ops.pairwise_mixed_pallas(x, nx, yq, ny, w, kk, with_bm)
+
+            ops.pairwise_mixed = forced
+            # the assembly jit caches on the python callable identity only
+            # through its module-level import; clear to re-trace
+            from mathaudio_tpu.bem import assembly as asm
+
+            asm._assemble_mixed_jit.clear_cache()
+            a_p, b_p, up_p = assemble_mixed_system(mesh, k, bc, beta=beta, incident=inc)
+            ops.pairwise_mixed = orig
+            asm._assemble_mixed_jit.clear_cache()
+        finally:
+            os.environ.pop("MATHAUDIO_PALLAS_FORCE_TEST", None)
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_x), atol=1e-11)
+        np.testing.assert_array_equal(np.asarray(up_p), np.asarray(up_x))
