@@ -73,7 +73,7 @@ BASELINE_CPU_DOF_PER_S = 1.539e5
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
         cycle: str = "v", restart: int = 6, levels: int = 3, sweep_layout: str = "vmapped",
-        orth: str = "cgs1", transfers: str = "gather"):
+        orth: str = "cgs1", transfers: str = "gather", freq_chunk: int = 0):
     import os
 
     import jax
@@ -140,7 +140,7 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
         sweep = nm.sweep_fn(config, mg_nu=1, mg_omega=1.0,
                             mg_coarse_anchors=min(anchors, n_freq),
                             mg_cycle_type=cycle, gmres_orth=orth,
-                            mg_transfers=transfers)
+                            mg_transfers=transfers, freq_chunk=freq_chunk)
     else:
         sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
                                mg_coarse_anchors=min(anchors, n_freq),
@@ -259,7 +259,7 @@ def run_iir(device: str, repeats: int, calibrate: bool):
 
 
 def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
-            solver: str = "auto"):
+            solver: str = "auto", ab_pallas: bool = False):
     """Third metric: dense BEM solves/s — a band of scattering problems
     (collocation assembly + solve) batched in one jit (bem/sweep.py; the
     reference's audio_frequency_sweep.rs loop). Default mesh is the
@@ -333,12 +333,49 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
         f"assembly+{solver} -> {rate:.2f} solves/s",
         file=sys.stderr,
     )
+    ab = None
+    if ab_pallas and device != "cpu":
+        # A/B artifact (VERDICT r2 item 8): the same sweep with the Pallas
+        # assembly kernels disabled, so the 2.53x claim in
+        # ops/bem_assembly.py is driver-reproducible. The env flag is read
+        # at TRACE time by the dispatch, so the inner assembly jit cache
+        # is cleared and a fresh outer function forces a re-trace.
+        import os
+
+        from mathaudio_tpu.bem import assembly as _asm
+
+        os.environ["MATHAUDIO_PALLAS"] = "0"
+        _asm._assemble_jit.clear_cache()
+        try:
+            def run_abs_xla(s, ks):  # distinct callable -> fresh outer trace
+                return run_abs(s, ks)
+
+            fn_x = jax.jit(run_abs_xla, compiler_options=copts)
+            np.asarray(fn_x(statics, ks))  # compile
+            times_x = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                np.asarray(fn_x(statics, ks))
+                times_x.append(time.perf_counter() - t0)
+            ab = {
+                "pallas_ms": round(min(times) * 1e3, 1),
+                "xla_ms": round(min(times_x) * 1e3, 1),
+                "pallas_speedup": round(min(times_x) / min(times), 3),
+            }
+            print(
+                f"# bem A/B at N={n}: pallas {ab['pallas_ms']} ms vs xla "
+                f"{ab['xla_ms']} ms -> {ab['pallas_speedup']}x",
+                file=sys.stderr,
+            )
+        finally:
+            os.environ.pop("MATHAUDIO_PALLAS", None)
+            _asm._assemble_jit.clear_cache()
     if calibrate:
         print(f"# BASELINE_CPU_BEM_SOLVES_PER_S[({n}, '{solver}')] = {rate:.4f}",
               file=sys.stderr)
         return None
     base = BASELINE_CPU_BEM_SOLVES_PER_S.get((n, solver))
-    return {
+    out = {
         "metric": "bem_dense_solves_per_s",
         "value": round(rate, 2),
         "unit": "solves/s",
@@ -346,6 +383,9 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
         "solver": solver,
         "vs_baseline": round(rate / base, 3) if base else None,
     }
+    if ab is not None:
+        out["ab_pallas"] = ab
+    return out
 
 
 # Measured: `python bench.py --metric fmm --device cpu --calibrate`
@@ -398,7 +438,12 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
     from mathaudio_tpu.solvers import KrylovConfig
 
     subdiv, k = (4, 8.0) if tier == "slfmm" else (5, 16.0)
-    beta = 1j / k
+    # slfmm exercises Burton-Miller on the chip (beta = i/k, 46 iters);
+    # the mlfmm tree runs plain CBIE like the reference's own MLFMM
+    # (mlfmm.rs is rigid-only) — measured at ka=16: beta=0 -> 32 iters,
+    # Mie rel 0.027; beta=i/k diverges under the cluster-block
+    # preconditioner (scan recorded 2026-08-19).
+    beta = 1j / k if tier == "slfmm" else 0.0
     plane_dtype = np.float64 if device == "cpu" else np.float32
 
     cpu = jax.devices("cpu")[0]
@@ -447,11 +492,11 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
           f"(gate 1e-3)", file=sys.stderr)
     assert rel_mv < 1e-3, f"chip FMM matvec off: {rel_mv:.2e}"
 
-    # restart sized just above the measured iteration counts (17 / 29 on
+    # restart sized just above the measured iteration counts (46 / 32 on
     # these tiers): a cycle's fori_loop always runs the full restart with
     # post-convergence masking, so oversized restarts burn real matvecs.
     config = KrylovConfig(max_iterations=200, tolerance=1e-5,
-                          restart=24 if tier == "slfmm" else 36)
+                          restart=48 if tier == "slfmm" else 36)
     solve = jax.jit(fmm_chip_solve_fn(config))
     rr = jnp.asarray(rhs.real.astype(plane_dtype))
     ri = jnp.asarray(rhs.imag.astype(plane_dtype))
@@ -463,15 +508,17 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
           f"iters={int(it)}, converged={bool(conv)}", file=sys.stderr)
     assert bool(conv), "FMM GMRES did not converge"
 
-    # accuracy vs the Mie series on the surface (all centers share one r)
+    # accuracy vs the Mie series on the surface (all centers share one r;
+    # the series is eager complex math — run it on the CPU backend)
     from mathaudio_tpu.wave.analytical.solutions_3d import sphere_scattering_3d
 
     c = surf.centers
     r = float(np.linalg.norm(c, axis=1).mean())
     th = np.arccos(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1))
-    ex = np.asarray(
-        sphere_scattering_3d(k, 1.0, max(60, int(2 * k) + 20), [r], th).pressure
-    ).reshape(-1)
+    with jax.default_device(cpu):
+        ex = np.asarray(
+            sphere_scattering_3d(k, 1.0, max(60, int(2 * k) + 20), [r], th).pressure
+        ).reshape(-1)
     rel_mie = float(np.linalg.norm(x_sol - ex) / np.linalg.norm(ex))
     print(f"# fmm {tier} surface pressure vs Mie: rel={rel_mie:.2e}",
           file=sys.stderr)
@@ -562,10 +609,18 @@ if __name__ == "__main__":
                          "despite a 6x microbench win — see "
                          "models/room_sweep_nm.py sweep_fn docstring)")
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
+    ap.add_argument("--freq-chunk", type=int, default=0,
+                    help="node-major sweep: stream the band in sequential "
+                         "chunks of this many frequencies (0 = whole band; "
+                         "bounds HBM for large --freqs, e.g. 4096)")
     ap.add_argument("--bem-subdiv", type=int, default=4,
                     help="icosphere subdivision for the BEM metric (3=1280, 4=5120, 5=20480)")
     ap.add_argument("--bem-solver", default="auto", choices=["auto", "lu", "gmres"],
                     help="auto = the reference's size table: LU below N=1000, GMRES above")
+    ap.add_argument("--ab-pallas", action="store_true",
+                    help="also time the BEM sweep with the Pallas assembly "
+                         "kernels disabled (MATHAUDIO_PALLAS=0) and report "
+                         "both timings (reproducible Pallas-vs-XLA artifact)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.device == "tpu":
@@ -579,13 +634,13 @@ if __name__ == "__main__":
     if args.metric == "iir":
         out = run_iir(args.device, args.repeats, args.calibrate)
     elif args.metric == "bem":
-        out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
+        out = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver, args.ab_pallas)
     elif args.metric == "fmm":
         out = run_fmm(args.device, args.repeats, args.calibrate, args.fmm_tier)
     elif args.metric == "fem":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
-                  args.orth, args.transfers)
+                  args.orth, args.transfers, args.freq_chunk)
     else:
         # all metrics (VERDICT r1 item 4 + r2 item 1): secondary metrics
         # first, headline FEM last; ONE combined JSON line (headline
@@ -594,7 +649,7 @@ if __name__ == "__main__":
         # is the longest stage (~10 min at N=20480), so a failure there
         # must not cost the other recorded metrics.
         iir = run_iir(args.device, args.repeats, args.calibrate)
-        bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver)
+        bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver, args.ab_pallas)
         try:
             fmm = run_fmm(args.device, args.repeats, args.calibrate, args.fmm_tier)
         except Exception as e:  # noqa: BLE001 — record, don't lose the run
@@ -602,7 +657,7 @@ if __name__ == "__main__":
             fmm = {"metric": "bem_fmm_solves_per_s", "error": str(e)[:300]}
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
-                  args.orth, args.transfers)
+                  args.orth, args.transfers, args.freq_chunk)
         secondary = [iir, bem] + ([fmm] if fmm else [])
         out = dict(fem, secondary=secondary) if fem else None
     if out is not None:

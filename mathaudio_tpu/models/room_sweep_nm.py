@@ -163,6 +163,7 @@ class NodeMajorRoomSweep:
         mg_cycle_type: str = "v",
         gmres_orth: str = "cgs2",
         mg_transfers: str = "gather",
+        freq_chunk: int = 0,
     ):
         """(params, ks) -> (pressure (F, L), iterations (F,), converged
         (F,)); jit this. ``ks`` must be sorted ascending (anchored coarse
@@ -182,7 +183,15 @@ class NodeMajorRoomSweep:
         vs 224 ms at bench shape (2048 x 9261), because the 4D reshaped
         einsum views force relayouts against the (N, F) pipeline that the
         out-of-context timing never pays, and the transfers are only ~4%
-        of the cycle to begin with. Measured on v5e, 2026-08-18."""
+        of the cycle to begin with. Measured on v5e, 2026-08-18.
+
+        ``freq_chunk``: > 0 streams the band through sequential lax.map
+        chunks of that many frequencies (must divide len(ks)), bounding
+        resident HBM to one chunk's GMRES basis + vectors — the device
+        analog of the reference's MemoryEstimate batch planner
+        (room_simulator_fem.rs:56-120). ``mg_coarse_anchors`` then counts
+        anchors PER CHUNK. Use utils.memory to size it, or 0 (default)
+        for the whole band at once."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
         if mg_transfers not in ("gather", "tp"):
             raise ValueError(f"unknown mg_transfers {mg_transfers!r}")
@@ -190,6 +199,22 @@ class NodeMajorRoomSweep:
         absorption = self.absorption
 
         def fn(params: NodeMajorParams, ks):
+            nf_total = ks.shape[0]
+            if freq_chunk and 0 < freq_chunk < nf_total:
+                if nf_total % freq_chunk:
+                    raise ValueError(
+                        f"freq_chunk={freq_chunk} does not divide the band "
+                        f"({nf_total} frequencies)"
+                    )
+                nc = nf_total // freq_chunk
+                p, its, conv = jax.lax.map(
+                    lambda ks_c: _one_chunk(params, ks_c),
+                    ks.reshape(nc, freq_chunk),
+                )
+                return p.reshape(nf_total, -1), its.reshape(-1), conv.reshape(-1)
+            return _one_chunk(params, ks)
+
+        def _one_chunk(params: NodeMajorParams, ks):
             nf = ks.shape[0]
             cd = params.rhs.dtype
             n = params.rhs.shape[0]

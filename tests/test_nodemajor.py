@@ -384,3 +384,42 @@ class TestCgs1Orthogonalization:
         with pytest.raises(ValueError, match="orthogonalization"):
             gmres_batched(lambda x: x, jnp.ones((4, 2), jnp.complex128),
                           orth="mgs")
+
+
+def test_freq_chunked_sweep_matches_whole_band():
+    """freq_chunk streaming (the HBM-bounded 4096-band path) is exactly
+    the whole-band sweep per chunk: same anchors-per-chunk grouping ->
+    lane-for-lane equality."""
+    import jax
+
+    from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
+    from mathaudio_tpu.models import RoomSweepModel
+    from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
+    from mathaudio_tpu.solvers import KrylovConfig
+
+    meshes = box_hierarchy(6, 2)
+    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+    model = RoomSweepModel(
+        meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+        listening_positions=((0.25, 0.25, 0.25),), assembler=mg.assemblers[0],
+    )
+    nm = NodeMajorRoomSweep(model, mg)
+    params = nm.params()
+    config = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=6)
+    ks = jnp.linspace(0.6, 2.1, 16, dtype=model.dtype)
+
+    whole = jax.jit(nm.sweep_fn(config, mg_nu=1, mg_omega=1.0,
+                                mg_coarse_anchors=8))
+    chunked = jax.jit(nm.sweep_fn(config, mg_nu=1, mg_omega=1.0,
+                                  mg_coarse_anchors=2, freq_chunk=4))
+    p_w, its_w, conv_w = whole(params, ks)
+    p_c, its_c, conv_c = chunked(params, ks)
+    assert bool(jnp.all(conv_w)) and bool(jnp.all(conv_c))
+    np.testing.assert_array_equal(np.asarray(its_c), np.asarray(its_w))
+    # the Newton-Schulz anchor-inverse chain normalizes over the anchor
+    # batch, so different chunk groupings differ at roundoff (~1e-9)
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_w),
+                               rtol=1e-6, atol=1e-9)
+
+    with np.testing.assert_raises(ValueError):
+        jax.jit(nm.sweep_fn(config, freq_chunk=5))(params, ks)
