@@ -436,6 +436,7 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
         ClusterBlockPreconditioner,
         build_mlfmm_tree_system,
         build_slfmm_system,
+        gather_form,
     )
     from mathaudio_tpu.bem.fmm_chip import (
         fmm_chip_matvec_fn,
@@ -470,6 +471,10 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
                 op = build_mlfmm_tree_system(surf, k, beta=beta,
                                              stability_tau=1e4, max_per_leaf=32)
             pre = ClusterBlockPreconditioner.from_operator(op)
+            # scatter-free accumulation tables: TPU scatter-adds serialize
+            # per row (the per-level translation scatter alone measured
+            # ~12 s per N=20480 matvec); the gather form streams instead
+            op = gather_form(op)
             inc = plane_wave((0.0, 0.0, 1.0))
             rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), k)) - beta * (
                 np.asarray(
@@ -488,8 +493,11 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
     print(f"# fmm {tier} build N={n} ka={k}: {t_build:.1f}s (host, f64)",
           file=sys.stderr)
 
-    planes = split_planes(op, dtype=plane_dtype)
-    pre_planes = split_planes(pre, dtype=plane_dtype)
+    # Ship the real planes to the device ONCE: without this every solve
+    # re-transfers the whole operator (GBs) over the tunnel per call.
+    planes = jax.device_put(split_planes(op, dtype=plane_dtype))
+    pre_planes = jax.device_put(split_planes(pre, dtype=plane_dtype))
+    jax.block_until_ready(planes)
 
     mv = jax.jit(fmm_chip_matvec_fn())
     yr, yi = mv(planes, jnp.asarray(x_chk.real.astype(plane_dtype)),

@@ -177,7 +177,14 @@ def _stable_far_orders(k, c_centers, radii, far, order: int, tau: float):
 
 
 class SlfmmData(NamedTuple):
-    """Pytree of the padded FMM tensors (device)."""
+    """Pytree of the padded FMM tensors (device).
+
+    The two trailing optional fields are the SCATTER-FREE accumulation
+    tables (see ``gather_form``): TPU scatter-adds serialize per row
+    (measured: the per-level translation scatter alone cost ~12 s per
+    N=20480 matvec on the chip), so the chip path inverts every scatter
+    into a padded target-side gather + reduction. ``None`` keeps the
+    original scatter matvec (fine on CPU)."""
 
     clusters: jnp.ndarray  # (C, m) element ids (pad -> 0)
     cluster_mask: jnp.ndarray  # (C, m) 1/0
@@ -190,6 +197,68 @@ class SlfmmData(NamedTuple):
     near_blocks: jnp.ndarray  # (P, m, m) dense near-field blocks
     diag_add: jnp.ndarray  # (N,) identity/jump + self terms
     prefactor: jnp.ndarray  # scalar ik/(16 pi^2)
+    near_of_tgt: Optional[jnp.ndarray] = None  # (C, Kn) pair ids, pad = P
+    elem_pos: Optional[jnp.ndarray] = None  # (N,) flat index into (C*m)
+
+
+def _pad_by_target(tgt: np.ndarray, n_targets: int, pad_value: int):
+    """(C, K) table of item indices grouped by target (stable order),
+    padded with ``pad_value`` — the scatter-to-gather inversion."""
+    tgt = np.asarray(tgt, np.int64)
+    counts = np.bincount(tgt, minlength=n_targets)
+    kmax = max(int(counts.max(initial=0)), 1)
+    table = np.full((n_targets, kmax), pad_value, np.int32)
+    srt = np.argsort(tgt, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(len(tgt)) - starts[tgt[srt]]
+    table[tgt[srt], rank] = srt.astype(np.int32)
+    return table
+
+
+def _elem_positions(clusters: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """(N,) flat (cluster*m + slot) position of every element — valid
+    because octree leaves partition the elements (each appears once)."""
+    clusters = np.asarray(clusters)
+    mask = np.asarray(mask)
+    m = clusters.shape[1]
+    cidx, sidx = np.nonzero(mask > 0)
+    n = int(clusters[cidx, sidx].max()) + 1
+    pos = np.zeros(n, np.int32)
+    pos[clusters[cidx, sidx]] = (cidx * m + sidx).astype(np.int32)
+    return pos
+
+
+def gather_form(op):
+    """Return a copy of an FMM operator whose matvec accumulates through
+    padded target-side GATHER tables instead of scatter-adds — the
+    TPU-native form (scatters serialize per row on the chip; gathers +
+    lane reductions stream). Accepts SlfmmOperator / MlfmmTreeOperator /
+    MlfmmOperator; numerics are identical (summation order within a
+    target follows pair order)."""
+    if isinstance(op, MlfmmTreeOperator):
+        return MlfmmTreeOperator(_tree_gather_form(op.data), op.n)
+    if isinstance(op, MlfmmOperator):
+        d = op.data
+        leaf = _slfmm_gather_form(d.leaf)
+        coarse_pos = jnp.asarray(
+            _elem_positions(np.asarray(d.coarse_clusters), np.asarray(d.coarse_mask))
+        )
+        return MlfmmOperator(
+            d._replace(leaf=leaf, coarse_elem_pos=coarse_pos), op.n
+        )
+    if isinstance(op, SlfmmOperator):
+        return SlfmmOperator(_slfmm_gather_form(op.data), op.n)
+    raise TypeError(f"unsupported operator {type(op).__name__}")
+
+
+def _slfmm_gather_form(d: SlfmmData) -> SlfmmData:
+    near_of_tgt = _pad_by_target(
+        np.asarray(d.near_b), d.clusters.shape[0], pad_value=d.near_b.shape[0]
+    )
+    elem_pos = _elem_positions(np.asarray(d.clusters), np.asarray(d.cluster_mask))
+    return d._replace(
+        near_of_tgt=jnp.asarray(near_of_tgt), elem_pos=jnp.asarray(elem_pos)
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -210,6 +279,13 @@ class SlfmmOperator(LinearOperator):
         )
         xa = x[d.clusters[d.near_a]] * d.cluster_mask[d.near_a].astype(x.dtype)
         near = jnp.einsum("pij,pj->pi", d.near_blocks, xa)
+        if d.elem_pos is not None:  # scatter-free form (gather_form)
+            nearp = jnp.concatenate(
+                [near, jnp.zeros((1, near.shape[1]), near.dtype)]
+            )
+            near_t = jnp.sum(jnp.take(nearp, d.near_of_tgt, axis=0), axis=1)
+            tot = (far + near_t) * d.cluster_mask.astype(x.dtype)
+            return tot.reshape(-1)[d.elem_pos] + d.diag_add * x
         out = jnp.zeros(self.n, x.dtype)
         out = out.at[d.clusters.reshape(-1)].add((far * d.cluster_mask.astype(x.dtype)).reshape(-1))
         tgt = d.clusters[d.near_b]
@@ -657,6 +733,7 @@ class MlfmmData(NamedTuple):
     coarse_d: jnp.ndarray  # (Cc, Cc, Qc)
     coarse_w: jnp.ndarray  # (Qc,)
     coarse_prefactor: jnp.ndarray
+    coarse_elem_pos: Optional[jnp.ndarray] = None  # (N,) gather_form
 
 
 @jax.tree_util.register_pytree_node_class
@@ -676,9 +753,10 @@ class MlfmmOperator(LinearOperator):
         far = d.coarse_prefactor * jnp.einsum(
             "q,cqm,cq->cm", d.coarse_w.astype(x.dtype), d.coarse_s, lam
         )
-        out = out.at[d.coarse_clusters.reshape(-1)].add(
-            (far * d.coarse_mask.astype(x.dtype)).reshape(-1)
-        )
+        far = far * d.coarse_mask.astype(x.dtype)
+        if d.coarse_elem_pos is not None:  # scatter-free (gather_form)
+            return out + far.reshape(-1)[d.coarse_elem_pos]
+        out = out.at[d.coarse_clusters.reshape(-1)].add(far.reshape(-1))
         return out
 
     def tree_flatten(self):
@@ -1096,7 +1174,9 @@ def translation_operator_pairwise(k, d_vecs, dirs, lmax: int, orders) -> np.ndar
 
 class MlfmmLevel(NamedTuple):
     """One tree level (device arrays). M2M/L2L fields tie this level to
-    the previous (coarser) one; they are empty at the top level."""
+    the previous (coarser) one; they are empty at the top level. The
+    four trailing optional fields are the scatter-free (gather_form)
+    accumulation tables — see SlfmmData."""
 
     parent: jnp.ndarray  # (C,) index into the coarser level's nodes
     shift_up: jnp.ndarray  # (C, Q_coarse) e^{-ik s.(c_child - c_parent)}
@@ -1106,6 +1186,9 @@ class MlfmmLevel(NamedTuple):
     trans_tgt: jnp.ndarray  # (P,) target node of each far pair here
     trans_src: jnp.ndarray  # (P,)
     trans_op: jnp.ndarray  # (P, Q) diagonal translation values
+    trans_of_tgt: Optional[jnp.ndarray] = None  # (C, K) pair ids, pad = P
+    children_idx: Optional[jnp.ndarray] = None  # (C_coarse, Kc) node ids here
+    children_mask: Optional[jnp.ndarray] = None  # (C_coarse, Kc) 1/0
 
 
 class MlfmmTreeData(NamedTuple):
@@ -1120,6 +1203,51 @@ class MlfmmTreeData(NamedTuple):
     diag_add: jnp.ndarray
     prefactor: jnp.ndarray
     levels: Tuple[MlfmmLevel, ...]  # coarsest ... leaf
+    near_of_tgt: Optional[jnp.ndarray] = None  # (C_leaf, Kn) gather_form
+    elem_pos: Optional[jnp.ndarray] = None  # (N,) gather_form
+
+
+def _tree_gather_form(d: MlfmmTreeData) -> MlfmmTreeData:
+    """Scatter-free tables for the hierarchical matvec: per-level
+    translation pairs grouped by target, M2M parent reductions inverted
+    into per-parent children tables, near pairs grouped by target leaf,
+    and the leaf-output scatter inverted into the element-position
+    gather."""
+    levels = list(d.levels)
+    new_levels = []
+    for i, lv in enumerate(levels):
+        c_here = (
+            levels[i + 1].parent.shape[0] if i + 1 < len(levels)
+            else d.clusters.shape[0]
+        )
+        n_pairs = int(lv.trans_tgt.shape[0])
+        tot = (
+            jnp.asarray(_pad_by_target(np.asarray(lv.trans_tgt), c_here, n_pairs))
+            if n_pairs
+            else jnp.zeros((c_here, 1), jnp.int32)
+        )
+        kw = {"trans_of_tgt": tot}
+        if i > 0:  # children table lives on the level whose parents it maps
+            par = np.asarray(lv.parent)
+            n_coarse = (
+                levels[i - 1].parent.shape[0]
+            )
+            tbl = _pad_by_target(par, n_coarse, pad_value=0)
+            counts = np.bincount(par, minlength=n_coarse)
+            kc = tbl.shape[1]
+            mask = (np.arange(kc)[None, :] < counts[:, None]).astype(np.float32)
+            kw["children_idx"] = jnp.asarray(tbl)
+            kw["children_mask"] = jnp.asarray(mask)
+        new_levels.append(lv._replace(**kw))
+    near_of_tgt = _pad_by_target(
+        np.asarray(d.near_b), d.clusters.shape[0], pad_value=int(d.near_b.shape[0])
+    )
+    elem_pos = _elem_positions(np.asarray(d.clusters), np.asarray(d.cluster_mask))
+    return d._replace(
+        levels=tuple(new_levels),
+        near_of_tgt=jnp.asarray(near_of_tgt),
+        elem_pos=jnp.asarray(elem_pos),
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -1135,6 +1263,7 @@ class MlfmmTreeOperator(LinearOperator):
     def matvec(self, x):
         d = self.data
         nlev = len(d.levels)
+        gather = d.elem_pos is not None  # scatter-free form (gather_form)
         xc = x[d.clusters] * d.cluster_mask.astype(x.dtype)
         mu = [None] * nlev
         mu[-1] = jnp.einsum("cqm,cm->cq", d.t_tensor, xc)
@@ -1142,15 +1271,28 @@ class MlfmmTreeOperator(LinearOperator):
             lv = d.levels[i]
             up = (mu[i] @ lv.interp_up.T.astype(mu[i].dtype)) * lv.shift_up
             n_coarse = d.levels[i - 1].parent.shape[0]  # parent stored per node
-            mu[i - 1] = jnp.zeros((n_coarse, up.shape[1]), up.dtype).at[lv.parent].add(up)
+            if gather:
+                mu[i - 1] = jnp.sum(
+                    jnp.take(up, lv.children_idx, axis=0)
+                    * lv.children_mask[:, :, None].astype(up.dtype),
+                    axis=1,
+                )
+            else:
+                mu[i - 1] = jnp.zeros((n_coarse, up.shape[1]), up.dtype).at[lv.parent].add(up)
         loc = None
         for i in range(nlev):  # downward: translate + L2L
             lv = d.levels[i]
-            lam = jnp.zeros_like(mu[i])
             if lv.trans_op.shape[0]:
-                lam = lam.at[lv.trans_tgt].add(
-                    lv.trans_op.astype(lam.dtype) * mu[i][lv.trans_src]
-                )
+                contrib = lv.trans_op.astype(mu[i].dtype) * mu[i][lv.trans_src]
+                if gather:
+                    cp = jnp.concatenate(
+                        [contrib, jnp.zeros((1, contrib.shape[1]), contrib.dtype)]
+                    )
+                    lam = jnp.sum(jnp.take(cp, lv.trans_of_tgt, axis=0), axis=1)
+                else:
+                    lam = jnp.zeros_like(mu[i]).at[lv.trans_tgt].add(contrib)
+            else:
+                lam = jnp.zeros_like(mu[i])
             if loc is not None:
                 lam = lam + (loc[lv.parent] * lv.shift_down) @ lv.interp_down.T.astype(
                     lam.dtype
@@ -1161,6 +1303,13 @@ class MlfmmTreeOperator(LinearOperator):
         )
         xa = x[d.clusters[d.near_a]] * d.cluster_mask[d.near_a].astype(x.dtype)
         near = jnp.einsum("pij,pj->pi", d.near_blocks, xa)
+        if gather:
+            nearp = jnp.concatenate(
+                [near, jnp.zeros((1, near.shape[1]), near.dtype)]
+            )
+            near_t = jnp.sum(jnp.take(nearp, d.near_of_tgt, axis=0), axis=1)
+            tot = (far + near_t) * d.cluster_mask.astype(x.dtype)
+            return tot.reshape(-1)[d.elem_pos] + d.diag_add * x
         out = jnp.zeros(self.n, x.dtype)
         out = out.at[d.clusters.reshape(-1)].add(
             (far * d.cluster_mask.astype(x.dtype)).reshape(-1)
@@ -1544,10 +1693,11 @@ class ClusterBlockPreconditioner(LinearOperator):
     setup, and the apply is a single batched triangular solve on the
     MXU (complex handled via the real 2m x 2m embedding)."""
 
-    def __init__(self, inv, clusters, mask, n):
+    def __init__(self, inv, clusters, mask, elem_pos, n):
         self.inv = inv  # (C, 2m, 2m) explicit embedded inverses
         self.clusters = clusters
         self.mask = mask
+        self.elem_pos = elem_pos  # (N,) flat gather positions (no scatter)
         self.n = n
 
     @classmethod
@@ -1578,24 +1728,21 @@ class ClusterBlockPreconditioner(LinearOperator):
         emb = np.block([[re, -im], [im, re]])  # (c, 2m, 2m)
         inv = jnp.asarray(np.linalg.inv(emb))
         n = int(data.diag_add.shape[0])
-        # padded slots scatter out of bounds (dropped) instead of
-        # clobbering element 0
-        cl_safe = np.where(mk > 0, cl, n)
-        return cls(inv, jnp.asarray(cl_safe), jnp.asarray(mk), n)
+        elem_pos = jnp.asarray(_elem_positions(cl, mk))
+        return cls(inv, jnp.asarray(cl), jnp.asarray(mk), elem_pos, n)
 
     def matvec(self, r):
-        rc = r[jnp.minimum(self.clusters, self.n - 1)] * self.mask.astype(r.dtype)
+        rc = r[self.clusters] * self.mask.astype(r.dtype)
         b2 = jnp.concatenate([jnp.real(rc), jnp.imag(rc)], axis=1)  # (C, 2m)
         x2 = jnp.einsum("cij,cj->ci", self.inv.astype(b2.dtype), b2)
         m = self.clusters.shape[1]
         xc = jax.lax.complex(x2[:, :m], x2[:, m:]).astype(r.dtype)
-        out = jnp.zeros(self.n, r.dtype)
-        return out.at[self.clusters.reshape(-1)].set(
-            (xc * self.mask.astype(r.dtype)).reshape(-1), mode="drop"
-        )
+        # leaves partition elements, so the scatter-set is a permutation:
+        # apply it as the inverse GATHER (TPU scatters serialize per row)
+        return (xc * self.mask.astype(r.dtype)).reshape(-1)[self.elem_pos]
 
     def tree_flatten(self):
-        return (self.inv, self.clusters, self.mask), self.n
+        return (self.inv, self.clusters, self.mask, self.elem_pos), self.n
 
     @classmethod
     def tree_unflatten(cls, aux, children):

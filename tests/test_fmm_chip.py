@@ -143,3 +143,55 @@ def test_mlfmm_tree_planes_roundtrip(surf):
     np.testing.assert_allclose(
         np.asarray(op2.matvec(x)), np.asarray(op.matvec(x)), rtol=0, atol=0
     )
+
+
+def test_gather_form_matches_scatter_slfmm(surf, slfmm_op):
+    """gather_form (the scatter-free chip accumulation) is numerically
+    the scatter matvec on SLFMM."""
+    from mathaudio_tpu.bem.fmm import gather_form
+
+    g = gather_form(slfmm_op)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(slfmm_op.n)
+                    + 1j * rng.standard_normal(slfmm_op.n))
+    np.testing.assert_allclose(
+        np.asarray(g.matvec(x)), np.asarray(slfmm_op.matvec(x)),
+        rtol=1e-13, atol=1e-14,
+    )
+
+
+def test_gather_form_matches_scatter_mlfmm_tree(surf):
+    from mathaudio_tpu.bem.fmm import build_mlfmm_tree_system, gather_form
+
+    # subdiv-3 mesh: deep enough octree that the tree genuinely uses
+    # >= 2 levels of M2M/L2L (same shape as the mixed-tree tests)
+    op = build_mlfmm_tree_system(icosphere(1.0, 3), K, beta=0.1j)
+    g = gather_form(op)
+    assert len(op.data.levels) >= 2  # need real M2M/L2L + per-level trans
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(op.n) + 1j * rng.standard_normal(op.n))
+    # not bitwise: the target-side grouping reorders the summation of
+    # ~1e5-amplitude translation terms (tau=1e8 default) — ~1e-10 rel
+    np.testing.assert_allclose(
+        np.asarray(g.matvec(x)), np.asarray(op.matvec(x)),
+        rtol=1e-8, atol=1e-9,
+    )
+    # gather form survives the planes round trip (the chip combination)
+    g2 = join_planes(split_planes(g, dtype=None))
+    np.testing.assert_allclose(
+        np.asarray(g2.matvec(x)), np.asarray(op.matvec(x)),
+        rtol=1e-8, atol=1e-9,
+    )
+
+
+def test_gather_form_two_level(surf):
+    from mathaudio_tpu.bem.fmm import build_mlfmm_system, gather_form
+
+    op = build_mlfmm_system(surf, K)
+    g = gather_form(op)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal(op.n) + 1j * rng.standard_normal(op.n))
+    np.testing.assert_allclose(
+        np.asarray(g.matvec(x)), np.asarray(op.matvec(x)),
+        rtol=1e-13, atol=1e-14,
+    )
