@@ -487,6 +487,20 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
             rng = np.random.default_rng(0)
             x_chk = rng.standard_normal(n) + 1j * rng.standard_normal(n)
             y_ref = np.asarray(op.matvec(jnp.asarray(x_chk)))
+            # Mie reference (f64 series — overflows in f32; eager complex,
+            # so it must run on the CPU backend inside this x64 block)
+            from mathaudio_tpu.wave.analytical.solutions_3d import (
+                sphere_scattering_3d,
+            )
+
+            c = surf.centers
+            r_mie = float(np.linalg.norm(c, axis=1).mean())
+            th = np.arccos(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1))
+            ex = np.asarray(
+                sphere_scattering_3d(
+                    k, 1.0, max(60, int(2 * k) + 20), [r_mie], th
+                ).pressure
+            ).reshape(-1)
     finally:
         jax.config.update("jax_enable_x64", x64_was or device == "cpu")
     t_build = time.perf_counter() - t0
@@ -524,17 +538,6 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
           f"iters={int(it)}, converged={bool(conv)}", file=sys.stderr)
     assert bool(conv), "FMM GMRES did not converge"
 
-    # accuracy vs the Mie series on the surface (all centers share one r;
-    # the series is eager complex math — run it on the CPU backend)
-    from mathaudio_tpu.wave.analytical.solutions_3d import sphere_scattering_3d
-
-    c = surf.centers
-    r = float(np.linalg.norm(c, axis=1).mean())
-    th = np.arccos(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1))
-    with jax.default_device(cpu):
-        ex = np.asarray(
-            sphere_scattering_3d(k, 1.0, max(60, int(2 * k) + 20), [r], th).pressure
-        ).reshape(-1)
     rel_mie = float(np.linalg.norm(x_sol - ex) / np.linalg.norm(ex))
     print(f"# fmm {tier} surface pressure vs Mie: rel={rel_mie:.2e}",
           file=sys.stderr)

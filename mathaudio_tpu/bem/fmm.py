@@ -1216,10 +1216,8 @@ def _tree_gather_form(d: MlfmmTreeData) -> MlfmmTreeData:
     levels = list(d.levels)
     new_levels = []
     for i, lv in enumerate(levels):
-        c_here = (
-            levels[i + 1].parent.shape[0] if i + 1 < len(levels)
-            else d.clusters.shape[0]
-        )
+        # parent is stored per node, so its length IS this level's count
+        c_here = int(lv.parent.shape[0])
         n_pairs = int(lv.trans_tgt.shape[0])
         tot = (
             jnp.asarray(_pad_by_target(np.asarray(lv.trans_tgt), c_here, n_pairs))

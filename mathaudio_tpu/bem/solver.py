@@ -9,6 +9,7 @@ from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from mathaudio_tpu.bem.assembly import (
@@ -160,6 +161,33 @@ class BemSolver:
 
         info = {"method": cfg.method.value, "burton_miller": cfg.burton_miller,
                 "n": mesh.num_elements}
+        if cfg.device_mesh is not None and cfg.method != SolverMethod.LU:
+            # Row-block-sharded dense Krylov over a device mesh
+            # (parallel/spmd.py; SURVEY §5). Jacobi-preconditioned GMRES
+            # with per-device matrix blocks and psum-reduced projections.
+            from mathaudio_tpu.parallel.spmd import (
+                shard_dense_rows,
+                sharded_dense_gmres_fn,
+                unshard,
+            )
+
+            n_dev = cfg.device_mesh.shape["dof"]
+            a_blocks, rhs_sh = shard_dense_rows(
+                np.asarray(a), np.asarray(rhs), n_dev
+            )
+            kcfg = KrylovConfig(
+                max_iterations=cfg.max_iterations,
+                tolerance=cfg.tolerance,
+                restart=cfg.restart,
+            )
+            sol = jax.jit(sharded_dense_gmres_fn(cfg.device_mesh, kcfg))(
+                a_blocks, rhs_sh
+            )
+            p = unshard(sol.x, mesh.num_elements)
+            info["converged"] = bool(sol.converged)
+            info["iterations"] = int(sol.iterations)
+            info["sharded_over"] = int(n_dev)
+            return BemSolution(problem, p, info)
         if cfg.method == SolverMethod.LU:
             p = lu_solve(a, rhs)
             info["converged"] = True

@@ -160,3 +160,8 @@ class BemSolverConfig:
     # max(quad_order, 4) floor; raise it explicitly for tighter mixed-BC
     # tolerances).
     quad_order: int = 3
+    # Optional jax.sharding.Mesh with a 'dof' axis: the rigid dense
+    # Krylov solve then row-block shards the matrix across the devices
+    # (parallel/spmd.sharded_dense_gmres_fn — SURVEY §5 "shard the dense
+    # BEM matrix by row blocks"). None = single device.
+    device_mesh: object = None

@@ -390,3 +390,25 @@ def test_nodemajor_sharded_rejects_indivisible(mesh):
     import jax.numpy as jnp
     with pytest.raises(ValueError, match="do not split"):
         fn(nm.params(), jnp.linspace(0.6, 2.0, 10, dtype=model.dtype))
+
+
+def test_bem_solver_device_mesh(mesh):
+    """BemSolver with a device mesh runs the rigid dense GMRES row-block
+    sharded across devices (SURVEY §5) and matches the single-device
+    solve."""
+    from mathaudio_tpu.bem import BemProblem, BemSolver, BemSolverConfig
+    from mathaudio_tpu.bem.types import SolverMethod
+
+    prob = BemProblem.rigid_sphere(1.5, subdivisions=2)
+    base_cfg = dict(method=SolverMethod.GMRES, tolerance=1e-9,
+                    max_iterations=400, restart=40)
+    sol_ref = BemSolver(BemSolverConfig(**base_cfg)).solve(prob)
+    sol_sh = BemSolver(
+        BemSolverConfig(**base_cfg, device_mesh=mesh)
+    ).solve(prob)
+    assert sol_sh.info["converged"] and sol_sh.info["sharded_over"] == N_DEV
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.surface_pressure),
+        np.asarray(sol_ref.surface_pressure),
+        rtol=1e-6, atol=1e-9,
+    )
