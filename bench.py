@@ -401,8 +401,8 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
 # reference tier is "FMM + GMRES + ILU, N < 20000 / FMM + batched,
 # N > 20000", qa_suite.rs:9-14). Keys: (n_elements, tier).
 BASELINE_CPU_FMM_SOLVES_PER_S = {
-    (5120, "slfmm"): 0.0304,
-    (20480, "mlfmm"): 0.0733,
+    (5120, "slfmm"): 0.0334,
+    (20480, "mlfmm"): 0.0255,
 }
 
 
