@@ -16,8 +16,10 @@ Stages (each prints a pass/fail metric):
    operator + cluster-block preconditioner, validated against the Mie
    series (rel L2 on surface pressure).
 
-Runs on CPU f64 (the FMM tensors are host-built complex arrays; the
-tunneled TPU transport cannot ship complex values).
+Runs on CPU f64 for oracle-grade validation. The same operators run on
+the TPU chip via re/im-plane shipping + the scatter-free gather form
+(bem/fmm_chip.py, bem/fmm.gather_form; `bench.py --metric fmm` records
+the chip solves: SLFMM N=5120 205 ms, MLFMM tree N=20480 998 ms).
 """
 
 import os as _os, sys as _sys

@@ -16,9 +16,12 @@ the reference's SlfmmMatvecWorkspace turned into static-shape algebra.
 
 Deployment note: the operator pytrees hold complex device arrays built
 on the host. Transports without complex serialization (e.g. tunneled
-dev TPUs) cannot ship them — on such hosts run the FMM paths on CPU, or
-ship real/imag pairs and recombine in-trace (see
-.claude/skills/verify/SKILL.md).
+dev TPUs) ship them as re/im REAL planes via bem/fmm_chip.py
+(split_planes -> device, join_planes in-trace); chip execution also
+wants ``gather_form`` (scatter-free accumulation — TPU scatter-adds
+serialize per row) and the f32 stability screen (stability_tau=1e4).
+Measured on one v5e: SLFMM N=5120 solve 205 ms (146x CPU f64), MLFMM
+tree N=20480 solve 998 ms (39x) — `bench.py --metric fmm`.
 Kernel variants: double layer (CBIE) and Burton-Miller combination via
 direction-space factors (-ik s.n_y) and (ik s.n_x).
 """
