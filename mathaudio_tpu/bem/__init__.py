@@ -44,3 +44,20 @@ from mathaudio_tpu.bem.postprocess import (  # noqa: F401
     generate_plane_eval_points,
     generate_sphere_eval_points,
 )
+from mathaudio_tpu.bem.fmm import (  # noqa: F401
+    ClusterBlockPreconditioner,
+    build_mlfmm_system,
+    build_mlfmm_tree_mixed_system,
+    build_mlfmm_tree_system,
+    build_room_fmm_system,
+    build_slfmm_mixed_system,
+    build_slfmm_system,
+    gather_form,
+    near_ilu_preconditioner,
+)
+from mathaudio_tpu.bem.fmm_chip import (  # noqa: F401
+    fmm_chip_matvec_fn,
+    fmm_chip_solve_fn,
+    join_planes,
+    split_planes,
+)
