@@ -675,15 +675,19 @@ if __name__ == "__main__":
         # must not cost the other recorded metrics.
         iir = run_iir(args.device, args.repeats, args.calibrate)
         bem = run_bem(args.device, args.repeats, args.calibrate, args.bem_subdiv, args.bem_solver, args.ab_pallas)
-        try:
-            fmm = run_fmm(args.device, args.repeats, args.calibrate, args.fmm_tier)
-        except Exception as e:  # noqa: BLE001 — record, don't lose the run
-            print(f"# fmm metric failed: {type(e).__name__}: {e}", file=sys.stderr)
-            fmm = {"metric": "bem_fmm_solves_per_s", "error": str(e)[:300]}
+        fmms = []
+        for tier in ("slfmm", "mlfmm"):
+            try:
+                fmms.append(run_fmm(args.device, args.repeats, args.calibrate, tier))
+            except Exception as e:  # noqa: BLE001 — record, don't lose the run
+                print(f"# fmm {tier} metric failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                fmms.append({"metric": "bem_fmm_solves_per_s", "tier": tier,
+                             "error": str(e)[:300]})
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
                   args.orth, args.transfers, args.freq_chunk)
-        secondary = [iir, bem] + ([fmm] if fmm else [])
+        secondary = [iir, bem] + [f for f in fmms if f]
         out = dict(fem, secondary=secondary) if fem else None
     if out is not None:
         print(json.dumps(out))
