@@ -634,6 +634,10 @@ if __name__ == "__main__":
                          "despite a 6x microbench win — see "
                          "models/room_sweep_nm.py sweep_fn docstring)")
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
+    ap.add_argument("--dia", default="xla", choices=["xla", "pallas"],
+                    help="node-major DIA matvec lowering: xla (15 shifted "
+                         "passes) or pallas (halo-tiled single pass, "
+                         "fem/dia.dia_matvec_pallas)")
     ap.add_argument("--freq-chunk", type=int, default=0,
                     help="node-major sweep: stream the band in sequential "
                          "chunks of this many frequencies (0 = whole band; "
@@ -648,6 +652,10 @@ if __name__ == "__main__":
                          "both timings (reproducible Pallas-vs-XLA artifact)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
+    if args.dia == "pallas":
+        import os as _os
+
+        _os.environ["MATHAUDIO_DIA_PALLAS"] = "1"
     if args.device == "tpu":
         _check_tpu_reachable()
     try:  # persistent compile cache for every metric (see run())

@@ -96,6 +96,21 @@ def _pad_amount(offsets: Tuple[int, ...]) -> int:
     return (b + 7) // 8 * 8  # sublane-aligned padding
 
 
+def _use_dia_pallas(n: int, dtype) -> bool:
+    """Route large c64 matvecs through the halo-tiled Pallas kernel when
+    MATHAUDIO_DIA_PALLAS=1 (opt-in until chip-measured; see
+    dia_matvec_pallas). Small levels stay on XLA — the tile+halo window
+    would dwarf them."""
+    import os
+
+    return (
+        os.environ.get("MATHAUDIO_DIA_PALLAS") == "1"
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.complex64
+        and n >= 4096
+    )
+
+
 def dia_matvec(offsets: Tuple[int, ...], tables: DiaTables, cm, cb, x):
     """y = (K - cm M + cb B) x over a node-major batch.
 
@@ -107,6 +122,8 @@ def dia_matvec(offsets: Tuple[int, ...], tables: DiaTables, cm, cb, x):
     never materialized.
     """
     n = x.shape[0]
+    if _use_dia_pallas(n, x.dtype):
+        return dia_matvec_pallas(offsets, tables, cm, cb, x)
     pad = _pad_amount(offsets)
     xp = jnp.pad(x, ((pad, pad), (0, 0)))
     acc_k = jnp.zeros_like(x)
@@ -127,3 +144,143 @@ def dia_diag(tables: DiaTables, cm, cb):
         - cm[None, :] * tables.dm[:, None]
         + cb[None, :] * tables.db[:, None]
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas halo-tiled DIA matvec: one pass over x instead of D shifted passes.
+#
+# The XLA form above reads x once per diagonal (D=15 dynamic slices of the
+# padded buffer) — ~2.3 GB of HBM traffic per bench-shape matvec, measured
+# at ~70% of copy bandwidth for that traffic (3.4 ms). The kernel below
+# DMAs each node tile PLUS ITS HALO into VMEM once and applies all D
+# diagonals from there, cutting x traffic to (tile + 2H)/tile ~ 1.9x.
+#
+# Complex handling with REAL tables is free: x.view(float32) interleaves
+# re/im in the lane dimension (lane 2f = Re f, 2f+1 = Im f), and the three
+# accumulators are real linear maps, so they act on the interleaved view
+# unchanged. Only the final frequency-scalar combine mixes the lanes: a
+# complex multiply on interleaved lanes is s1*m + s2*roll(m, -1) +
+# s3*roll(m, +1) with parity-masked scalar lane vectors (see
+# _combine_scalars) — two lane rolls per accumulator, no relayout.
+# ---------------------------------------------------------------------------
+
+
+def _combine_scalars(cm, cb, rdtype):
+    """(6, 2F) parity-masked lane vectors of the interleaved combine
+    y = acc_k - cm*acc_m + cb*acc_b. Row order: s1m, s2m, s3m, s1b,
+    s2b, s3b, where term = s1*acc + s2*roll(acc,-1) + s3*roll(acc,+1)."""
+    a, b = jnp.real(cm).astype(rdtype), jnp.imag(cm).astype(rdtype)
+    c, d = jnp.real(cb).astype(rdtype), jnp.imag(cb).astype(rdtype)
+    z = jnp.zeros_like(a)
+
+    def interleave(ev, od):
+        return jnp.stack([ev, od], axis=-1).reshape(-1)
+
+    # -cm * m: even (re) lanes -a*m[2f] + b*m[2f+1]; odd -a*m[2f+1] - b*m[2f]
+    s1m = interleave(-a, -a)
+    s2m = interleave(b, z)  # roll(-1) brings lane 2f+1 to 2f
+    s3m = interleave(z, -b)  # roll(+1) brings lane 2f to 2f+1
+    # +cb * b: (c+di)(u+vi) = (cu - dv) + (cv + du)i
+    s1b = interleave(c, c)
+    s2b = interleave(-d, z)
+    s3b = interleave(z, d)
+    return jnp.stack([s1m, s2m, s3m, s1b, s2b, s3b])
+
+
+def _dia_kernel(offsets, halo, tile_n, scal_ref, tabk_ref, tabm_ref, tabb_ref,
+                x_hbm, y_ref, xs_ref, sem):
+    """One (node-tile, lane-tile) program: DMA the tile+halo rows of the
+    interleaved x view into VMEM, accumulate the three real stencils with
+    static in-VMEM offsets, combine with the parity-masked scalars."""
+    import jax.experimental.pallas.tpu as pltpu
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    lt = xs_ref.shape[1]
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile_n, tile_n + 2 * halo),
+                 pl.ds(j * lt, lt)],
+        xs_ref,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    acc_k = jnp.zeros(y_ref.shape, y_ref.dtype)
+    acc_m = jnp.zeros(y_ref.shape, y_ref.dtype)
+    acc_b = jnp.zeros(y_ref.shape, y_ref.dtype)
+    for dd, off in enumerate(offsets):  # static unroll over diagonals
+        xs = xs_ref[pl.ds(halo + off, tile_n), :]
+        acc_k += tabk_ref[dd, :][:, None] * xs
+        acc_m += tabm_ref[dd, :][:, None] * xs
+        acc_b += tabb_ref[dd, :][:, None] * xs
+
+    import jax.experimental.pallas.tpu as _pt
+
+    def cmul(acc, s1, s2, s3):
+        # pltpu.roll wants non-negative shifts: -1 == lt-1 (circular)
+        return (
+            s1[None, :] * acc
+            + s2[None, :] * _pt.roll(acc, lt - 1, 1)
+            + s3[None, :] * _pt.roll(acc, 1, 1)
+        )
+
+    y_ref[:] = (
+        acc_k
+        + cmul(acc_m, scal_ref[0, :], scal_ref[1, :], scal_ref[2, :])
+        + cmul(acc_b, scal_ref[3, :], scal_ref[4, :], scal_ref[5, :])
+    )
+
+
+def dia_matvec_pallas(offsets: Tuple[int, ...], tables: DiaTables, cm, cb, x,
+                      tile_n: int = 512, lane_tile: int = 512):
+    """Pallas form of :func:`dia_matvec` — identical semantics.
+
+    x (N, F) complex64/128 -> (N, F); complex128 falls back to the XLA
+    form (no f64 on the TPU vector units)."""
+    from functools import partial
+
+    import jax.experimental.pallas.tpu as pltpu
+    from jax.experimental import pallas as pl
+
+    if x.dtype != jnp.complex64:
+        return dia_matvec(offsets, tables, cm, cb, x)
+    n, f = x.shape
+    rdt = jnp.float32
+    halo = _pad_amount(offsets)
+    pad_n = (-n) % tile_n
+    xv = x.view(rdt)  # (N, 2F) interleaved — free reinterpret
+    lanes = 2 * f
+    pad_l = (-lanes) % lane_tile
+    xp = jnp.pad(xv, ((halo, halo + pad_n), (0, pad_l)))
+    nt = (n + pad_n) // tile_n
+    lt_count = (lanes + pad_l) // lane_tile
+
+    scal = _combine_scalars(cm.astype(jnp.complex64), cb.astype(jnp.complex64), rdt)
+    scal = jnp.pad(scal, ((0, 0), (0, pad_l)))
+    tabs = [
+        jnp.pad(t.astype(rdt), ((0, 0), (0, pad_n)))
+        for t in (tables.k, tables.m, tables.b)
+    ]
+    d_count = tabs[0].shape[0]
+
+    out = pl.pallas_call(
+        partial(_dia_kernel, tuple(offsets), halo, tile_n),
+        grid=(nt, lt_count),
+        in_specs=[
+            pl.BlockSpec((6, lane_tile), lambda i, j: (0, j)),
+            pl.BlockSpec((d_count, tile_n), lambda i, j: (0, i)),
+            pl.BlockSpec((d_count, tile_n), lambda i, j: (0, i)),
+            pl.BlockSpec((d_count, tile_n), lambda i, j: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd
+        ],
+        out_specs=pl.BlockSpec((tile_n, lane_tile), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n + pad_n, lanes + pad_l), rdt),
+        scratch_shapes=[
+            pltpu.VMEM((tile_n + 2 * halo, lane_tile), rdt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(scal, tabs[0], tabs[1], tabs[2], xp)
+    return out[:n, :lanes].view(x.dtype)

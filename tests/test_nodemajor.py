@@ -423,3 +423,41 @@ def test_freq_chunked_sweep_matches_whole_band():
 
     with np.testing.assert_raises(ValueError):
         jax.jit(nm.sweep_fn(config, freq_chunk=5))(params, ks)
+
+
+def test_dia_matvec_pallas_matches_xla():
+    """Halo-tiled Pallas DIA matvec (interpret on CPU) == the XLA shifted
+    -slice form, including the interleaved complex combine."""
+    import jax
+
+    from mathaudio_tpu.fem.dia import dia_matvec, dia_matvec_pallas
+    from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
+    from mathaudio_tpu.models import RoomSweepModel
+    from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
+
+    meshes = box_hierarchy(6, 2)
+    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+    model = RoomSweepModel(meshes[0], wall_tags=(1, 2, 3, 4, 5, 6),
+                           absorption=0.15,
+                           listening_positions=((0.25, 0.25, 0.25),),
+                           assembler=mg.assemblers[0])
+    nm = NodeMajorRoomSweep(model, mg)
+    p = nm.params()
+    offs = nm.offsets[0]
+    n, F = p.rhs.shape[0], 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        (rng.standard_normal((n, F)) + 1j * rng.standard_normal((n, F))
+         ).astype(np.complex64)
+    )
+    ks = jnp.linspace(0.6, 2.1, F, dtype=jnp.float32)
+    cm = (ks * ks).astype(jnp.complex64)
+    cb = (-1j * 0.15 * ks).astype(jnp.complex64)
+    # f64 tables downcast inside; compare both at c64 working precision
+    y_ref = np.asarray(dia_matvec(offs, p.fine_tables, cm, cb, x))
+    # odd tile/lane sizes exercise padding paths
+    for tile_n, lane_tile in ((128, 16), (200, 8)):
+        y_p = np.asarray(dia_matvec_pallas(offs, p.fine_tables, cm, cb, x,
+                                           tile_n=tile_n, lane_tile=lane_tile))
+        rel = np.linalg.norm(y_p - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-5, (tile_n, lane_tile, rel)
