@@ -607,7 +607,7 @@ if __name__ == "__main__":
                          "(the reference's 'FMM + batched, N > 20000' row), "
                          "slfmm = single-level N=5120 ka=8")
     ap.add_argument("--n", type=int, default=20, help="mesh cells per axis")
-    ap.add_argument("--freqs", type=int, default=2048)
+    ap.add_argument("--freqs", type=int, default=4096)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--anchors", type=int, default=16,
                     help="coarse-inverse anchors shared across the frequency batch "
@@ -638,10 +638,14 @@ if __name__ == "__main__":
                     help="node-major DIA matvec lowering: xla (15 shifted "
                          "passes) or pallas (halo-tiled single pass, "
                          "fem/dia.dia_matvec_pallas)")
-    ap.add_argument("--freq-chunk", type=int, default=0,
+    ap.add_argument("--freq-chunk", type=int, default=2048,
                     help="node-major sweep: stream the band in sequential "
-                         "chunks of this many frequencies (0 = whole band; "
-                         "bounds HBM for large --freqs, e.g. 4096)")
+                         "chunks of this many frequencies (0 = whole band). "
+                         "Default 2048: the 4096-band streamed in two "
+                         "chunks posts 9.0e7 DoF-solves/s vs 8.65e7 for the "
+                         "2048 whole band and 8.16e7 for 4096 unchunked "
+                         "(measured 2026-08-19); also bounds HBM so wide "
+                         "bands can't OOM (VERDICT r2 item 9)")
     ap.add_argument("--bem-subdiv", type=int, default=4,
                     help="icosphere subdivision for the BEM metric (3=1280, 4=5120, 5=20480)")
     ap.add_argument("--bem-solver", default="auto", choices=["auto", "lu", "gmres"],
@@ -652,6 +656,11 @@ if __name__ == "__main__":
                          "both timings (reproducible Pallas-vs-XLA artifact)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
+    if args.sweep == "vmapped" and args.freq_chunk:
+        # the vmapped layout has its own HBM profile (2048 max) and no
+        # chunked path; fall back to the classic configuration
+        args.freq_chunk = 0
+        args.freqs = min(args.freqs, 2048)
     if args.dia == "pallas":
         import os as _os
 
