@@ -636,8 +636,10 @@ if __name__ == "__main__":
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
     ap.add_argument("--dia", default="xla", choices=["xla", "pallas"],
                     help="node-major DIA matvec lowering: xla (15 shifted "
-                         "passes) or pallas (halo-tiled single pass, "
-                         "fem/dia.dia_matvec_pallas)")
+                         "passes — the measured winner, 3.1 ms/matvec at "
+                         "headline shape) or pallas (halo-tiled single "
+                         "pass, 13.1 ms — kept for the record; "
+                         "examples/dia_matvec_ab.py)")
     ap.add_argument("--freq-chunk", type=int, default=2048,
                     help="node-major sweep: stream the band in sequential "
                          "chunks of this many frequencies (0 = whole band). "

@@ -98,9 +98,14 @@ def _pad_amount(offsets: Tuple[int, ...]) -> int:
 
 def _use_dia_pallas(n: int, dtype) -> bool:
     """Route large c64 matvecs through the halo-tiled Pallas kernel when
-    MATHAUDIO_DIA_PALLAS=1 (opt-in until chip-measured; see
-    dia_matvec_pallas). Small levels stay on XLA — the tile+halo window
-    would dwarf them."""
+    MATHAUDIO_DIA_PALLAS=1. Opt-in stays OFF: chip-measured at headline
+    shape (N=9261, F=2048, examples/dia_matvec_ab.py) the kernel LOSES —
+    13.1 ms/matvec (128x512 tiles) vs 3.1 ms for the XLA shifted-slice
+    form, and 256x512/512x256 tiles exceed the 16M scoped-VMEM limit.
+    XLA already fuses the D dynamic slices into one near-streaming pass;
+    the Pallas form pays a sublane rotate per unaligned diagonal offset
+    inside VMEM plus an unpipelined tile+halo DMA. Kept for the record
+    (same measured-decision treatment as gmres_pipelined)."""
     import os
 
     return (
@@ -153,7 +158,15 @@ def dia_diag(tables: DiaTables, cm, cb):
 # padded buffer) — ~2.3 GB of HBM traffic per bench-shape matvec, measured
 # at ~70% of copy bandwidth for that traffic (3.4 ms). The kernel below
 # DMAs each node tile PLUS ITS HALO into VMEM once and applies all D
-# diagonals from there, cutting x traffic to (tile + 2H)/tile ~ 1.9x.
+# diagonals from there, aiming to cut x traffic (tile + 2H)/tile-fold.
+#
+# MEASURED OUTCOME (chip, examples/dia_matvec_ab.py, N=9261 F=2048): the
+# kernel LOSES 4.2x — 13.1 ms/matvec (128x512) vs 3.1 ms XLA. Two causes:
+# every non-multiple-of-8 diagonal offset makes xs_ref[pl.ds(...)] a
+# sublane rotate of the whole tile (15 of them, x3 tables), and the
+# manual start/wait DMA never overlaps compute. XLA meanwhile fuses the
+# 15 shifted reads into one near-streaming loop on its own. The kernel
+# stays as an opt-in record; the XLA form is the production path.
 #
 # Complex handling with REAL tables is free: x.view(float32) interleaves
 # re/im in the lane dimension (lane 2f = Re f, 2f+1 = Im f), and the three
@@ -234,11 +247,14 @@ def _dia_kernel(offsets, halo, tile_n, scal_ref, tabk_ref, tabm_ref, tabb_ref,
 
 
 def dia_matvec_pallas(offsets: Tuple[int, ...], tables: DiaTables, cm, cb, x,
-                      tile_n: int = 512, lane_tile: int = 512):
+                      tile_n: int = 128, lane_tile: int = 512):
     """Pallas form of :func:`dia_matvec` — identical semantics.
 
     x (N, F) complex64/128 -> (N, F); complex128 falls back to the XLA
-    form (no f64 on the TPU vector units)."""
+    form (no f64 on the TPU vector units). Default tiles are the best
+    measured config (128x512: 13.1 ms at headline shape — still 4.2x
+    SLOWER than the XLA form, see _use_dia_pallas; tile_n*lane_tile
+    beyond ~64K f32 with the D-way unroll exceeds scoped VMEM)."""
     from functools import partial
 
     import jax.experimental.pallas.tpu as pltpu
