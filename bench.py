@@ -627,12 +627,20 @@ if __name__ == "__main__":
                          "~6 short-cycle iterations and the recomputed true "
                          "residuals match CGS2 to tolerance — see "
                          "solvers/krylov_batched.py and tests/test_nodemajor.py)")
-    ap.add_argument("--transfers", default="gather", choices=["gather", "tp"],
+    ap.add_argument("--transfers", default="gather",
+                    choices=["gather", "tp", "stream", "stream16"],
                     help="node-major multigrid transfer lowering: gather "
-                         "stencil (default, 224 ms at bench shape) or "
-                         "separable tensor-product matmuls (264 ms in-context "
-                         "despite a 6x microbench win — see "
-                         "models/room_sweep_nm.py sweep_fn docstring)")
+                         "stencil (default, 9.0e7 DoF-solves/s at the "
+                         "default 4096-freq band), tp separable matmuls "
+                         "(264 ms vs 224 at the 2048 band despite a 6x "
+                         "microbench win), stream separable per-axis "
+                         "slice/interleave (8.59e7 — the 1.44x isolated "
+                         "win also loses in context), stream16 = stream "
+                         "with bf16-plane traffic (2.68e7: the ~4e-3 "
+                         "preconditioner rounding triples the band's "
+                         "iteration count). All four are the same "
+                         "operator; see models/room_sweep_nm.py "
+                         "sweep_fn docstring for the measured record")
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
     ap.add_argument("--dia", default="xla", choices=["xla", "pallas"],
                     help="node-major DIA matvec lowering: xla (15 shifted "

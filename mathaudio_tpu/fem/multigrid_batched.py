@@ -51,6 +51,18 @@ class DiaMg(NamedTuple):
     # Per-level separable transfer: () to use the gather stencil, or
     # (pz, py, px) 1D prolongation matrices, each (n_f_ax+1, n_c_ax+1).
     tp: Tuple[tuple, ...] = ()
+    # Per-MESH (nx, ny, nz) node counts (len(levels)+1 entries, static
+    # Python ints) to apply the transfers as streaming per-axis
+    # interleaves/decimations (_prolong_stream/_restrict_stream) — no
+    # gather, no matmul padding. () keeps the gather/tp dispatch.
+    dims: Tuple[Tuple[int, int, int], ...] = ()
+    # With dims set: route the streaming transfers through bf16 re/im
+    # planes (half the HBM bytes; preconditioner-internal ~4e-3 rounding
+    # — the cycle stays a fixed linear-to-rounding map, GMRES convergence
+    # is still gated on the Givens/true residuals). MEASURED LOSER on
+    # the bench band: the rounding triples iteration counts (5.5 -> 18.1
+    # avg) — see models/room_sweep_nm.py sweep_fn for the full record.
+    transfer_bf16: bool = False
 
 
 def make_dia_mg(
@@ -62,6 +74,8 @@ def make_dia_mg(
     shift: Tuple[float, float] = (1.0, 0.5),
     tp: Tuple[tuple, ...] = (),
     fuse_diag: bool = True,
+    dims: Tuple[Tuple[int, int, int], ...] = (),
+    transfer_bf16: bool = False,
 ) -> DiaMg:
     """Per-frequency scalars + inverse diagonals for one solve batch.
 
@@ -91,7 +105,7 @@ def make_dia_mg(
         cms.append(cm)
         cbs.append(cb)
     return DiaMg(tuple(levels), tuple(cms), tuple(cbs), tuple(inv_diags),
-                 anchor_inv, tuple(tp))
+                 anchor_inv, tuple(tp), tuple(dims), transfer_bf16)
 
 
 def _real_view(x):
@@ -137,22 +151,102 @@ def _restrict_tp(tp, rf):
     return undo(x4.reshape(pz.shape[1] * py.shape[1] * px.shape[1], -1))
 
 
-def _prolong_b(lvl: DiaLevel, xc, tp=()):
-    """(N_c, F) -> (N_f, F): separable matmuls when the level carries 1D
-    factors, row-gather interpolation otherwise."""
+def _interp_axis(x, n: int):
+    """1D linear interpolation along axis 1 of (pre, n, post):
+    even output rows copy the input, odd rows average neighbours —
+    exactly prolongation_1d's rows (fem/multigrid.py:129)."""
+    pre, _, post = x.shape
+    mid = 0.5 * (x[:, :-1, :] + x[:, 1:, :])
+    core = jnp.stack([x[:, :-1, :], mid], axis=2).reshape(pre, 2 * (n - 1), post)
+    return jnp.concatenate([core, x[:, -1:, :]], axis=1)
+
+
+def _decimate_axis(x, n_c: int):
+    """Transpose of :func:`_interp_axis` along axis 1 of (pre, n_f, post):
+    r[c] = f[2c] + 0.5 (f[2c-1] + f[2c+1]) via two strided row slices —
+    no gather, no matmul padding."""
+    even = x[:, ::2, :]
+    oddp = jnp.pad(x[:, 1::2, :], ((0, 0), (1, 1), (0, 0)))
+    return even + 0.5 * (oddp[:, :-1, :] + oddp[:, 1:, :])
+
+
+def _prolong_stream(dims_c, xc):
+    """Separable streaming prolongation on a lexicographic box grid:
+    (N_c, F) -> (N_f, F) as three per-axis interleaves (x fastest axis
+    last in memory-major order z, y, x). Same operator as the gather
+    stencil and the TP matmuls; unlike the matmuls it never pads the
+    tiny grid axes to MXU tiles — every pass is VPU slice/add traffic.
+    ``dims_c`` = (nx_c, ny_c, nz_c) node counts (static)."""
+    nxc, nyc, nzc = dims_c
+    f = xc.shape[1]
+    x = _interp_axis(xc.reshape(nzc * nyc, nxc, f), nxc)
+    nxf = 2 * nxc - 1
+    x = _interp_axis(x.reshape(nzc, nyc, nxf * f), nyc)
+    nyf = 2 * nyc - 1
+    x = _interp_axis(x.reshape(1, nzc, nyf * nxf * f), nzc)
+    return x.reshape((2 * nzc - 1) * nyf * nxf, f)
+
+
+def _restrict_stream(dims_f, rf):
+    """Separable streaming restriction R = P^T: (N_f, F) -> (N_c, F) as
+    three per-axis decimations, largest (outermost) axis first so the
+    fine-grained x pass runs on the smallest intermediate."""
+    nxf, nyf, nzf = dims_f
+    f = rf.shape[1]
+    x = _decimate_axis(rf.reshape(1, nzf, nyf * nxf * f), (nzf + 1) // 2)
+    nzc = (nzf + 1) // 2
+    x = _decimate_axis(x.reshape(nzc, nyf, nxf * f), (nyf + 1) // 2)
+    nyc = (nyf + 1) // 2
+    x = _decimate_axis(x.reshape(nzc * nyc, nxf, f), (nxf + 1) // 2)
+    return x.reshape(nzc * nyc * ((nxf + 1) // 2), f)
+
+
+def _prolong_stream16(dims_c, xc):
+    """Streaming prolongation with the traffic in bfloat16 planes:
+    complex-bf16 does not exist, so the (N, F) complex vector is split
+    into re/im bf16 planes, each prolonged by :func:`_prolong_stream`,
+    and recombined in the caller's dtype. Half the HBM bytes of the
+    native form (probe: 2x0.71 ms vs 2.25 ms at bench shape,
+    examples/bf16_vcycle_probe.py). Only for preconditioner-internal
+    transfers: the planes carry ~4e-3 relative rounding."""
+    pr = _prolong_stream(dims_c, jnp.real(xc).astype(jnp.bfloat16))
+    pi = _prolong_stream(dims_c, jnp.imag(xc).astype(jnp.bfloat16))
+    return jax.lax.complex(pr.astype(jnp.float32), pi.astype(jnp.float32)).astype(xc.dtype)
+
+
+def _restrict_stream16(dims_f, rf):
+    """Streaming restriction on bf16 re/im planes (see _prolong_stream16;
+    probe: 2x0.70 ms vs 3.92 ms native at bench shape)."""
+    rr = _restrict_stream(dims_f, jnp.real(rf).astype(jnp.bfloat16))
+    ri = _restrict_stream(dims_f, jnp.imag(rf).astype(jnp.bfloat16))
+    return jax.lax.complex(rr.astype(jnp.float32), ri.astype(jnp.float32)).astype(rf.dtype)
+
+
+def _prolong_b(lvl: DiaLevel, xc, tp=(), dims_c=(), bf16: bool = False):
+    """(N_c, F) -> (N_f, F): streaming per-axis interleave when the
+    coarse grid dims are known, separable matmuls when the level carries
+    1D factors, row-gather interpolation otherwise. Stream beats gather
+    1.44x in isolation at bench shape (examples/mg_transfer_ab.py) but
+    LOSES in the full chip sweep (8.59e7 vs 9.0e7 DoF-solves/s) — gather
+    stays the production default."""
+    if dims_c:
+        return _prolong_stream16(dims_c, xc) if bf16 else _prolong_stream(dims_c, xc)
     if tp:
         return _prolong_tp(tp, xc)
     w = lvl.p_w.astype(xc.dtype)[:, :, None]
     return jnp.sum(w * jnp.take(xc, lvl.p_idx, axis=0), axis=1)
 
 
-def _restrict_b(lvl: DiaLevel, rf, n_coarse: int, tp=()):
-    """(N_f, F) -> (N_c, F): R = P^T — separable matmuls when 1D factors
-    are available, else a coarse-side row gather
-    (fem.multigrid.transpose_transfer). The scatter-add form this
-    replaces serialized on TPU: 22 ms vs 0.9 ms per pass at bench scale
-    (examples/fem_roofline_nm.py)."""
+def _restrict_b(lvl: DiaLevel, rf, n_coarse: int, tp=(), dims_f=(), bf16: bool = False):
+    """(N_f, F) -> (N_c, F): R = P^T — streaming per-axis decimation when
+    the fine grid dims are known (1.23x vs gather, mg_transfer_ab.py),
+    separable matmuls when 1D factors are available, else a coarse-side
+    row gather (fem.multigrid.transpose_transfer). The scatter-add form
+    this replaces serialized on TPU: 22 ms vs 0.9 ms per pass at bench
+    scale (examples/fem_roofline_nm.py)."""
     del n_coarse  # shape comes from the transposed stencil
+    if dims_f:
+        return _restrict_stream16(dims_f, rf) if bf16 else _restrict_stream(dims_f, rf)
     if tp:
         return _restrict_tp(tp, rf)
     w = lvl.r_w.astype(rf.dtype)[:, :, None]
@@ -212,7 +306,9 @@ def mg_cycle_batched(
         else mgp.anchor_inv.shape[1] // 2
     )
     tp_l = mgp.tp[level] if level < len(mgp.tp) else ()
-    rc = _restrict_b(lvl, res, n_coarse, tp_l)
+    dims_f = mgp.dims[level] if level < len(mgp.dims) else ()
+    dims_c = mgp.dims[level + 1] if level + 1 < len(mgp.dims) else ()
+    rc = _restrict_b(lvl, res, n_coarse, tp_l, dims_f, mgp.transfer_bf16)
     xc = mg_cycle_batched(mgp, offsets, rc, omega, nu, level + 1, cycle, nu_post)
     if cycle in ("w", "f") and level + 1 < len(mgp.levels):
         nxt = mgp.levels[level + 1]
@@ -222,7 +318,7 @@ def mg_cycle_batched(
         rc2 = rc - mv_c(xc)
         second = "v" if cycle == "f" else "w"
         xc = xc + mg_cycle_batched(mgp, offsets, rc2, omega, nu, level + 1, second, nu_post)
-    x = x + _prolong_b(lvl, xc, tp_l)
+    x = x + _prolong_b(lvl, xc, tp_l, dims_c, mgp.transfer_bf16)
     for _ in range(nu_post):
         x = x + om * inv_diag * (r - mv(x))
     return x

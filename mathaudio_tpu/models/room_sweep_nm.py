@@ -91,6 +91,7 @@ class NodeMajorRoomSweep:
                 offsets.append(offs_l)
             levels.append(DiaLevel(tabs, bl.p_idx, bl.p_w, bl.r_idx, bl.r_w))
         self.offsets: Tuple[Tuple[int, ...], ...] = tuple(offsets)
+        self.grid_dims = self._grid_dims(mg, len(levels))
         self._params = NodeMajorParams(
             fine_tables=fine_tables,
             levels=tuple(levels),
@@ -99,6 +100,24 @@ class NodeMajorRoomSweep:
             listen_idx=model.params().listen_idx,
             tp=self._tp_factors(mg, levels, model.dtype),
         )
+
+    @staticmethod
+    def _grid_dims(mg, n_levels: int) -> Tuple[Tuple[int, int, int], ...]:
+        """Static (nx, ny, nz) node counts of every mesh in the hierarchy
+        (n_levels smoothing meshes + the coarsest), for the streaming
+        per-axis transfers; () if any mesh is not a lexicographic box
+        grid or any level pair breaks the 2:1 nesting the stream form
+        assumes (f = 2(c-1)+1 per axis)."""
+        dims = []
+        for l in range(n_levels + 1):
+            d = box_grid_dims(mg.meshes[l])
+            if d is None:
+                return ()
+            dims.append(d)
+        for df, dc in zip(dims[:-1], dims[1:]):
+            if any(f != 2 * (c - 1) + 1 for f, c in zip(df, dc)):
+                return ()
+        return tuple(dims)
 
     @staticmethod
     def _tp_factors(mg, levels, dtype) -> Tuple[tuple, ...]:
@@ -176,7 +195,23 @@ class NodeMajorRoomSweep:
         explicitly).
 
         ``mg_transfers``: "gather" (default) applies the transfer stencils
-        as row gathers; "tp" applies them as separable per-axis matmuls
+        as row gathers; "stream" applies them as separable per-axis
+        slice/interleave passes on the VPU (no gather, no matmul padding
+        — 1.44x/1.23x faster than gather in isolation at bench shape,
+        examples/mg_transfer_ab.py, but 8.59e7 vs 9.0e7 DoF-solves/s in
+        the full chip sweep — the isolated win does not survive fusion
+        context, same verdict as "tp"; requires a 2:1-nested box
+        hierarchy); "stream16" is the stream form with the transfer
+        traffic in bf16 re/im planes — half the bytes
+        (examples/bf16_vcycle_probe.py) but the ~4e-3
+        preconditioner-internal rounding triples the bench band's
+        iteration count (5.5 -> 18.1 avg: lanes that converged in one
+        6-step restart cycle now need two or three), posting 2.68e7 —
+        measured 2026-08-20, kept as the record that bf16 anywhere in
+        the V-cycle is dead at tolerance 1e-5 (convergence itself stays
+        correctly gated on the Givens/true residuals — the accepted
+        solutions remain tolerance-accurate, they just cost 3x);
+        "tp" applies them as separable per-axis matmuls
         (fem.multigrid_batched._prolong_tp — identical operator, requires
         params.tp). TP wins the isolated microbench ~6x
         (examples/fem_roofline_nm.py) but LOSES in the full sweep: 264 ms
@@ -193,10 +228,16 @@ class NodeMajorRoomSweep:
         anchors PER CHUNK. Use utils.memory to size it, or 0 (default)
         for the whole band at once."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
-        if mg_transfers not in ("gather", "tp"):
+        if mg_transfers not in ("gather", "tp", "stream", "stream16"):
             raise ValueError(f"unknown mg_transfers {mg_transfers!r}")
+        if mg_transfers in ("stream", "stream16") and not self.grid_dims:
+            raise ValueError(
+                f"mg_transfers={mg_transfers!r} needs a lexicographic "
+                "2:1-nested box hierarchy (box_grid_dims failed on a level)"
+            )
         offsets = self.offsets
         absorption = self.absorption
+        grid_dims = self.grid_dims if mg_transfers in ("stream", "stream16") else ()
 
         def fn(params: NodeMajorParams, ks):
             nf_total = ks.shape[0]
@@ -243,6 +284,8 @@ class NodeMajorRoomSweep:
                 offsets, params.levels, ks, absorption, anchor_inv,
                 shift=mg_shift,
                 tp=params.tp if mg_transfers == "tp" else (),
+                dims=grid_dims,
+                transfer_bf16=(mg_transfers == "stream16"),
             )
             a_mv = lambda x: dia_matvec(
                 offsets[0], params.fine_tables, cm_fine, cb_fine, x

@@ -14,7 +14,7 @@ import pytest
 from mathaudio_tpu.fem.assembly import HelmholtzAssembler
 from mathaudio_tpu.fem.dia import dia_matvec, dia_pattern, dia_tables_of
 from mathaudio_tpu.fem.mesh import unit_cube_tetrahedra
-from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
+from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_grid_dims, box_hierarchy
 from mathaudio_tpu.models import RoomSweepModel
 from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
 from mathaudio_tpu.solvers import KrylovConfig
@@ -271,6 +271,74 @@ class TestTensorProductTransfers:
         np.testing.assert_allclose(np.asarray(p_tp), np.asarray(p_g),
                                    atol=1e-10 * scale)
 
+    def test_stream_transfers_match_gather_sweep(self):
+        meshes = box_hierarchy(8, 3)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            assembler=mg.assemblers[0],
+        )
+        nm = NodeMajorRoomSweep(model, mg)
+        assert nm.grid_dims == ((9, 9, 9), (5, 5, 5), (3, 3, 3))
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 8, dtype=model.dtype)
+        fn_s = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                   mg_coarse_anchors=4, mg_transfers="stream"))
+        fn_g = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0, mg_coarse_anchors=4))
+        p_s, it_s, cv_s = fn_s(params, ks)
+        p_g, it_g, cv_g = fn_g(params, ks)
+        assert np.all(np.asarray(cv_s)) and np.all(np.asarray(cv_g))
+        np.testing.assert_array_equal(np.asarray(it_s), np.asarray(it_g))
+        scale = np.max(np.abs(np.asarray(p_g)))
+        np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_g),
+                                   atol=1e-10 * scale)
+
+    def test_stream16_converges_to_same_solution(self):
+        # bf16-plane transfers perturb the PRECONDITIONER only (~4e-3),
+        # so iteration counts may differ by a step, but the accepted
+        # solutions must still satisfy the same residual tolerance and
+        # agree with the exact-transfer sweep to solver accuracy.
+        meshes = box_hierarchy(8, 3)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            listening_positions=((0.25, 0.25, 0.25),),
+            assembler=mg.assemblers[0],
+        )
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 8, dtype=model.dtype)
+        fn_16 = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                    mg_coarse_anchors=4,
+                                    mg_transfers="stream16"))
+        fn_g = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0, mg_coarse_anchors=4))
+        p_16, it_16, cv_16 = fn_16(params, ks)
+        p_g, _, cv_g = fn_g(params, ks)
+        assert np.all(np.asarray(cv_16)) and np.all(np.asarray(cv_g))
+        scale = np.max(np.abs(np.asarray(p_g)))
+        # Both runs pass the (left-preconditioned) 1e-6 residual gate, but
+        # the two runs use DIFFERENT preconditioners (bf16-plane vs exact
+        # transfers), so the accepted solutions are distinct members of
+        # the residual-tolerance ball; near band resonances the listening-
+        # point pressures amplify that to the ~1e-4 relative level
+        # (measured max 2.7e-4 on this band). 1e-3 bounds it with margin
+        # while still catching a wrong-operator bug (which shows up at
+        # O(1), see test_stream_transfers_match_gather_sweep for the
+        # exact-arithmetic parity contract).
+        np.testing.assert_allclose(np.asarray(p_16), np.asarray(p_g),
+                                   atol=1e-3 * scale)
+
+    def test_stream_transfers_require_box_hierarchy(self):
+        meshes = box_hierarchy(4, 2)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(meshes[0], assembler=mg.assemblers[0])
+        nm = NodeMajorRoomSweep(model, mg)
+        nm.grid_dims = ()  # simulate a non-box hierarchy
+        with pytest.raises(ValueError, match="stream"):
+            nm.sweep_fn(mg_transfers="stream")
+
     def test_unknown_transfers_rejected(self):
         meshes = box_hierarchy(4, 2)
         mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
@@ -301,6 +369,18 @@ class TestTensorProductTransfers:
         )
         np.testing.assert_allclose(
             np.asarray(_restrict_b(lvl, rf, nc, tp)),
+            np.asarray(_restrict_b(lvl, rf, nc)),
+            atol=1e-13,
+        )
+        dims_f = box_grid_dims(meshes[0])
+        dims_c = box_grid_dims(meshes[1])
+        np.testing.assert_allclose(
+            np.asarray(_prolong_b(lvl, xc, dims_c=dims_c)),
+            np.asarray(_prolong_b(lvl, xc)),
+            atol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(_restrict_b(lvl, rf, nc, dims_f=dims_f)),
             np.asarray(_restrict_b(lvl, rf, nc)),
             atol=1e-13,
         )
