@@ -32,17 +32,45 @@ def main():
                          "n>=24 — a 4th level needs n divisible by 8; n=28 stays at 3 "
                          "and sits on the >=512^2 coarse-matmul cliff, see bench.py)")
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    ap.add_argument("--sweep", default="nm", choices=["vmapped", "nm"],
+                    help="sweep layout (nm = the node-major bench default)")
+    ap.add_argument("--json", default=None,
+                    help="write the curve as a JSON artifact (list of rows)")
     args = ap.parse_args()
 
     levels = args.levels or [4 if (n >= 24 and n % 8 == 0) else 3 for n in args.ns]
     rows = []
     for n, lv in zip(args.ns, levels):
         out = run(args.device, n, args.freqs, args.repeats, calibrate=False,
-                  anchors=args.anchors, levels=lv)
+                  anchors=args.anchors, levels=lv, sweep_layout=args.sweep,
+                  orth="cgs1" if args.sweep == "nm" else "cgs2")
         rows.append((n, lv, out["value"]))
-    print(f"\n{'n':>4} {'levels':>7} {'DoF-solves/s':>14}  (freqs={args.freqs})")
+    print(f"\n{'n':>4} {'levels':>7} {'DoF-solves/s':>14}  (freqs={args.freqs}, "
+          f"sweep={args.sweep})")
     for n, lv, v in rows:
         print(f"{n:>4} {lv:>7} {v:>14.3e}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "harness": "examples/fem_scaling_curve.py",
+                    "reference_analog": "math-fem/benches/helmholtz_3d_scaling.rs:42-70",
+                    "device": args.device,
+                    "sweep_layout": args.sweep,
+                    "freqs": args.freqs,
+                    "anchors": args.anchors,
+                    "rows": [
+                        {"n": n, "tets": 6 * n**3, "nodes": (n + 1) ** 3,
+                         "levels": lv, "dof_solves_per_s": v}
+                        for n, lv, v in rows
+                    ],
+                },
+                f,
+                indent=1,
+            )
+        print(f"# wrote {args.json}")
     return 0
 
 
