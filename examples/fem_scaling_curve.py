@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--sweep", default="nm", choices=["vmapped", "nm"],
                     help="sweep layout (nm = the node-major bench default)")
+    ap.add_argument("--freq-chunk", type=int, default=2048,
+                    help="node-major frequency streaming chunk (matches the "
+                         "bench.py CLI default; bounds HBM so wide bands "
+                         "can't OOM; 0 = unchunked; ignored for --sweep "
+                         "vmapped, which has no chunked path)")
     ap.add_argument("--json", default=None,
                     help="write the curve as a JSON artifact (list of rows)")
     args = ap.parse_args()
@@ -41,9 +46,16 @@ def main():
     levels = args.levels or [4 if (n >= 24 and n % 8 == 0) else 3 for n in args.ns]
     rows = []
     for n, lv in zip(args.ns, levels):
+        # orth/freq_chunk only exist on the node-major path; the vmapped
+        # branch of bench.run builds model.sweep_fn without either knob.
+        nm_kwargs = (
+            {"orth": "cgs1", "freq_chunk": args.freq_chunk}
+            if args.sweep == "nm"
+            else {}
+        )
         out = run(args.device, n, args.freqs, args.repeats, calibrate=False,
                   anchors=args.anchors, levels=lv, sweep_layout=args.sweep,
-                  orth="cgs1" if args.sweep == "nm" else "cgs2")
+                  **nm_kwargs)
         rows.append((n, lv, out["value"]))
     print(f"\n{'n':>4} {'levels':>7} {'DoF-solves/s':>14}  (freqs={args.freqs}, "
           f"sweep={args.sweep})")
