@@ -384,8 +384,30 @@ def gmres(
             done = done | (new_res <= tol)
             return basis, hess, cs, sn, g, res, done, cnt
 
-        carry = (basis, hess, cs, sn, g, beta, beta <= tol, jnp.int32(0))
-        basis, hess, cs, sn, g, res, done, cnt = jax.lax.fori_loop(0, m, arnoldi_step, carry)
+        # Early-exit Arnoldi: the masked step is a no-op once ``done``,
+        # so iterating while any work remains is numerically identical
+        # to the full fori_loop but skips the dead matvecs after
+        # convergence — at restart 48 with 37 useful iterations (the
+        # chip FMM tier) the fori form burned 23% of the solve in
+        # post-convergence operator applications. Under vmap the loop
+        # runs to the slowest lane (lockstep max, never more than m);
+        # under shard_map ``done`` derives from psum-reduced quantities,
+        # so the condition is replicated across devices.
+        carry = (basis, hess, cs, sn, g, beta, beta <= tol, jnp.int32(0),
+                 jnp.int32(0))
+
+        def step_cond(carry):
+            done, j = carry[6], carry[8]
+            return (j < m) & ~done
+
+        def step_body(carry):
+            j = carry[8]
+            out = arnoldi_step(j, carry[:8])
+            return out + (j + 1,)
+
+        basis, hess, cs, sn, g, res, done, cnt, _ = jax.lax.while_loop(
+            step_cond, step_body, carry
+        )
 
         # Back-substitution R y = g on the m x m reduced system. Rows that
         # never ran (post-convergence) have R[i,i]=0: mask them to identity.
