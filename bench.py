@@ -67,13 +67,17 @@ import time
 # but the doubled coarse visits + the 8-dim CGS2 basis give the ~11%
 # back: every measured knob setting lands at ~19 big-pass equivalents.
 # The sweep is address-bound on the VPU gather
-# (examples/fem_roofline_breakdown.py quantifies this).
+# (examples/fem_roofline_breakdown.py quantifies this). V(0,1) cycles
+# (--nu 0 --nu-post 1, round 4) drop one fine matvec per cycle but the
+# indefinite system needs the pre-smooth: iters avg 5.5 -> 9.2, posting
+# 5.5e7 vs 9.0e7 — pre-smoothing stays.
 BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
         cycle: str = "v", restart: int = 6, levels: int = 3, sweep_layout: str = "vmapped",
-        orth: str = "cgs1", transfers: str = "gather", freq_chunk: int = 0):
+        orth: str = "cgs1", transfers: str = "gather", freq_chunk: int = 0,
+        nu: int = 1, nu_post=None):
     import os
 
     import jax
@@ -137,14 +141,15 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
 
         nm = NodeMajorRoomSweep(model, mg)
         params = nm.params()
-        sweep = nm.sweep_fn(config, mg_nu=1, mg_omega=1.0,
+        sweep = nm.sweep_fn(config, mg_nu=nu, mg_omega=1.0,
                             mg_coarse_anchors=min(anchors, n_freq),
                             mg_cycle_type=cycle, gmres_orth=orth,
-                            mg_transfers=transfers, freq_chunk=freq_chunk)
+                            mg_transfers=transfers, freq_chunk=freq_chunk,
+                            mg_nu_post=nu_post)
     else:
-        sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=1, mg_omega=1.0,
+        sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=nu, mg_omega=1.0,
                                mg_coarse_anchors=min(anchors, n_freq),
-                               mg_cycle_type=cycle)
+                               mg_cycle_type=cycle, mg_nu_post=nu_post)
     ks = jnp.linspace(0.55, 2.2, n_freq, dtype=model.dtype)
 
     fn = jax.jit(sweep)
@@ -523,8 +528,10 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
     assert rel_mv < 1e-3, f"chip FMM matvec off: {rel_mv:.2e}"
 
     # restart sized just above the measured iteration counts (46 / 32 on
-    # these tiers): a cycle's fori_loop always runs the full restart with
-    # post-convergence masking, so oversized restarts burn real matvecs.
+    # these tiers). Since round 4 the Arnoldi loop exits early once the
+    # Givens residual clears tolerance (solvers/krylov.py), so an
+    # oversized restart no longer burns post-convergence matvecs — the
+    # size now only affects basis memory and compile time.
     config = KrylovConfig(max_iterations=200, tolerance=1e-5,
                           restart=48 if tier == "slfmm" else 36)
     solve = jax.jit(fmm_chip_solve_fn(config))
@@ -642,6 +649,11 @@ if __name__ == "__main__":
                          "operator; see models/room_sweep_nm.py "
                          "sweep_fn docstring for the measured record")
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
+    ap.add_argument("--nu", type=int, default=1,
+                    help="multigrid pre-smoothing steps (0 = V(0,nu_post): "
+                         "no pre-smooth, one fine matvec saved per cycle)")
+    ap.add_argument("--nu-post", type=int, default=-1,
+                    help="post-smoothing steps (-1 = same as --nu)")
     ap.add_argument("--dia", default="xla", choices=["xla", "pallas"],
                     help="node-major DIA matvec lowering: xla (15 shifted "
                          "passes — the measured winner, 3.1 ms/matvec at "
@@ -692,7 +704,8 @@ if __name__ == "__main__":
     elif args.metric == "fem":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
-                  args.orth, args.transfers, args.freq_chunk)
+                  args.orth, args.transfers, args.freq_chunk,
+                  args.nu, None if args.nu_post < 0 else args.nu_post)
     else:
         # all metrics (VERDICT r1 item 4 + r2 item 1): secondary metrics
         # first, headline FEM last; ONE combined JSON line (headline
@@ -713,7 +726,8 @@ if __name__ == "__main__":
                              "error": str(e)[:300]})
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
-                  args.orth, args.transfers, args.freq_chunk)
+                  args.orth, args.transfers, args.freq_chunk,
+                  args.nu, None if args.nu_post < 0 else args.nu_post)
         secondary = [iir, bem] + [f for f in fmms if f]
         out = dict(fem, secondary=secondary) if fem else None
     if out is not None:

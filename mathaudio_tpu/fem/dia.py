@@ -122,24 +122,33 @@ def dia_matvec(offsets: Tuple[int, ...], tables: DiaTables, cm, cb, x):
     x: (N, F) complex; cm, cb: (F,) frequency scalars (cm real-valued as
     a complex array is fine); returns (N, F).
 
-    Three real-table accumulators share each shifted read of x, then the
-    frequency scalars combine them — per-frequency operator values are
-    never materialized.
+    SINGLE-accumulator form: the per-diagonal complex coefficient
+    k_d[n] - cm_f m_d[n] + cb_f b_d[n] is computed in-register and one
+    fused accumulation reads each shifted slice of x exactly once —
+    15 slice reads + 1 write. The original three-real-accumulator form
+    (one per table, combined at the end) let XLA split the fusion into
+    per-table passes that re-read the slices: 3.97 ms vs 2.55 ms per
+    matvec at headline shape (N=9261, F=2048, chip, round 4,
+    examples/vcycle_breakdown.py). Same linear operator; association
+    differs by ~1e-4 relative in f32 (within every solver gate — GMRES
+    convergence is residual-gated, and the f64 validation tests pass at
+    1e-10).
     """
     n = x.shape[0]
     if _use_dia_pallas(n, x.dtype):
         return dia_matvec_pallas(offsets, tables, cm, cb, x)
     pad = _pad_amount(offsets)
     xp = jnp.pad(x, ((pad, pad), (0, 0)))
-    acc_k = jnp.zeros_like(x)
-    acc_m = jnp.zeros_like(x)
-    acc_b = jnp.zeros_like(x)
+    y = jnp.zeros_like(x)
     for d, off in enumerate(offsets):
         xs = jax.lax.dynamic_slice_in_dim(xp, pad + off, n, axis=0)
-        acc_k = acc_k + tables.k[d][:, None] * xs
-        acc_m = acc_m + tables.m[d][:, None] * xs
-        acc_b = acc_b + tables.b[d][:, None] * xs
-    return acc_k - cm[None, :] * acc_m + cb[None, :] * acc_b
+        coef = (
+            tables.k[d][:, None]
+            - cm[None, :] * tables.m[d][:, None]
+            + cb[None, :] * tables.b[d][:, None]
+        )
+        y = y + coef * xs
+    return y
 
 
 def dia_diag(tables: DiaTables, cm, cb):

@@ -296,10 +296,16 @@ def mg_cycle_batched(
         inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
     mv = lambda v: dia_matvec(offsets[level], lvl.tables, cm, cb, v)
     om = jnp.asarray(omega, r.dtype)
-    x = om * inv_diag * r
-    for _ in range(nu - 1):
-        x = x + om * inv_diag * (r - mv(x))
-    res = r - mv(x)
+    if nu == 0:  # V(0, nu_post): no pre-smoothing — saves one fine
+        # matvec per cycle (chip: 4.0 ms at bench shape); the coarse
+        # grid corrects the raw residual, post-smoothing cleans up.
+        x = jnp.zeros_like(r)
+        res = r
+    else:
+        x = om * inv_diag * r
+        for _ in range(nu - 1):
+            x = x + om * inv_diag * (r - mv(x))
+        res = r - mv(x)
     n_coarse = (
         mgp.levels[level + 1].tables.dk.shape[0]
         if level + 1 < len(mgp.levels)
