@@ -67,10 +67,21 @@ import time
 # but the doubled coarse visits + the 8-dim CGS2 basis give the ~11%
 # back: every measured knob setting lands at ~19 big-pass equivalents.
 # The sweep is address-bound on the VPU gather
-# (examples/fem_roofline_breakdown.py quantifies this). V(0,1) cycles
-# (--nu 0 --nu-post 1, round 4) drop one fine matvec per cycle but the
-# indefinite system needs the pre-smooth: iters avg 5.5 -> 9.2, posting
-# 5.5e7 vs 9.0e7 — pre-smoothing stays.
+# (examples/fem_roofline_breakdown.py quantifies this). Round-4 scans
+# on the node-major sweep (all at the 4096-freq default band, 9.12e7
+# with the production config): V(0,1) cycles (--nu 0 --nu-post 1) drop
+# one fine matvec per cycle but the indefinite system needs the
+# pre-smooth (iters avg 5.5 -> 9.2, 5.5e7); W and F cycles at nu=1/1
+# cut iterations (5.5 -> 4.9 avg) but the doubled level-1 visits cost
+# more than the saved iteration (both 8.67e7); stream transfers still
+# lose in context (8.72e7) despite winning isolation (3.84+2.47 vs
+# 5.11+3.88 ms — the gather fuses with the surrounding elementwise ops,
+# the reshape pipelines don't); n=24/levels=4 posts 8.35e7 per DoF —
+# levels=4 avoids the coarse-matmul cliff but n=20 stays the per-DoF
+# optimum; single-accumulator dia_matvec (isolated 2.55 vs 3.97 ms)
+# nets only +0.3% end-to-end (XLA already fused the combine
+# contextually). The Galerkin-fused RA/AP transfer operators lose
+# outright ((rows, K, F) gather materialization; vcycle_breakdown.py).
 BASELINE_CPU_DOF_PER_S = 1.539e5
 
 

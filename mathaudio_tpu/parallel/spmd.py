@@ -235,6 +235,16 @@ class DeviceSchwarz:
         weights = (1.0 / np.maximum(counts, 1)).reshape(n_shards, r)
 
         bs = max((len(p) for p in parts if p), default=1)
+        if bs > 8192:
+            import warnings
+
+            warnings.warn(
+                f"DeviceSchwarz block size {bs} requires dense "
+                f"{bs}x{bs} inversions (~{bs*bs*16/1e9:.1f} GB each as "
+                f"complex128) — use more subdomains (n_shards) so blocks "
+                f"stay in the low thousands",
+                stacklevel=2,
+            )
         blocks = csr_diag_blocks(csr, parts, bs)
         gather = np.zeros((n_shards, bs), np.int32)
         valid = np.zeros((n_shards, bs), np.float64)

@@ -298,19 +298,23 @@ def test_csr_diag_blocks_matches_dense_extraction():
 
 
 def test_device_schwarz_sparse_native_large_n():
-    """DeviceSchwarz.from_csr at N where densifying is infeasible
-    (N=200k dense = 320 GB): builds in seconds directly from CSR and the
-    batched inverses actually invert their blocks (schwarz.rs:67)."""
+    """DeviceSchwarz.from_csr at N where densifying the GLOBAL matrix is
+    infeasible (N=200k dense = 320 GB): the blocks gather directly from
+    CSR rows (schwarz.rs:67) so the build cost is O(N*bs), not O(N^2).
+    256 subdomains keep the per-block dense inversions ~790^2 — the
+    8-shard variant of this test was unrunnable (eight 25004^2 c128
+    inversions = 80 GB and ~1e14 flops; caught in round 4 when it hung
+    the whole suite)."""
     n = 200_000
+    n_sub = 256
     csr = _helmholtz_1d_csr(n)
-    dsz = DeviceSchwarz.from_csr(csr, N_DEV, overlap=2)
+    dsz = DeviceSchwarz.from_csr(csr, n_sub, overlap=2)
     inv = np.asarray(dsz.inv_blocks)
-    bs = inv.shape[1]
-    assert inv.shape[0] == N_DEV
+    assert inv.shape[0] == n_sub
     # reconstruct one shard's block straight from the tridiagonal formula
     # and check inv @ block = I on it
     s = 3
-    r = -(-n // N_DEV)
+    r = -(-n // n_sub)
     lo = s * r - 2  # overlap 2 on a tridiagonal extends exactly 2 rows
     idx = np.arange(max(lo, 0), min((s + 1) * r + 2, n))
     m = len(idx)
