@@ -71,8 +71,7 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return b
 
 
-@partial(jax.jit, static_argnums=0)
-def _translation_sum(lmax: int, kd, cos_g, orders):
+def _translation_sum_body(lmax: int, kd, cos_g, orders):
     """sum_{l<=orders[p]} (2l+1) i^l h_l(kd[p]) P_l(cos_g[p, q]) -> (P, Q).
 
     Fused build kernel: the Legendre recurrence accumulates the series
@@ -106,6 +105,19 @@ def _translation_sum(lmax: int, kd, cos_g, orders):
     return acc
 
 
+_translation_sum = partial(jax.jit, static_argnums=0)(_translation_sum_body)
+
+
+@partial(jax.jit, static_argnums=0)
+def _translation_sum_dirs(lmax: int, kd, d_hat, dirs, orders):
+    """_translation_sum with cos_g = clip(d_hat @ dirs^T) computed
+    IN-TRACE: the host never materializes the (P, Q) angle matrix (a
+    cold-page numpy allocation measured at ~7 s of the N=5120 SLFMM
+    build on this host — see the module build-profile note)."""
+    cos_g = jnp.clip(d_hat @ dirs.T, -1.0, 1.0)
+    return _translation_sum_body(lmax, kd, cos_g, orders)
+
+
 def _hankel_abs_padded(lmax: int, kd: np.ndarray) -> np.ndarray:
     """|h_l(kd)| on bucket-padded shapes (one compile per bucket pair)."""
     p = len(kd)
@@ -117,22 +129,30 @@ def _hankel_abs_padded(lmax: int, kd: np.ndarray) -> np.ndarray:
     return np.hypot(np.asarray(j_all), np.asarray(y_all))[: lmax + 1, :p]
 
 
-def _translation_padded(k, d_vecs, dirs, lmax: int, orders) -> np.ndarray:
-    """Shared padded driver for both translation-operator forms."""
+def _translation_padded(k, d_vecs, dirs, lmax: int, orders, as_jax: bool = False):
+    """Shared padded driver for both translation-operator forms.
+
+    Host work is kept to O(P) small arrays: the (P, Q) angle matrix and
+    the series accumulate entirely inside the jit (cold-page numpy
+    allocations on this host run at ~30 MB/s, so every avoided (P, Q)
+    materialization saves seconds at production sizes). ``as_jax``
+    returns the (P, Q) result as a device (CPU-jax) array so callers
+    that scatter it into a jnp tensor skip the numpy copy too."""
     p = len(d_vecs)
     d_len = np.linalg.norm(d_vecs, axis=1)
     d_hat = d_vecs / np.maximum(d_len, 1e-300)[:, None]
-    cos_g = np.clip(d_hat @ dirs.T, -1.0, 1.0)  # (P, Q)
     pb = _bucket(p)
     lb = 4 * ((lmax + 3) // 4)  # bucket the static order too
     kd = np.full(pb, 1.0)
     kd[:p] = k * d_len
-    cg = np.ones((pb, cos_g.shape[1]))
-    cg[:p] = cos_g
+    dh = np.zeros((pb, 3))
+    dh[:p] = d_hat  # pad rows: cos_g = 0, masked anyway by orders = -1
     od = np.full(pb, -1, np.int32)
     od[:p] = orders
-    out = _translation_sum(lb, jnp.asarray(kd), jnp.asarray(cg), jnp.asarray(od))
-    return np.asarray(out)[:p]
+    out = _translation_sum_dirs(
+        lb, jnp.asarray(kd), jnp.asarray(dh), jnp.asarray(dirs), jnp.asarray(od)
+    )[:p]
+    return out if as_jax else np.asarray(out)
 
 
 def translation_operator(k: float, d_vecs: np.ndarray, dirs: np.ndarray, order: int):
@@ -657,12 +677,19 @@ def build_slfmm_mixed_system(
         s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
 
     c_count, q_dirs = len(c_centers), len(dirs)
-    d_tensor = np.zeros((c_count, c_count, q_dirs), complex)
     fb, fa = np.where(far)
     if len(fb):
-        d_tensor[fb, fa] = translation_operator_pairwise(
-            k, c_centers[fb] - c_centers[fa], dirs, expansion_order, orders_pair
+        vals = _translation_padded(
+            k, c_centers[fb] - c_centers[fa], dirs, expansion_order,
+            np.asarray(orders_pair, np.int32), as_jax=True,
         )
+        d_tensor = (
+            jnp.zeros((c_count, c_count, q_dirs), vals.dtype)
+            .at[jnp.asarray(fb), jnp.asarray(fa)]
+            .set(vals)
+        )
+    else:
+        d_tensor = np.zeros((c_count, c_count, q_dirs), complex)
 
     nb, na = np.where(~far)
     blk_main, blk_comp = _near_blocks_mixed(
@@ -867,16 +894,20 @@ def _level_tensors(mesh, clusters, mask, c_centers, far, k, dirs, w, order, dtyp
     t_tensor, s_tensor = _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs,
                                              agg_offset)
     c_count, q = len(c_centers), len(dirs)
-    d_tensor = np.zeros((c_count, c_count, q), complex)
     fb, fa = np.where(far)
-    if len(fb):
-        d_vecs = c_centers[fb] - c_centers[fa]
-        if orders_pair is None:
-            d_tensor[fb, fa] = translation_operator(k, d_vecs, dirs, order)
-        else:
-            d_tensor[fb, fa] = translation_operator_pairwise(
-                k, d_vecs, dirs, order, orders_pair
-            )
+    if not len(fb):
+        return t_tensor, s_tensor, np.zeros((c_count, c_count, q), complex)
+    d_vecs = c_centers[fb] - c_centers[fa]
+    if orders_pair is None:
+        orders_pair = np.full(len(fb), order, np.int32)
+    # build + scatter stay on the CPU-jax side: no (P, Q) numpy copy and
+    # no (C, C, Q) numpy zeros cold-touch (see _translation_padded)
+    vals = _translation_padded(k, d_vecs, dirs, order, orders_pair, as_jax=True)
+    d_tensor = (
+        jnp.zeros((c_count, c_count, q), vals.dtype)
+        .at[jnp.asarray(fb), jnp.asarray(fa)]
+        .set(vals)
+    )
     return t_tensor, s_tensor, d_tensor
 
 
@@ -1487,7 +1518,13 @@ def _tree_skeleton(mesh, k, max_per_leaf, separation_ratio, stability_tau,
             # screen (aligned: np.where on the screened mask preserves
             # the row-major pair order the screen emitted)
             l_pair = np.minimum(pair_orders[d], orders[d])
-            t_op = translation_operator_pairwise(k, d_vecs, dirs_d, orders[d], l_pair)
+            # as_jax: the (P, Q) per-level translation table never
+            # round-trips through a cold-page numpy copy (MlfmmLevel
+            # stores it as a device array anyway)
+            t_op = _translation_padded(
+                k, d_vecs, dirs_d, orders[d], np.asarray(l_pair, np.int32),
+                as_jax=True,
+            )
         else:
             t_op = np.zeros((0, len(dirs_d)), complex)
         if d == d_top:
