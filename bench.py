@@ -420,10 +420,14 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
 # reference tier is "FMM + GMRES + ILU, N < 20000 / FMM + batched,
 # N > 20000", qa_suite.rs:9-14). Keys: (n_elements, tier).
 BASELINE_CPU_FMM_SOLVES_PER_S = {
-    # recalibrated after the round-4 early-exit Arnoldi (it speeds the
-    # CPU harness too): slfmm 0.0334 -> 0.04004, mlfmm 0.0255 -> 0.03152
-    (5120, "slfmm"): 0.04004,
-    (20480, "mlfmm"): 0.03152,
+    # recalibrated twice in round 4 — each matvec optimization applies
+    # to the CPU harness too, so the ratio stays apples-to-apples:
+    # early-exit Arnoldi (slfmm 0.0334 -> 0.04004, mlfmm 0.0255 ->
+    # 0.03152), then the xa row-gather + _bmv multiply-reduce forms
+    # (slfmm -> 0.143 — the scalar-gather fix helps the CPU 3.6x —
+    # mlfmm -> 0.02892).
+    (5120, "slfmm"): 0.143,
+    (20480, "mlfmm"): 0.02892,
 }
 
 

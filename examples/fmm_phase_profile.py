@@ -125,21 +125,30 @@ def main():
 
     import jax.lax as lax
 
+    # Every phase body derives its INPUT from the loop carry — a naive
+    # "recompute the same phase R times" loop gets hoisted by XLA (the
+    # computation is loop-invariant) and measures nothing; caught in
+    # round 4 when the phases summed to 1/5 of the real matvec.
     def loop(body, z0):
-        return lax.fori_loop(0, R, lambda i, z: body(z) * (1.0 / (1.0 + 1e-12 * i)), z0)
+        return lax.fori_loop(0, R, body, z0)
+
+    def chain(x, scalar):
+        """Fold a phase-output scalar back into the carried x (cheap)."""
+        return x * (1.0 + 1e-12 * jnp.real(scalar).astype(x.dtype))
 
     # Phase jits take the planes pytree and recombine in-trace.
     @jax.jit
     def p_agg(planes, xr, xi):
         with jax.default_matmul_precision("float32"):
             dd = join_planes(planes).data
-            x = jax.lax.complex(xr, xi)
-            xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+            x0 = jax.lax.complex(xr, xi)
 
-            def body(mu):
-                return jnp.einsum("cqm,cm->cq", dd.t_tensor, xc) + 1e-12 * mu
+            def body(i, x):
+                xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+                mu = jnp.einsum("cqm,cm->cq", dd.t_tensor, xc)
+                return chain(x, mu[0, 0])
 
-            return jnp.abs(loop(body, jnp.einsum("cqm,cm->cq", dd.t_tensor, xc)))
+            return jnp.abs(loop(body, x0))
 
     t_agg, mu_abs = timed(p_agg, planes, xr, xi)
     print(f"aggregation T x    : {t_agg*1e3:7.3f} ms")
@@ -152,12 +161,13 @@ def main():
                 dd = join_planes(planes).data
                 x = jax.lax.complex(xr, xi)
                 xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
-                mu = jnp.einsum("cqm,cm->cq", dd.t_tensor, xc)
+                mu0 = jnp.einsum("cqm,cm->cq", dd.t_tensor, xc)
 
-                def body(lam):
-                    return jnp.einsum("baq,aq->bq", dd.d_tensor, mu) + 1e-12 * lam
+                def body(i, mu):
+                    lam = jnp.einsum("baq,aq->bq", dd.d_tensor, mu)
+                    return chain(mu, lam[0, 0])
 
-                return jnp.abs(loop(body, mu))
+                return jnp.abs(loop(body, mu0))
 
         t_tr, _ = timed(p_trans, planes, xr, xi)
         print(f"translation D mu   : {t_tr*1e3:7.3f} ms")
@@ -171,7 +181,7 @@ def main():
                 dd = join_planes(planes).data
                 x = jax.lax.complex(xr, xi)
                 xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
-                mu_leaf = jnp.einsum("cqm,cm->cq", dd.t_tensor, xc)
+                mu_leaf0 = jnp.einsum("cqm,cm->cq", dd.t_tensor, xc)
                 nlev = len(dd.levels)
 
                 def far_pipeline(mu_leaf):
@@ -201,10 +211,11 @@ def main():
                         loc = lam
                     return loc
 
-                def body(loc):
-                    return far_pipeline(mu_leaf) + 1e-12 * loc
+                def body(i, mu_leaf):
+                    loc = far_pipeline(mu_leaf)
+                    return chain(mu_leaf, loc[0, 0])
 
-                return jnp.abs(loop(body, far_pipeline(mu_leaf)))
+                return jnp.abs(loop(body, mu_leaf0))
 
         t_tr, _ = timed(p_tree, planes, xr, xi)
         print(f"tree far pipeline  : {t_tr*1e3:7.3f} ms (M2M+translate+L2L)")
@@ -213,33 +224,153 @@ def main():
     def p_near(planes, xr, xi):
         with jax.default_matmul_precision("float32"):
             dd = join_planes(planes).data
-            x = jax.lax.complex(xr, xi)
-            xa = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
+            x0 = jax.lax.complex(xr, xi)
 
-            def body(z):
+            def body(i, x):
+                xa = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
                 near = jnp.einsum("pij,pj->pi", dd.near_blocks, xa)
                 nearp = jnp.concatenate(
                     [near, jnp.zeros((1, near.shape[1]), near.dtype)]
                 )
-                return jnp.sum(jnp.take(nearp, dd.near_of_tgt, axis=0), axis=1) + 1e-12 * z
+                near_t = jnp.sum(jnp.take(nearp, dd.near_of_tgt, axis=0), axis=1)
+                return chain(x, near_t[0, 0])
 
-            z0 = jnp.zeros((dd.clusters.shape[0], dd.clusters.shape[1]),
-                           jnp.complex64 if pdt == np.float32 else jnp.complex128)
-            return jnp.abs(loop(body, z0))
+            return jnp.abs(loop(body, x0))
 
     t_near, _ = timed(p_near, planes, xr, xi)
     print(f"near blocks+reduce : {t_near*1e3:7.3f} ms")
 
     @jax.jit
+    def p_disagg(planes, xr, xi):
+        with jax.default_matmul_precision("float32"):
+            dd = join_planes(planes).data
+            x = jax.lax.complex(xr, xi)
+            xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+            loc0 = jnp.einsum("cqm,cm->cq", dd.t_tensor, xc)  # stand-in local expansion
+
+            def body(i, loc):
+                far = dd.prefactor * jnp.einsum(
+                    "q,cqm,cq->cm", dd.quad_w.astype(loc.dtype), dd.s_tensor, loc
+                )
+                out = (far * dd.cluster_mask.astype(loc.dtype)).reshape(-1)[dd.elem_pos]
+                return chain(loc, out[0])
+
+            return jnp.abs(loop(body, loc0))
+
+    t_dis, _ = timed(p_disagg, planes, xr, xi)
+    print(f"disagg S loc+place : {t_dis*1e3:7.3f} ms")
+
+    # ---- sub-phase decomposition of the two hotspots ----
+    @jax.jit
+    def p_near_gather(planes, xr, xi):
+        """n1: just the source-element gather xa = x[elem ids] (scalar
+        gathers from the (N,) vector — no lane dimension to amortize)."""
+        with jax.default_matmul_precision("float32"):
+            dd = join_planes(planes).data
+            x0 = jax.lax.complex(xr, xi)
+
+            def body(i, x):
+                xa = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
+                return chain(x, xa[0, 0])
+
+            return jnp.abs(loop(body, x0))
+
+    t_n1, _ = timed(p_near_gather, planes, xr, xi)
+    print(f"  near n1 xa gather: {t_n1*1e3:7.3f} ms")
+
+    @jax.jit
+    def p_near_bmv(planes, xr, xi):
+        """n2: the block products given a resident xa."""
+        from mathaudio_tpu.bem.fmm import _bmv
+        with jax.default_matmul_precision("float32"):
+            dd = join_planes(planes).data
+            x = jax.lax.complex(xr, xi)
+            xa0 = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
+
+            def body(i, xa):
+                near = _bmv(dd.near_blocks, xa)
+                return chain(xa, near[0, 0])
+
+            return jnp.abs(loop(body, xa0))
+
+    t_n2, _ = timed(p_near_bmv, planes, xr, xi)
+    print(f"  near n2 blocks   : {t_n2*1e3:7.3f} ms")
+
+    @jax.jit
+    def p_near_reduce(planes, xr, xi):
+        """n3: the target-side pair reduction take(near_of_tgt)+sum."""
+        from mathaudio_tpu.bem.fmm import _bmv
+        with jax.default_matmul_precision("float32"):
+            dd = join_planes(planes).data
+            x = jax.lax.complex(xr, xi)
+            xa = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
+            near0 = _bmv(dd.near_blocks, xa)
+
+            def body(i, near):
+                nearp = jnp.concatenate(
+                    [near, jnp.zeros((1, near.shape[1]), near.dtype)]
+                )
+                near_t = jnp.sum(jnp.take(nearp, dd.near_of_tgt, axis=0), axis=1)
+                return chain(near, near_t[0, 0])
+
+            return jnp.abs(loop(body, near0))
+
+    t_n3, _ = timed(p_near_reduce, planes, xr, xi)
+    print(f"  near n3 reduce   : {t_n3*1e3:7.3f} ms")
+
+    if args.tier == "mlfmm":
+        @jax.jit
+        def p_tree_trans(planes, xr, xi):
+            """t1+t2 only: per-level translation multiply + target reduce
+            (no M2M/L2L) — mu per level approximated by broadcasting the
+            leaf spectrum through interp to keep shapes honest."""
+            with jax.default_matmul_precision("float32"):
+                dd = join_planes(planes).data
+                x = jax.lax.complex(xr, xi)
+                xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+                from mathaudio_tpu.bem.fmm import _bmv
+                mu_leaf0 = _bmv(dd.t_tensor, xc)
+                nlev = len(dd.levels)
+
+                def body(i, mu_leaf):
+                    # build per-level spectra via the real M2M chain once
+                    mu = [None] * nlev
+                    mu[-1] = mu_leaf
+                    for j in range(nlev - 1, 0, -1):
+                        lv = dd.levels[j]
+                        up = (mu[j] @ lv.interp_up.T.astype(mu[j].dtype)) * lv.shift_up
+                        mu[j - 1] = jnp.sum(
+                            jnp.take(up, lv.children_idx, axis=0)
+                            * lv.children_mask[:, :, None].astype(up.dtype),
+                            axis=1,
+                        )
+                    acc = None
+                    for j in range(nlev):
+                        lv = dd.levels[j]
+                        if lv.trans_op.shape[0]:
+                            contrib = lv.trans_op.astype(mu[j].dtype) * mu[j][lv.trans_src]
+                            cp = jnp.concatenate(
+                                [contrib, jnp.zeros((1, contrib.shape[1]), contrib.dtype)]
+                            )
+                            lam = jnp.sum(jnp.take(cp, lv.trans_of_tgt, axis=0), axis=1)
+                            acc = lam[0, 0] if acc is None else acc + lam[0, 0]
+                    return chain(mu_leaf, acc)
+
+                return jnp.abs(loop(body, mu_leaf0))
+
+        t_tt, _ = timed(p_tree_trans, planes, xr, xi)
+        print(f"  tree M2M+translate+reduce (no L2L): {t_tt*1e3:7.3f} ms")
+
+    @jax.jit
     def p_pre(pre_planes, xr, xi):
         with jax.default_matmul_precision("float32"):
             pp = join_planes(pre_planes)
-            x = jax.lax.complex(xr, xi)
+            x0 = jax.lax.complex(xr, xi)
 
-            def body(z):
-                return pp.matvec(x) + 1e-12 * z
+            def body(i, x):
+                return pp.matvec(x)
 
-            return jnp.abs(loop(body, pp.matvec(x)))
+            return jnp.abs(loop(body, x0))
 
     t_pre, _ = timed(p_pre, pre_planes, xr, xi)
     print(f"preconditioner     : {t_pre*1e3:7.3f} ms")

@@ -61,6 +61,17 @@ def unit_sphere_quadrature(order: int):
     return dirs, w
 
 
+def _bmv(blocks, vecs):
+    """Batched (B, I, J) x (B, J) -> (B, I) as broadcast-multiply +
+    reduce. einsum/dot_general lowers this contraction to B tiny MXU
+    matmuls whose per-op dispatch dominates at small I, J — the
+    N=20480 near-field blocks (28k pairs of 31x31) measured 12.3 ms as
+    an einsum vs streaming the blocks once on the VPU
+    (examples/fmm_phase_profile.py; same lowering rule as
+    solvers/krylov_batched._dotc)."""
+    return jnp.sum(blocks * vecs[:, None, :], axis=-1)
+
+
 def _bucket(n: int, minimum: int = 64) -> int:
     """Next power of two >= n: pads data-dependent batch sizes to a few
     static shapes so the jitted build kernels compile O(log N) times per
@@ -295,13 +306,18 @@ class SlfmmOperator(LinearOperator):
     def matvec(self, x):
         d = self.data
         xc = x[d.clusters] * d.cluster_mask.astype(x.dtype)  # (C, m)
-        mu = jnp.einsum("cqm,cm->cq", d.t_tensor, xc)  # up
-        lam = jnp.einsum("baq,aq->bq", d.d_tensor, mu)  # translate
-        far = d.prefactor * jnp.einsum(
-            "q,cqm,cq->cm", d.quad_w.astype(x.dtype), d.s_tensor, lam
+        mu = _bmv(d.t_tensor, xc)  # up (see _bmv: no tiny batched matmuls)
+        lam = jnp.sum(d.d_tensor * mu[None, :, :], axis=1)  # translate
+        far = d.prefactor * jnp.sum(
+            d.s_tensor * (d.quad_w.astype(x.dtype)[None, :, None] * lam[:, :, None]),
+            axis=1,
         )
-        xa = x[d.clusters[d.near_a]] * d.cluster_mask[d.near_a].astype(x.dtype)
-        near = jnp.einsum("pij,pj->pi", d.near_blocks, xa)
+        # xa via the already-gathered (C, m) cluster values: x[clusters
+        # [near_a]] is P*m SCALAR gathers from the (N,) vector — measured
+        # 12.1 ms of the 25 ms N=20480 matvec (fmm_phase_profile n1);
+        # xc[near_a] row-gathers the same masked values instead.
+        xa = xc[d.near_a]
+        near = _bmv(d.near_blocks, xa)
         if d.elem_pos is not None:  # scatter-free form (gather_form)
             nearp = jnp.concatenate(
                 [near, jnp.zeros((1, near.shape[1]), near.dtype)]
@@ -778,10 +794,12 @@ class MlfmmOperator(LinearOperator):
         out = SlfmmOperator(self.data.leaf, self.n).matvec(x)
         d = self.data
         xc = x[d.coarse_clusters] * d.coarse_mask.astype(x.dtype)
-        mu = jnp.einsum("cqm,cm->cq", d.coarse_t, xc)
-        lam = jnp.einsum("baq,aq->bq", d.coarse_d, mu)
-        far = d.coarse_prefactor * jnp.einsum(
-            "q,cqm,cq->cm", d.coarse_w.astype(x.dtype), d.coarse_s, lam
+        mu = _bmv(d.coarse_t, xc)
+        lam = jnp.sum(d.coarse_d * mu[None, :, :], axis=1)
+        far = d.coarse_prefactor * jnp.sum(
+            d.coarse_s
+            * (d.coarse_w.astype(x.dtype)[None, :, None] * lam[:, :, None]),
+            axis=1,
         )
         far = far * d.coarse_mask.astype(x.dtype)
         if d.coarse_elem_pos is not None:  # scatter-free (gather_form)
@@ -1298,7 +1316,7 @@ class MlfmmTreeOperator(LinearOperator):
         gather = d.elem_pos is not None  # scatter-free form (gather_form)
         xc = x[d.clusters] * d.cluster_mask.astype(x.dtype)
         mu = [None] * nlev
-        mu[-1] = jnp.einsum("cqm,cm->cq", d.t_tensor, xc)
+        mu[-1] = _bmv(d.t_tensor, xc)
         for i in range(nlev - 1, 0, -1):  # upward: M2M (interp then shift)
             lv = d.levels[i]
             up = (mu[i] @ lv.interp_up.T.astype(mu[i].dtype)) * lv.shift_up
@@ -1330,11 +1348,16 @@ class MlfmmTreeOperator(LinearOperator):
                     lam.dtype
                 )
             loc = lam
-        far = d.prefactor * jnp.einsum(
-            "q,cqm,cq->cm", d.quad_w.astype(x.dtype), d.s_tensor, loc
+        far = d.prefactor * jnp.sum(
+            d.s_tensor * (d.quad_w.astype(x.dtype)[None, :, None] * loc[:, :, None]),
+            axis=1,
         )
-        xa = x[d.clusters[d.near_a]] * d.cluster_mask[d.near_a].astype(x.dtype)
-        near = jnp.einsum("pij,pj->pi", d.near_blocks, xa)
+        # xa via the already-gathered (C, m) cluster values: x[clusters
+        # [near_a]] is P*m SCALAR gathers from the (N,) vector — measured
+        # 12.1 ms of the 25 ms N=20480 matvec (fmm_phase_profile n1);
+        # xc[near_a] row-gathers the same masked values instead.
+        xa = xc[d.near_a]
+        near = _bmv(d.near_blocks, xa)
         if gather:
             nearp = jnp.concatenate(
                 [near, jnp.zeros((1, near.shape[1]), near.dtype)]
@@ -1772,7 +1795,7 @@ class ClusterBlockPreconditioner(LinearOperator):
     def matvec(self, r):
         rc = r[self.clusters] * self.mask.astype(r.dtype)
         b2 = jnp.concatenate([jnp.real(rc), jnp.imag(rc)], axis=1)  # (C, 2m)
-        x2 = jnp.einsum("cij,cj->ci", self.inv.astype(b2.dtype), b2)
+        x2 = _bmv(self.inv.astype(b2.dtype), b2)
         m = self.clusters.shape[1]
         xc = jax.lax.complex(x2[:, :m], x2[:, m:]).astype(r.dtype)
         # leaves partition elements, so the scatter-set is a permutation:

