@@ -462,6 +462,7 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
         build_mlfmm_tree_system,
         build_slfmm_system,
         gather_form,
+        sel_form,
     )
     from mathaudio_tpu.bem.fmm_chip import (
         fmm_chip_matvec_fn,
@@ -498,8 +499,12 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
             pre = ClusterBlockPreconditioner.from_operator(op)
             # scatter-free accumulation tables: TPU scatter-adds serialize
             # per row (the per-level translation scatter alone measured
-            # ~12 s per N=20480 matvec); the gather form streams instead
-            op = gather_form(op)
+            # ~12 s per N=20480 matvec); the gather form streams instead.
+            # On the chip the tree's per-level pair reductions further
+            # lower to 0/1-selection MXU matmuls (sel_form — 9.5 ms of
+            # the 13.6 ms matvec was the (C, K, Q) take+sum); on CPU the
+            # dense GEMMs would dominate, so calibration keeps gather.
+            op = gather_form(op) if device == "cpu" else sel_form(op)
             inc = plane_wave((0.0, 0.0, 1.0))
             rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), k)) - beta * (
                 np.asarray(

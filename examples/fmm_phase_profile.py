@@ -361,6 +361,75 @@ def main():
         t_tt, _ = timed(p_tree_trans, planes, xr, xi)
         print(f"  tree M2M+translate+reduce (no L2L): {t_tt*1e3:7.3f} ms")
 
+        @jax.jit
+        def p_tree_m2m(planes, xr, xi):
+            """M2M chain only (interp matmuls + shifts + children sums)."""
+            with jax.default_matmul_precision("float32"):
+                dd = join_planes(planes).data
+                x = jax.lax.complex(xr, xi)
+                xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+                from mathaudio_tpu.bem.fmm import _bmv
+                mu_leaf0 = _bmv(dd.t_tensor, xc)
+                nlev = len(dd.levels)
+
+                def body(i, mu_leaf):
+                    mu = [None] * nlev
+                    mu[-1] = mu_leaf
+                    acc = None
+                    for j in range(nlev - 1, 0, -1):
+                        lv = dd.levels[j]
+                        up = (mu[j] @ lv.interp_up.T.astype(mu[j].dtype)) * lv.shift_up
+                        mu[j - 1] = jnp.sum(
+                            jnp.take(up, lv.children_idx, axis=0)
+                            * lv.children_mask[:, :, None].astype(up.dtype),
+                            axis=1,
+                        )
+                        acc = mu[j - 1][0, 0] if acc is None else acc + mu[j - 1][0, 0]
+                    return chain(mu_leaf, acc)
+
+                return jnp.abs(loop(body, mu_leaf0))
+
+        t_m2m, _ = timed(p_tree_m2m, planes, xr, xi)
+        print(f"  tree M2M only    : {t_m2m*1e3:7.3f} ms")
+
+        @jax.jit
+        def p_tree_srcgather(planes, xr, xi):
+            """per-level mu[trans_src] row gathers + trans_op multiply,
+            with mu held FIXED per level (leaf spectrum interp'd once)."""
+            with jax.default_matmul_precision("float32"):
+                dd = join_planes(planes).data
+                x = jax.lax.complex(xr, xi)
+                xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+                from mathaudio_tpu.bem.fmm import _bmv
+                mu_leaf = _bmv(dd.t_tensor, xc)
+                nlev = len(dd.levels)
+                mu = [None] * nlev
+                mu[-1] = mu_leaf
+                for j in range(nlev - 1, 0, -1):
+                    lv = dd.levels[j]
+                    up = (mu[j] @ lv.interp_up.T.astype(mu[j].dtype)) * lv.shift_up
+                    mu[j - 1] = jnp.sum(
+                        jnp.take(up, lv.children_idx, axis=0)
+                        * lv.children_mask[:, :, None].astype(up.dtype),
+                        axis=1,
+                    )
+
+                def body(i, z):
+                    acc = None
+                    for j in range(nlev):
+                        lv = dd.levels[j]
+                        if lv.trans_op.shape[0]:
+                            contrib = lv.trans_op.astype(z.dtype) * (
+                                z[0, 0] + mu[j]
+                            )[lv.trans_src]
+                            acc = contrib[0, 0] if acc is None else acc + contrib[0, 0]
+                    return chain(z, acc)
+
+                return jnp.abs(loop(body, mu_leaf))
+
+        t_sg, _ = timed(p_tree_srcgather, planes, xr, xi)
+        print(f"  tree src gathers : {t_sg*1e3:7.3f} ms (mu[trans_src] * op)")
+
     @jax.jit
     def p_pre(pre_planes, xr, xi):
         with jax.default_matmul_precision("float32"):

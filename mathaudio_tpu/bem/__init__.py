@@ -53,6 +53,7 @@ from mathaudio_tpu.bem.fmm import (  # noqa: F401
     build_slfmm_mixed_system,
     build_slfmm_system,
     gather_form,
+    sel_form,
     near_ilu_preconditioner,
 )
 from mathaudio_tpu.bem.fmm_chip import (  # noqa: F401

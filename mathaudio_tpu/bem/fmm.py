@@ -285,6 +285,29 @@ def gather_form(op):
     raise TypeError(f"unsupported operator {type(op).__name__}")
 
 
+def sel_form(op):
+    """gather_form PLUS per-level 0/1 pair->target selection matrices so
+    the hierarchical translation reduction runs as one MXU matmul per
+    level (MlfmmLevel.sel). CHIP lowering: the dense (C, P) GEMMs would
+    dominate a CPU matvec, so CPU execution keeps plain gather_form;
+    numerics are identical up to sum reassociation (f32 matmul
+    accumulation vs sequential pair order). Memory: sum_l C_l*P_l f32 —
+    ~600 MB at the N=20480 bench tier."""
+    if not isinstance(op, MlfmmTreeOperator):
+        return gather_form(op)  # only the tree has per-level reductions
+    d = _tree_gather_form(op.data)
+    new_levels = []
+    for lv in d.levels:
+        n_pairs = int(lv.trans_tgt.shape[0])
+        if n_pairs:
+            c_here = int(lv.parent.shape[0])
+            sel = np.zeros((c_here, n_pairs), np.float32)
+            sel[np.asarray(lv.trans_tgt), np.arange(n_pairs)] = 1.0
+            lv = lv._replace(sel=jnp.asarray(sel))
+        new_levels.append(lv)
+    return MlfmmTreeOperator(d._replace(levels=tuple(new_levels)), op.n)
+
+
 def _slfmm_gather_form(d: SlfmmData) -> SlfmmData:
     near_of_tgt = _pad_by_target(
         np.asarray(d.near_b), d.clusters.shape[0], pad_value=d.near_b.shape[0]
@@ -1241,6 +1264,12 @@ class MlfmmLevel(NamedTuple):
     trans_of_tgt: Optional[jnp.ndarray] = None  # (C, K) pair ids, pad = P
     children_idx: Optional[jnp.ndarray] = None  # (C_coarse, Kc) node ids here
     children_mask: Optional[jnp.ndarray] = None  # (C_coarse, Kc) 1/0
+    # (C, P) 0/1 f32 pair->target selection matrix: the target-side pair
+    # reduction as ONE MXU matmul per level instead of the (C, Kmax, Q)
+    # take+sum (9.5 of the 13.6 ms N=20480 chip matvec was that take —
+    # fmm_phase_profile). Chip-only lowering (sel_form); on CPU the
+    # dense (C, P) GEMM would dominate, so the take form stays there.
+    sel: Optional[jnp.ndarray] = None
 
 
 class MlfmmTreeData(NamedTuple):
@@ -1334,7 +1363,14 @@ class MlfmmTreeOperator(LinearOperator):
             lv = d.levels[i]
             if lv.trans_op.shape[0]:
                 contrib = lv.trans_op.astype(mu[i].dtype) * mu[i][lv.trans_src]
-                if gather:
+                if lv.sel is not None:
+                    # pair->target reduction as one MXU matmul on re/im
+                    # planes (see MlfmmLevel.sel)
+                    sel = lv.sel
+                    lam = jax.lax.complex(
+                        sel @ jnp.real(contrib), sel @ jnp.imag(contrib)
+                    ).astype(contrib.dtype)
+                elif gather:
                     cp = jnp.concatenate(
                         [contrib, jnp.zeros((1, contrib.shape[1]), contrib.dtype)]
                     )

@@ -477,3 +477,47 @@ class TestRoomFmmOnRoomMesh:
                         + 1j * rng.standard_normal(mesh.num_elements))
         rel = float(jnp.linalg.norm(op.matvec(x) - a @ x) / jnp.linalg.norm(a @ x))
         assert rel < 1e-4, rel
+
+
+class TestSelForm:
+    def test_sel_form_matches_scatter_and_gather(self):
+        """sel_form (per-level 0/1 selection-matrix reductions — the chip
+        lowering of the tree translations, round 4) reproduces both the
+        scatter and gather_form matvecs up to sum reassociation."""
+        from mathaudio_tpu.bem.fmm import (
+            build_mlfmm_tree_system,
+            gather_form,
+            sel_form,
+        )
+        from mathaudio_tpu.bem.mesh import icosphere
+
+        surf = icosphere(1.0, 3)
+        op = build_mlfmm_tree_system(surf, 4.0)
+        ops = sel_form(op)
+        opg = gather_form(op)
+        # sel matrices exist on levels that have pairs
+        assert any(lv.sel is not None for lv in ops.data.levels)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.standard_normal(op.n) + 1j * rng.standard_normal(op.n)
+        )
+        y0 = op.matvec(x)
+        rel_s = float(jnp.linalg.norm(ops.matvec(x) - y0) / jnp.linalg.norm(y0))
+        rel_g = float(jnp.linalg.norm(opg.matvec(x) - y0) / jnp.linalg.norm(y0))
+        assert rel_s < 1e-10, rel_s
+        assert rel_g < 1e-10, rel_g
+
+    def test_sel_form_passthrough_for_slfmm(self):
+        from mathaudio_tpu.bem.fmm import build_slfmm_system, sel_form
+        from mathaudio_tpu.bem.mesh import icosphere
+
+        surf = icosphere(1.0, 2)
+        op = build_slfmm_system(surf, 2.0)
+        ops = sel_form(op)  # falls back to gather_form
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(
+            rng.standard_normal(op.n) + 1j * rng.standard_normal(op.n)
+        )
+        y0 = op.matvec(x)
+        rel = float(jnp.linalg.norm(ops.matvec(x) - y0) / jnp.linalg.norm(y0))
+        assert rel < 1e-10, rel
