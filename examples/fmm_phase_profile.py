@@ -48,6 +48,7 @@ def main():
         build_mlfmm_tree_system,
         build_slfmm_system,
         gather_form,
+        sel_form,
     )
     from mathaudio_tpu.bem.fmm_chip import (
         fmm_chip_matvec_fn,
@@ -75,7 +76,7 @@ def main():
                 op = build_mlfmm_tree_system(surf, ka, beta=beta,
                                              stability_tau=1e4, max_per_leaf=32)
             pre = ClusterBlockPreconditioner.from_operator(op)
-            op = gather_form(op)
+            op = sel_form(op) if args.device != "cpu" else gather_form(op)
     finally:
         jax.config.update("jax_enable_x64", x64_was or args.device == "cpu")
     print(f"# {args.tier} N={n} ka={ka}: host build {time.perf_counter()-t0:.1f}s")
@@ -200,10 +201,16 @@ def main():
                         lv = dd.levels[i]
                         if lv.trans_op.shape[0]:
                             contrib = lv.trans_op.astype(mu[i].dtype) * mu[i][lv.trans_src]
-                            cp = jnp.concatenate(
-                                [contrib, jnp.zeros((1, contrib.shape[1]), contrib.dtype)]
-                            )
-                            lam = jnp.sum(jnp.take(cp, lv.trans_of_tgt, axis=0), axis=1)
+                            if lv.sel is not None:  # production sel_form path
+                                lam = jax.lax.complex(
+                                    lv.sel @ jnp.real(contrib),
+                                    lv.sel @ jnp.imag(contrib),
+                                ).astype(contrib.dtype)
+                            else:
+                                cp = jnp.concatenate(
+                                    [contrib, jnp.zeros((1, contrib.shape[1]), contrib.dtype)]
+                                )
+                                lam = jnp.sum(jnp.take(cp, lv.trans_of_tgt, axis=0), axis=1)
                         else:
                             lam = jnp.zeros_like(mu[i])
                         if loc is not None:
@@ -263,20 +270,23 @@ def main():
     # ---- sub-phase decomposition of the two hotspots ----
     @jax.jit
     def p_near_gather(planes, xr, xi):
-        """n1: just the source-element gather xa = x[elem ids] (scalar
-        gathers from the (N,) vector — no lane dimension to amortize)."""
+        """n1 (current production form): xa = xc[near_a] — a P-row
+        gather of the already-gathered masked cluster values. (The old
+        x[clusters[near_a]] form was 876k SCALAR gathers = 12.1 ms; the
+        row form replaced it in round 4.)"""
         with jax.default_matmul_precision("float32"):
             dd = join_planes(planes).data
             x0 = jax.lax.complex(xr, xi)
 
             def body(i, x):
-                xa = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
+                xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+                xa = xc[dd.near_a]
                 return chain(x, xa[0, 0])
 
             return jnp.abs(loop(body, x0))
 
     t_n1, _ = timed(p_near_gather, planes, xr, xi)
-    print(f"  near n1 xa gather: {t_n1*1e3:7.3f} ms")
+    print(f"  near n1 xc+rowsel: {t_n1*1e3:7.3f} ms (incl. the xc gather)")
 
     @jax.jit
     def p_near_bmv(planes, xr, xi):
@@ -285,7 +295,8 @@ def main():
         with jax.default_matmul_precision("float32"):
             dd = join_planes(planes).data
             x = jax.lax.complex(xr, xi)
-            xa0 = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
+            xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+            xa0 = xc[dd.near_a]
 
             def body(i, xa):
                 near = _bmv(dd.near_blocks, xa)
@@ -303,8 +314,8 @@ def main():
         with jax.default_matmul_precision("float32"):
             dd = join_planes(planes).data
             x = jax.lax.complex(xr, xi)
-            xa = x[dd.clusters[dd.near_a]] * dd.cluster_mask[dd.near_a].astype(x.dtype)
-            near0 = _bmv(dd.near_blocks, xa)
+            xc = x[dd.clusters] * dd.cluster_mask.astype(x.dtype)
+            near0 = _bmv(dd.near_blocks, xc[dd.near_a])
 
             def body(i, near):
                 nearp = jnp.concatenate(
