@@ -225,7 +225,8 @@ BASELINE_CPU_BEM_SOLVES_PER_S = {
     # (solvers/krylov.py) — the change speeds the CPU harness too
     # (0.1877 -> 0.3017), so the ratio stays apples-to-apples.
     (5120, "gmres"): 0.3017,
-    (20480, "gmres"): 0.0066,
+    # 20480 recalibrated with the early-exit Arnoldi too (0.0066 -> 0.0166)
+    (20480, "gmres"): 0.0166,
 }
 
 
@@ -363,15 +364,17 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
     ab = None
     if ab_pallas and device != "cpu":
         # A/B artifact (VERDICT r2 item 8): the same sweep with the Pallas
-        # assembly kernels disabled, so the 2.53x claim in
-        # ops/bem_assembly.py is driver-reproducible. The env flag is read
-        # at TRACE time by the dispatch, so the inner assembly jit cache
-        # is cleared and a fresh outer function forces a re-trace.
+        # assembly kernels ENABLED (since round 4 the default is the
+        # row-chunked XLA assembly — the A/B that justified the flip:
+        # N=5120 XLA 89.5 vs Pallas 103.3 ms, N=20480 254.3 vs 274.7).
+        # The env flag is read at TRACE time by the dispatch, so the
+        # inner assembly jit cache is cleared and a fresh outer function
+        # forces a re-trace.
         import os
 
         from mathaudio_tpu.bem import assembly as _asm
 
-        os.environ["MATHAUDIO_PALLAS"] = "0"
+        os.environ["MATHAUDIO_PALLAS"] = "1"
         _asm._assemble_jit.clear_cache()
         try:
             def run_abs_xla(s, ks):  # distinct callable -> fresh outer trace
@@ -385,13 +388,13 @@ def run_bem(device: str, repeats: int, calibrate: bool, subdiv: int = 4,
                 np.asarray(fn_x(statics, ks))
                 times_x.append(time.perf_counter() - t0)
             ab = {
-                "pallas_ms": round(min(times) * 1e3, 1),
-                "xla_ms": round(min(times_x) * 1e3, 1),
-                "pallas_speedup": round(min(times_x) / min(times), 3),
+                "xla_ms": round(min(times) * 1e3, 1),
+                "pallas_ms": round(min(times_x) * 1e3, 1),
+                "pallas_speedup": round(min(times) / min(times_x), 3),
             }
             print(
-                f"# bem A/B at N={n}: pallas {ab['pallas_ms']} ms vs xla "
-                f"{ab['xla_ms']} ms -> {ab['pallas_speedup']}x",
+                f"# bem A/B at N={n}: xla (default) {ab['xla_ms']} ms vs "
+                f"pallas {ab['pallas_ms']} ms -> pallas {ab['pallas_speedup']}x",
                 file=sys.stderr,
             )
         finally:
@@ -699,8 +702,9 @@ if __name__ == "__main__":
                     help="auto = the reference's size table: LU below N=1000, GMRES above")
     ap.add_argument("--ab-pallas", action="store_true",
                     help="also time the BEM sweep with the Pallas assembly "
-                         "kernels disabled (MATHAUDIO_PALLAS=0) and report "
-                         "both timings (reproducible Pallas-vs-XLA artifact)")
+                         "kernels enabled (MATHAUDIO_PALLAS=1; the default "
+                         "is the row-chunked XLA assembly since round 4) and "
+                         "report both timings (reproducible A/B artifact)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
     if args.sweep == "vmapped" and args.freq_chunk:

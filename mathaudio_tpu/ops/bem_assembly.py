@@ -144,14 +144,20 @@ def pairwise_double_layer_xla(x, yq, ny, w, k):
 
 
 def pairwise_double_layer(x, yq, ny, w, k, force: str = "auto"):
-    """Dispatch: Pallas is the DEFAULT on TPU for f32 (opt out with
-    MATHAUDIO_PALLAS=0 or force='xla'). The lane-oriented relayout (module
-    docstring) fixed the round-1 Mosaic compile hang; measured on the
-    bench chip 2026-08-17 (4-kernel BM variant, nq=4, pipelined x8):
-    N=10240 Pallas 29.9 ms vs XLA 75.7 ms (2.53x, ~7.3 TFLOP/s), and at
-    N=20480 Pallas runs in 95.8 ms where the one-shot XLA form OOMs
-    (25 GB of (N, N, nq) intermediates vs 15.75 GB HBM). Matches XLA to
-    1e-12 (interpret) / f32 roundoff (chip)."""
+    """Dispatch. History of a flipped default: the Pallas kernels beat
+    the ONE-SHOT XLA assembly decisively in round 2 (bench chip
+    2026-08-17, 4-kernel BM variant, nq=4, pipelined x8: N=10240 Pallas
+    29.9 ms vs XLA 75.7 ms = 2.53x, and Pallas ran N=20480 where the
+    (N, N, nq) one-shot XLA intermediates OOMed at 25 GB) and became the
+    TPU f32 default. The ROW-CHUNKED XLA assembly added later removed
+    the materialization the kernels existed to avoid, and the round-4
+    driver-reproducible A/B (`bench.py --metric bem --ab-pallas`)
+    measures XLA AHEAD in the full sweep: N=5120 89.5 vs 103.3 ms
+    (0.866x), N=20480 254.3 vs 274.7 ms (0.926x), no OOM. XLA is the
+    default again; the kernels stay tested and opt-in
+    (MATHAUDIO_PALLAS=1 or force='pallas') — the same measured-decision
+    treatment as gmres_pipelined and the Pallas DIA matvec. Matches XLA
+    to 1e-12 (interpret) / f32 roundoff (chip)."""
     if _use_pallas(force, x.dtype):
         return pairwise_double_layer_pallas(x, yq, ny, w, k)
     return pairwise_double_layer_xla(x, yq, ny, w, k)
@@ -162,8 +168,8 @@ def _use_pallas(force: str, dtype) -> bool:
         return True
     if force != "auto" or jax.default_backend() != "tpu":
         return False
-    if os.environ.get("MATHAUDIO_PALLAS") == "0":
-        return False
+    if os.environ.get("MATHAUDIO_PALLAS") != "1":
+        return False  # round-4 default: row-chunked XLA (see dispatch doc)
     # f64 never hits the MXU/VPU natively on TPU; keep the XLA path for it.
     return jnp.dtype(dtype) == jnp.float32
 
