@@ -82,6 +82,12 @@ import time
 # nets only +0.3% end-to-end (XLA already fused the combine
 # contextually). The Galerkin-fused RA/AP transfer operators lose
 # outright ((rows, K, F) gather materialization; vcycle_breakdown.py).
+# Per-level smoothing --nu 1,2 (double level-1 smooth) also cuts the
+# iteration AVERAGE to 4.9 but the batched first cycle is trace-unrolled
+# at the restart length, so runtime is set by the lockstep MAX — which
+# stays 6 (8.55e7); with --restart 5 the marginal lanes force a second
+# cycle (avg 6.9, 5.24e7). restart=6 = the max is the floor of this
+# formulation.
 BASELINE_CPU_DOF_PER_S = 1.539e5
 
 
@@ -633,6 +639,18 @@ def _check_tpu_reachable(timeout_s: float = 0.0) -> None:
         sys.exit(1)
 
 
+def _parse_nu(v: str):
+    if "," in v:
+        return tuple(int(x) for x in v.split(","))
+    return int(v)
+
+
+def _parse_nu_post(v: str):
+    if "," in v:
+        return tuple(int(x) for x in v.split(","))
+    return None if int(v) < 0 else int(v)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
@@ -677,11 +695,13 @@ if __name__ == "__main__":
                          "operator; see models/room_sweep_nm.py "
                          "sweep_fn docstring for the measured record")
     ap.add_argument("--levels", type=int, default=3, help="multigrid levels")
-    ap.add_argument("--nu", type=int, default=1,
-                    help="multigrid pre-smoothing steps (0 = V(0,nu_post): "
-                         "no pre-smooth, one fine matvec saved per cycle)")
-    ap.add_argument("--nu-post", type=int, default=-1,
-                    help="post-smoothing steps (-1 = same as --nu)")
+    ap.add_argument("--nu", type=str, default="1",
+                    help="multigrid pre-smoothing steps; an int, 0 (= "
+                         "V(0,nu_post)), or a comma list for per-level "
+                         "counts (node-major only), e.g. 1,2")
+    ap.add_argument("--nu-post", type=str, default="-1",
+                    help="post-smoothing steps (-1 = same as --nu; comma "
+                         "list for per-level counts)")
     ap.add_argument("--dia", default="xla", choices=["xla", "pallas"],
                     help="node-major DIA matvec lowering: xla (15 shifted "
                          "passes — the measured winner, 3.1 ms/matvec at "
@@ -734,7 +754,7 @@ if __name__ == "__main__":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
                   args.orth, args.transfers, args.freq_chunk,
-                  args.nu, None if args.nu_post < 0 else args.nu_post)
+                  _parse_nu(args.nu), _parse_nu_post(args.nu_post))
     else:
         # all metrics (VERDICT r1 item 4 + r2 item 1): secondary metrics
         # first, headline FEM last; ONE combined JSON line (headline
@@ -756,7 +776,7 @@ if __name__ == "__main__":
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
                   args.orth, args.transfers, args.freq_chunk,
-                  args.nu, None if args.nu_post < 0 else args.nu_post)
+                  _parse_nu(args.nu), _parse_nu_post(args.nu_post))
         secondary = [iir, bem] + [f for f in fmms if f]
         out = dict(fem, secondary=secondary) if fem else None
     if out is not None:

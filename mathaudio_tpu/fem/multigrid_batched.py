@@ -287,6 +287,12 @@ def mg_cycle_batched(
         return _coarse_solve_b(mgp.anchor_inv, r)
     if nu_post is None:
         nu_post = nu
+    # per-level smoothing counts: a tuple/list gives each level its own
+    # nu (e.g. (1, 2): single fine smooth, double level-1 smooth — the
+    # cheap way to strengthen the coarse correction without the
+    # W-cycle's doubled transfers)
+    nu_here = nu[level] if isinstance(nu, (tuple, list)) else nu
+    nu_post_here = nu_post[level] if isinstance(nu_post, (tuple, list)) else nu_post
     lvl = mgp.levels[level]
     cm, cb = mgp.cms[level], mgp.cbs[level]
     if mgp.inv_diags:
@@ -296,14 +302,14 @@ def mg_cycle_batched(
         inv_diag = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
     mv = lambda v: dia_matvec(offsets[level], lvl.tables, cm, cb, v)
     om = jnp.asarray(omega, r.dtype)
-    if nu == 0:  # V(0, nu_post): no pre-smoothing — saves one fine
+    if nu_here == 0:  # V(0, nu_post): no pre-smoothing — saves one fine
         # matvec per cycle (chip: 4.0 ms at bench shape); the coarse
         # grid corrects the raw residual, post-smoothing cleans up.
         x = jnp.zeros_like(r)
         res = r
     else:
         x = om * inv_diag * r
-        for _ in range(nu - 1):
+        for _ in range(nu_here - 1):
             x = x + om * inv_diag * (r - mv(x))
         res = r - mv(x)
     n_coarse = (
@@ -325,6 +331,6 @@ def mg_cycle_batched(
         second = "v" if cycle == "f" else "w"
         xc = xc + mg_cycle_batched(mgp, offsets, rc2, omega, nu, level + 1, second, nu_post)
     x = x + _prolong_b(lvl, xc, tp_l, dims_c, mgp.transfer_bf16)
-    for _ in range(nu_post):
+    for _ in range(nu_post_here):
         x = x + om * inv_diag * (r - mv(x))
     return x

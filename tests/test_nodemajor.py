@@ -541,3 +541,39 @@ def test_dia_matvec_pallas_matches_xla():
                                            tile_n=tile_n, lane_tile=lane_tile))
         rel = np.linalg.norm(y_p - y_ref) / np.linalg.norm(y_ref)
         assert rel < 1e-5, (tile_n, lane_tile, rel)
+
+
+class TestPerLevelNu:
+    def test_tuple_nu_converges_and_matches(self):
+        """mg_nu as a per-level tuple (round-4 knob: e.g. (1, 2) doubles
+        the level-1 smoothing without touching the fine level) solves to
+        the same tolerance-gated solutions as scalar nu."""
+        import jax
+        import jax.numpy as jnp
+
+        from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
+        from mathaudio_tpu.models import RoomSweepModel
+        from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
+        from mathaudio_tpu.solvers import KrylovConfig
+
+        meshes = box_hierarchy(6, 2)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            listening_positions=((0.25, 0.25, 0.25),),
+            assembler=mg.assemblers[0],
+        )
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-8, restart=8)
+        ks = jnp.linspace(0.7, 1.9, 8, dtype=model.dtype)
+        p1, it1, cv1 = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                           mg_coarse_anchors=2))(params, ks)
+        p2, it2, cv2 = jax.jit(nm.sweep_fn(cfg, mg_nu=(1, 2), mg_omega=1.0,
+                                           mg_coarse_anchors=2))(params, ks)
+        assert bool(jnp.all(cv1)) and bool(jnp.all(cv2))
+        # stronger level-1 smoothing must not need more iterations
+        assert int(jnp.max(it2)) <= int(jnp.max(it1))
+        scale = float(jnp.max(jnp.abs(p1)))
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   atol=1e-6 * scale)
