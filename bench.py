@@ -434,7 +434,9 @@ BASELINE_CPU_FMM_SOLVES_PER_S = {
     # early-exit Arnoldi (slfmm 0.0334 -> 0.04004, mlfmm 0.0255 ->
     # 0.03152), then the xa row-gather + _bmv multiply-reduce forms
     # (slfmm -> 0.143 — the scalar-gather fix helps the CPU 3.6x —
-    # mlfmm -> 0.02892).
+    # mlfmm -> 0.02892). The chip-only cluster-major solve was also
+    # measured on CPU (slfmm 0.1465, mlfmm 0.02614) — mixed, so the CPU
+    # keeps the element-order path and these values.
     (5120, "slfmm"): 0.143,
     (20480, "mlfmm"): 0.02892,
 }
@@ -475,6 +477,7 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
     )
     from mathaudio_tpu.bem.fmm_chip import (
         fmm_chip_matvec_fn,
+        fmm_chip_solve_cm_fn,
         fmm_chip_solve_fn,
         split_planes,
     )
@@ -568,7 +571,13 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
     # size now only affects basis memory and compile time.
     config = KrylovConfig(max_iterations=200, tolerance=1e-5,
                           restart=48 if tier == "slfmm" else 36)
-    solve = jax.jit(fmm_chip_solve_fn(config))
+    # Chip: cluster-major Krylov space (fmm_chip_solve_cm_fn) — no
+    # per-iteration element-order gathers; identical iteration counts
+    # and solutions (tests/test_fmm_chip.py). Chip wins: mlfmm 396 ->
+    # 349 ms, slfmm 83 -> 66 ms. CPU keeps the element-order solve (its
+    # best: cm measured 0.02614 vs 0.02892 solves/s on the mlfmm tier).
+    solve = jax.jit((fmm_chip_solve_cm_fn if device != "cpu"
+                     else fmm_chip_solve_fn)(config))
     rr = jnp.asarray(rhs.real.astype(plane_dtype))
     ri = jnp.asarray(rhs.imag.astype(plane_dtype))
     t0 = time.perf_counter()

@@ -127,3 +127,133 @@ def build_on_host(build_fn, *args, **kwargs):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         return build_fn(*args, **kwargs)
+
+
+def fmm_chip_solve_cm_fn(config: Optional[KrylovConfig] = None):
+    """Cluster-major chip solve: the whole Krylov space lives in the
+    padded (C*m,) leaf-cluster layout, so the matvec and preconditioner
+    never re-gather element order — ``x[clusters]`` (44k SCALAR gathers
+    from the (N,) vector at the N=20480 tier) and the ``elem_pos``
+    placement gather disappear from every iteration; element order is
+    restored ONCE on the final solution. Works for MlfmmTreeOperator and
+    SlfmmOperator data in gather/sel form (the only forms the chip
+    runs). Numerically the same operator conjugated by the
+    elements->cluster-slots permutation (padded slots carry exact zeros
+    end to end: rhs pads are zero and every stage masks them).
+
+    Returns a jittable ``(op_planes, pre_planes, rhs_re, rhs_im) ->
+    (x_re, x_im, iterations, converged)`` with x in ELEMENT order —
+    drop-in for fmm_chip_solve_fn.
+    """
+    from mathaudio_tpu.bem.fmm import MlfmmTreeOperator, SlfmmOperator, _bmv
+
+    config = config or KrylovConfig(max_iterations=400, tolerance=1e-5, restart=60)
+
+    def solve(op_planes, pre_planes, rhs_re, rhs_im):
+        with jax.default_matmul_precision("float32"):
+            op = join_planes(op_planes)
+            pre = None if pre_planes is None else join_planes(pre_planes)
+            d = op.data
+            c, m = d.clusters.shape
+            mask = d.cluster_mask
+            diag_cm = (d.diag_add[d.clusters] * mask.astype(d.diag_add.dtype))
+
+            rhs = jax.lax.complex(rhs_re, rhs_im)
+            # one-time permutation into cluster-major: the (C, m) slot
+            # gather IS the layout (pads masked to exact zero) — no
+            # scatter anywhere (TPU scatters serialize per row)
+            rhs_cm = (rhs[d.clusters] * mask.astype(rhs.dtype)).reshape(-1)
+
+            if isinstance(op, MlfmmTreeOperator):
+
+                def mv(y):
+                    xc = y.reshape(c, m)
+                    nlev = len(d.levels)
+                    mu = [None] * nlev
+                    mu[-1] = _bmv(d.t_tensor, xc)
+                    for i in range(nlev - 1, 0, -1):
+                        lv = d.levels[i]
+                        up = (mu[i] @ lv.interp_up.T.astype(mu[i].dtype)) * lv.shift_up
+                        mu[i - 1] = jnp.sum(
+                            jnp.take(up, lv.children_idx, axis=0)
+                            * lv.children_mask[:, :, None].astype(up.dtype),
+                            axis=1,
+                        )
+                    loc = None
+                    for i in range(nlev):
+                        lv = d.levels[i]
+                        if lv.trans_op.shape[0]:
+                            contrib = lv.trans_op.astype(mu[i].dtype) * mu[i][lv.trans_src]
+                            if lv.sel is not None:
+                                lam = jax.lax.complex(
+                                    lv.sel @ jnp.real(contrib),
+                                    lv.sel @ jnp.imag(contrib),
+                                ).astype(contrib.dtype)
+                            else:
+                                cp = jnp.concatenate(
+                                    [contrib,
+                                     jnp.zeros((1, contrib.shape[1]), contrib.dtype)]
+                                )
+                                lam = jnp.sum(
+                                    jnp.take(cp, lv.trans_of_tgt, axis=0), axis=1
+                                )
+                        else:
+                            lam = jnp.zeros_like(mu[i])
+                        if loc is not None:
+                            lam = lam + (loc[lv.parent] * lv.shift_down) @ (
+                                lv.interp_down.T.astype(lam.dtype)
+                            )
+                        loc = lam
+                    far = d.prefactor * jnp.sum(
+                        d.s_tensor
+                        * (d.quad_w.astype(y.dtype)[None, :, None] * loc[:, :, None]),
+                        axis=1,
+                    )
+                    near = _bmv(d.near_blocks, xc[d.near_a])
+                    nearp = jnp.concatenate(
+                        [near, jnp.zeros((1, near.shape[1]), near.dtype)]
+                    )
+                    near_t = jnp.sum(jnp.take(nearp, d.near_of_tgt, axis=0), axis=1)
+                    tot = (far + near_t) * mask.astype(y.dtype)
+                    return (tot + diag_cm * xc).reshape(-1)
+
+            elif isinstance(op, SlfmmOperator):
+
+                def mv(y):
+                    xc = y.reshape(c, m)
+                    mu = _bmv(d.t_tensor, xc)
+                    lam = jnp.sum(d.d_tensor * mu[None, :, :], axis=1)
+                    far = d.prefactor * jnp.sum(
+                        d.s_tensor
+                        * (d.quad_w.astype(y.dtype)[None, :, None] * lam[:, :, None]),
+                        axis=1,
+                    )
+                    near = _bmv(d.near_blocks, xc[d.near_a])
+                    nearp = jnp.concatenate(
+                        [near, jnp.zeros((1, near.shape[1]), near.dtype)]
+                    )
+                    near_t = jnp.sum(jnp.take(nearp, d.near_of_tgt, axis=0), axis=1)
+                    tot = (far + near_t) * mask.astype(y.dtype)
+                    return (tot + diag_cm * xc).reshape(-1)
+
+            else:  # pragma: no cover - guarded by the public builders
+                raise TypeError(f"unsupported operator {type(op).__name__}")
+
+            if pre is not None:
+                pinv = pre.inv
+
+                def pre_mv(r):
+                    rc = r.reshape(c, m) * pre.mask.astype(r.dtype)
+                    b2 = jnp.concatenate([jnp.real(rc), jnp.imag(rc)], axis=1)
+                    x2 = _bmv(pinv.astype(b2.dtype), b2)
+                    xc = jax.lax.complex(x2[:, :m], x2[:, m:]).astype(r.dtype)
+                    return (xc * pre.mask.astype(r.dtype)).reshape(-1)
+
+            else:
+                pre_mv = None
+
+            sol = gmres(mv, rhs_cm, config=config, preconditioner=pre_mv)
+            x = sol.x[d.elem_pos]  # back to element order, once
+            return jnp.real(x), jnp.imag(x), sol.iterations, sol.converged
+
+    return solve

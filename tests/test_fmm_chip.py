@@ -195,3 +195,54 @@ def test_gather_form_two_level(surf):
         np.asarray(g.matvec(x)), np.asarray(op.matvec(x)),
         rtol=1e-13, atol=1e-14,
     )
+
+
+class TestClusterMajorSolve:
+    def test_cm_solve_matches_element_order(self):
+        """fmm_chip_solve_cm_fn (cluster-major Krylov space, round 4)
+        reproduces fmm_chip_solve_fn's iteration counts and solutions for
+        both operator families."""
+        from mathaudio_tpu.bem import plane_wave
+        from mathaudio_tpu.bem.fmm import (
+            ClusterBlockPreconditioner,
+            build_mlfmm_tree_system,
+            build_slfmm_system,
+            gather_form,
+            sel_form,
+        )
+        from mathaudio_tpu.bem.fmm_chip import (
+            fmm_chip_solve_cm_fn,
+            fmm_chip_solve_fn,
+            split_planes,
+        )
+        from mathaudio_tpu.bem.mesh import icosphere
+        from mathaudio_tpu.solvers import KrylovConfig
+
+        inc = plane_wave((0.0, 0.0, 1.0))
+        cfg = KrylovConfig(max_iterations=200, tolerance=1e-8, restart=40)
+        for name, build, k, subdiv in (
+            ("slfmm", build_slfmm_system, 2.0, 2),
+            ("tree", build_mlfmm_tree_system, 4.0, 3),
+        ):
+            surf = icosphere(1.0, subdiv)
+            kw = dict(beta=1j / k) if name == "slfmm" else {}
+            op = build(surf, k, **kw)
+            pre = ClusterBlockPreconditioner.from_operator(op)
+            opg = sel_form(op) if name == "tree" else gather_form(op)
+            c = jnp.asarray(surf.centers)
+            nrm = jnp.asarray(surf.normals)
+            beta = kw.get("beta", 0.0)
+            rhs = np.asarray(inc.pressure(c, k)) - beta * np.asarray(
+                inc.normal_derivative(c, nrm, k)
+            )
+            planes = split_planes(opg, dtype=np.float64)
+            prep = split_planes(pre, dtype=np.float64)
+            rr, ri = jnp.asarray(rhs.real), jnp.asarray(rhs.imag)
+            s0 = fmm_chip_solve_fn(cfg)(planes, prep, rr, ri)
+            s1 = fmm_chip_solve_cm_fn(cfg)(planes, prep, rr, ri)
+            assert bool(s0[3]) and bool(s1[3])
+            assert int(s0[2]) == int(s1[2]), name
+            x0 = np.asarray(s0[0]) + 1j * np.asarray(s0[1])
+            x1 = np.asarray(s1[0]) + 1j * np.asarray(s1[1])
+            rel = np.linalg.norm(x1 - x0) / np.linalg.norm(x0)
+            assert rel < 1e-7, (name, rel)
