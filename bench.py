@@ -736,6 +736,10 @@ if __name__ == "__main__":
                          "report both timings (reproducible A/B artifact)")
     ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
+    if args.sweep != "nm" and ("," in args.nu or "," in args.nu_post):
+        # per-level nu tuples are a node-major (mg_cycle_batched)
+        # feature; the vmapped fem/multigrid.mg_cycle takes a scalar
+        ap.error("--nu/--nu-post comma lists require --sweep nm")
     if args.sweep == "vmapped" and args.freq_chunk:
         # the vmapped layout has its own HBM profile (2048 max) and no
         # chunked path; fall back to the classic configuration

@@ -75,15 +75,12 @@ def shard_slfmm(data: SlfmmData, n_shards: int) -> ShardedSlfmm:
     """
     clusters = np.asarray(data.clusters)
     mask = np.asarray(data.cluster_mask)
-    t_t = np.asarray(data.t_tensor)
-    s_t = np.asarray(data.s_tensor)
-    d_t = np.asarray(data.d_tensor)
     near_a = np.asarray(data.near_a)
     near_b = np.asarray(data.near_b)
     near_blocks = np.asarray(data.near_blocks)
 
     c, m = clusters.shape
-    q = t_t.shape[1]
+    q = data.t_tensor.shape[1]
     cb = -(-c // n_shards)
     c_pad = cb * n_shards
 
@@ -94,11 +91,16 @@ def shard_slfmm(data: SlfmmData, n_shards: int) -> ShardedSlfmm:
 
     clusters_p = pad_c(clusters)
     mask_p = pad_c(mask)
-    t_p = pad_c(t_t)
-    s_p = pad_c(s_t)
+    # Large per-cluster tensors stay on the jax side: a numpy round-trip
+    # of the (C, C, Q) translation tensor costs cold-page host bandwidth
+    # (~30 MB/s on this host — CLAUDE.md) that dominates the sharded
+    # build at production sizes. jnp.pad allocates once in the backend.
+    pad_j = lambda a: jnp.pad(jnp.asarray(a), [(0, c_pad - c)] + [(0, 0)] * (a.ndim - 1))
+    t_p = pad_j(data.t_tensor)
+    s_p = pad_j(data.s_tensor)
     # translations: pad target axis AND source axis to c_pad
-    d_p = np.zeros((c_pad, c_pad, q), d_t.dtype)
-    d_p[:c, :c] = d_t
+    d_p = jnp.pad(jnp.asarray(data.d_tensor),
+                  ((0, c_pad - c), (0, c_pad - c), (0, 0)))
 
     # near pairs grouped by owning device of the TARGET cluster
     dev_of_pair = near_b // cb

@@ -301,6 +301,19 @@ def gmres(
     it; the Hessenberg/Givens least squares is tiny and runs replicated on
     every device. The restart length is then taken from config as-is (the
     local shard length no longer bounds the global Krylov dimension).
+
+    Two constraints from the early-exit Arnoldi ``lax.while_loop``:
+
+    - Not reverse-differentiable: ``while_loop`` has no transpose rule,
+      so ``jax.grad`` through gmres fails at trace time. Use a custom
+      implicit-function VJP (solve A^H lambda = dL/dx) if gradients are
+      ever needed.
+    - Inside ``shard_map`` (check_vma=False) the ``done`` flag MUST be
+      bitwise-replicated across devices: it is derived exclusively from
+      psum-reduced scalars (norms / Givens residuals), which keeps it
+      uniform. A future operator whose matvec mixes in device-varying
+      state would make devices exit on different iterations and deadlock
+      the collectives inside the matvec.
     """
     if isinstance(x0, KrylovConfig):
         raise TypeError("pass the solver config as gmres(a, b, config=...); "
