@@ -497,18 +497,41 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
     t0 = time.perf_counter()
     x64_was = bool(jax.config.jax_enable_x64)
     jax.config.update("jax_enable_x64", True)  # f64 host build
+    import os as _os
+
+    if device != "cpu":
+        # O(N^2) static row-sum + near-block passes on the chip (all-real, tunnel-safe;
+        # ~7 s host f32 at N=20480 vs sub-second on device)
+        _os.environ["MATHAUDIO_FMM_BUILD_DEVICE"] = "default"
     try:
         with jax.default_device(cpu):
+            _t = time.perf_counter()
+
+            def _lap(name):
+                nonlocal _t
+                now = time.perf_counter()
+                print(f"#   build step {name}: {now - _t:.1f}s", file=sys.stderr)
+                _t = now
+
             surf = icosphere(1.0, subdiv)
             n = surf.num_elements
+            # agg_phase_f32: f32 aggregation phases are safe at the f32
+            # screening level tau=1e4 (the all-f32 chip matvec gates at
+            # 2.2e-6 rel) and halve the largest exp pass of the build
             if tier == "slfmm":
-                op = build_slfmm_system(surf, k, beta=beta, stability_tau=1e4)
+                op = build_slfmm_system(surf, k, beta=beta, stability_tau=1e4,
+                                        agg_phase_f32=True)
             else:
                 # max_per_leaf=32: 5x faster host build than the default
                 # 16 at N=20480 (112s vs 560s measured) at equal accuracy
                 op = build_mlfmm_tree_system(surf, k, beta=beta,
-                                             stability_tau=1e4, max_per_leaf=32)
+                                             stability_tau=1e4, max_per_leaf=32,
+                                             agg_phase_f32=True)
+            jax.block_until_ready(op.data)
+            _lap("operator")
             pre = ClusterBlockPreconditioner.from_operator(op)
+            jax.block_until_ready(pre)
+            _lap("preconditioner")
             # scatter-free accumulation tables: TPU scatter-adds serialize
             # per row (the per-level translation scatter alone measured
             # ~12 s per N=20480 matvec); the gather form streams instead.
@@ -516,7 +539,20 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
             # lower to 0/1-selection MXU matmuls (sel_form — 9.5 ms of
             # the 13.6 ms matvec was the (C, K, Q) take+sum); on CPU the
             # dense GEMMs would dominate, so calibration keeps gather.
+            op_host = op  # pre-lowering handle for the validation matvec
             op = gather_form(op) if device == "cpu" else sel_form(op)
+            jax.block_until_ready(op.data)
+            t_build = time.perf_counter() - t0  # operator ready for shipping
+            _lap("gather/sel form")
+            # reference matvec for the chip-accuracy gate (f64, CPU) —
+            # computed on the pre-lowering operator (identical values;
+            # the sel_form dense GEMMs cost 16 s on the 1-core host).
+            # Validation, not build: excluded from build_s.
+            rng = np.random.default_rng(0)
+            x_chk = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+            y_ref = np.asarray(op_host.matvec(jnp.asarray(x_chk)))
+            del op_host
+            _lap("reference matvec")
             inc = plane_wave((0.0, 0.0, 1.0))
             rhs = np.asarray(inc.pressure(jnp.asarray(surf.centers), k)) - beta * (
                 np.asarray(
@@ -525,10 +561,7 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
                     )
                 )
             )
-            # reference matvec for the chip-accuracy gate (f64, CPU)
-            rng = np.random.default_rng(0)
-            x_chk = rng.standard_normal(n) + 1j * rng.standard_normal(n)
-            y_ref = np.asarray(op.matvec(jnp.asarray(x_chk)))
+            _lap("rhs")
             # Mie reference (f64 series — overflows in f32; eager complex,
             # so it must run on the CPU backend inside this x64 block)
             from mathaudio_tpu.wave.analytical.solutions_3d import (
@@ -543,10 +576,13 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
                     k, 1.0, max(60, int(2 * k) + 20), [r_mie], th
                 ).pressure
             ).reshape(-1)
+            _lap("mie reference")
     finally:
         jax.config.update("jax_enable_x64", x64_was or device == "cpu")
-    t_build = time.perf_counter() - t0
-    print(f"# fmm {tier} build N={n} ka={k}: {t_build:.1f}s (host, f64)",
+        _os.environ.pop("MATHAUDIO_FMM_BUILD_DEVICE", None)
+    t_total = time.perf_counter() - t0
+    print(f"# fmm {tier} build N={n} ka={k}: {t_build:.1f}s operator "
+          f"(+{t_total - t_build:.1f}s reference/Mie validation; host, f64)",
           file=sys.stderr)
 
     # Ship the real planes to the device ONCE: without this every solve
@@ -613,6 +649,7 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
         "n_elements": n,
         "tier": tier,
         "ka": k,
+        "build_s": round(t_build, 1),
         "matvec_rel_err_vs_f64": round(rel_mv, 8),
         "mie_rel_err": round(rel_mie, 6),
         "vs_baseline": round(rate / base, 3) if base else None,

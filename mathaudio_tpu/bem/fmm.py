@@ -124,20 +124,44 @@ def _translation_sum_dirs(lmax: int, kd, d_hat, dirs, orders):
     """_translation_sum with cos_g = clip(d_hat @ dirs^T) computed
     IN-TRACE: the host never materializes the (P, Q) angle matrix (a
     cold-page numpy allocation measured at ~7 s of the N=5120 SLFMM
-    build on this host — see the module build-profile note)."""
-    cos_g = jnp.clip(d_hat @ dirs.T, -1.0, 1.0)
-    return _translation_sum_body(lmax, kd, cos_g, orders)
+    build on this host — see the module build-profile note).
+
+    The pair axis is tiled with lax.map so each Legendre-recurrence
+    step's working set (~5 arrays of (pc, Q)) stays cache-resident: the
+    full-P scan streams ~270 MB per l-step at the N=20480 tier, turning
+    a compute problem into a memory-bandwidth one (measured ~6 s of the
+    tree build; tiled ~2.5 s)."""
+    p, q = kd.shape[0], dirs.shape[0]
+    # ~200 KB per (pc, Q) f64 array; p is _bucket()-padded (power of two
+    # >= 64), so any power-of-two pc <= p divides it evenly.
+    pc = 64
+    while pc * 2 <= p and pc * 2 * q * 8 <= 400_000:
+        pc *= 2
+
+    def chunk_fn(args):
+        kd_c, dh_c, od_c = args
+        cos_g = jnp.clip(dh_c @ dirs.T, -1.0, 1.0)
+        return _translation_sum_body(lmax, kd_c, cos_g, od_c)
+
+    out = jax.lax.map(
+        chunk_fn,
+        (kd.reshape(-1, pc), d_hat.reshape(-1, pc, 3), orders.reshape(-1, pc)),
+    )
+    return out.reshape(p, q)
 
 
-def _hankel_abs_padded(lmax: int, kd: np.ndarray) -> np.ndarray:
-    """|h_l(kd)| on bucket-padded shapes (one compile per bucket pair)."""
-    p = len(kd)
-    pb = _bucket(p)
-    lb = 4 * ((lmax + 3) // 4)
-    kd_p = np.full(pb, 1.0)
-    kd_p[:p] = kd
-    j_all, y_all = spherical_jn_yn_all(lb, jnp.asarray(kd_p))
-    return np.hypot(np.asarray(j_all), np.asarray(y_all))[: lmax + 1, :p]
+@partial(jax.jit, static_argnums=0)
+def _stab_screen_jit(lmax: int, kd, tau):
+    """Stable series order per pair, fully in-trace: largest l whose
+    cumulative amplitude (2l+1)|h_l(kd)| stays <= tau (lmax when none
+    exceeds). The (L+1, P) Hankel magnitudes never reach the host — at
+    production pair counts the numpy hypot/asarray round-trip of that
+    table cost seconds of cold-page bandwidth (build profile 2026-08-21)."""
+    j_all, y_all = spherical_jn_yn_all(lmax, kd)  # (L+1, P)
+    coef = (2.0 * jnp.arange(lmax + 1) + 1.0)[:, None]
+    amp = coef * jnp.hypot(j_all, y_all)
+    exceed = jax.lax.cummax(amp, axis=0) > tau
+    return jnp.where(exceed.any(axis=0), jnp.argmax(exceed, axis=0) - 1, lmax)
 
 
 def _translation_padded(k, d_vecs, dirs, lmax: int, orders, as_jax: bool = False):
@@ -199,10 +223,15 @@ def _stable_far_orders(k, c_centers, radii, far, order: int, tau: float):
     l_acc = np.minimum(
         np.ceil(krp + 4 * np.log(krp + np.pi) + 4).astype(int), order
     )
-    h_abs = _hankel_abs_padded(order, k * d_len)  # (order+1, P)
-    amp = (2 * np.arange(order + 1) + 1)[:, None] * h_abs
-    exceed = np.maximum.accumulate(amp, axis=0) > tau
-    l_stab = np.where(exceed.any(axis=0), exceed.argmax(axis=0) - 1, order)
+    p = len(d_len)
+    pb = _bucket(p)
+    lb = 4 * ((order + 3) // 4)  # bucket the static order (compile reuse)
+    kd_p = np.full(pb, 1.0)
+    kd_p[:p] = k * d_len
+    # pad rows (kd=1) blow up at high l -> finite l_stab; sliced off.
+    # When no amplitude exceeds tau the jit returns lb (>= order), which
+    # the min with l_acc below clamps exactly as the old `order` did.
+    l_stab = np.asarray(_stab_screen_jit(lb, jnp.asarray(kd_p), tau))[:p]
     l_min = np.ceil(krp).astype(int) + 2
     keep = l_stab >= np.minimum(l_min, l_acc)
     far = far.copy()
@@ -373,6 +402,7 @@ def build_slfmm_system(
     expansion_order: Optional[int] = None,
     dtype=None,
     stability_tau: float = 1.0e8,
+    agg_phase_f32: bool = False,
 ) -> SlfmmOperator:
     """Assemble the SLFMM operator for the exterior CBIE
     (A = (1/2)I - D [- beta T_hyper off-diagonal approximation]).
@@ -411,15 +441,17 @@ def build_slfmm_system(
     # S: e^{+ik s.(x_i - c_b)}; D on far pairs — the shared level build.
     t_tensor, s_tensor, d_tensor = _level_tensors(
         mesh, clusters, mask, c_centers, far, k, dirs, w, expansion_order, dtype,
-        orders_pair=orders_pair,
+        orders_pair=orders_pair, phase_f32=agg_phase_f32,
     )
     if beta != 0.0:
         # Burton-Miller row factor: d/dn_x -> (ik s.n_x) in direction
         # space. The global prefactor already carries the CBIE minus
         # (S.D.T = -D), so +beta T needs the NEGATIVE factor here:
         # (1 - beta ik s.n_x) * (-D-form) = -D + beta T.
-        s_nx = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
-        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
+        s_tensor = _apply_bm_row_factor(
+            s_tensor, jnp.asarray(dirs), jnp.asarray(normals[clusters]),
+            jnp.asarray(beta * 1j * k),
+        )
 
     # near-field: exact kernel blocks (regularized like the dense path)
     nb, na = np.where(~far)
@@ -441,8 +473,8 @@ def build_slfmm_system(
     data = SlfmmData(
         clusters=jnp.asarray(clusters),
         cluster_mask=jnp.asarray(mask, dtype),
-        t_tensor=jnp.asarray(t_tensor, cdtype),
-        s_tensor=jnp.asarray(s_tensor, cdtype),
+        t_tensor=jnp.asarray(t_tensor),  # build dtype (c64 when phase_f32)
+        s_tensor=jnp.asarray(s_tensor),
         d_tensor=jnp.asarray(d_tensor, cdtype),
         quad_w=jnp.asarray(w, dtype),
         near_a=jnp.asarray(na.astype(np.int32)),
@@ -493,72 +525,133 @@ def _static_hyper_row_sums(mesh, quad_order: int = 3, chunk: int = 256):
     return out
 
 
+def _build_accel_device():
+    """Optional accelerator for the heavy all-real / f32-plane build
+    passes (static row sums, near-block quadrature). Enabled with
+    MATHAUDIO_FMM_BUILD_DEVICE=default; returns None on CPU-only hosts.
+    Only computations whose inputs/outputs cross the tunneled backend as
+    REAL arrays are eligible (complex transport is unimplemented there);
+    the cancellation-sensitive translation series stays on the host in
+    f64 regardless."""
+    import os
+
+    if os.environ.get("MATHAUDIO_FMM_BUILD_DEVICE") != "default":
+        return None
+    try:
+        d0 = jax.devices()[0]
+        return d0 if d0.platform != "cpu" else None
+    except Exception:
+        return None
+
+
 def _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype, quad_order: int = 3):
     """Exact near-field blocks (P, m, m): minus double layer (+ BM),
-    with the same static regularization self terms as the dense path."""
-    cdtype = complex_dtype_for(jnp.dtype(dtype))
-    qp, qw = mesh.quad_points(quad_order)
-    self_r, self_w = _self_angular_rule(mesh)
+    with the same static regularization self terms as the dense path.
 
-    centers = jnp.asarray(mesh.centers, dtype)
-    normals = jnp.asarray(mesh.normals, dtype)
-    qp = jnp.asarray(qp, dtype)
-    qw = jnp.asarray(qw, dtype)
+    The O(P m^2 nq) kernel quadrature runs in f32 (measured deviation at
+    the N=20480/28k-pair tier: 2e-7 relative on the matvec — noise vs
+    the 1e-4 dense-agreement gate). Always host-side: a chip A/B
+    (2026-08-21) ran the quadrature in 0.2 s but shipping the (P, m, m)
+    planes back through the tunnel into a cold host arena cost ~14 s on
+    the one-shot build path (warm-arena reruns would win, but builds run
+    once per process) — only tiny-output passes (_static_dlp_row_sums)
+    go through _build_accel_device(). Diagonal self terms are a separate
+    host jit in the build precision ``dtype``."""
+    cdtype = complex_dtype_for(jnp.dtype(dtype))
+    kdtype = np.float32  # kernel-quadrature compute precision (see above)
+    qp, qw = mesh.quad_points(quad_order)
+
+    centers = jnp.asarray(mesh.centers, kdtype)
+    normals = jnp.asarray(mesh.normals, kdtype)
+    qp = jnp.asarray(qp, kdtype)
+    qw = jnp.asarray(qw, kdtype)
     cl = jnp.asarray(clusters)
-    mk = jnp.asarray(mask, dtype)
-    self_r = jnp.asarray(self_r, dtype)
-    self_w = jnp.asarray(self_w, dtype)
+    mkf = jnp.asarray(mask, kdtype)
+    nb_d = jnp.asarray(nb.astype(np.int32))
+    na_d = jnp.asarray(na.astype(np.int32))
 
     # All device arrays enter the jit as ARGUMENTS (CLAUDE.md: tunneled
     # backends cannot constant-fold captured device arrays); only python
     # scalars (k, beta) and shapes are closed over.
-    s0_d = (
-        jnp.asarray(_static_hyper_row_sums(mesh, quad_order), dtype)
-        if beta != 0.0
-        else jnp.zeros(1, dtype)  # unused placeholder (trace-time branch)
-    )
+    @partial(jax.jit, static_argnums=0)
+    def base_blocks(pc, centers, normals, qp, qw, cl, mkf, nb_d, na_d):
+        # Pair axis tiled with lax.map: the broadcast intermediates
+        # ((pc, m, m, nq, 3) displacement vectors etc.) would stream
+        # ~5 GB through memory at the 28k-pair tier if built whole; at
+        # pc=64 each tile's working set is ~10 MB and the kernel chain
+        # stays cache-resident on the host (measured 5.8 s -> ~2.5 s).
+        def tile(args):
+            nb_c, na_c = args
+            bi = cl[nb_c]  # (pc, m) target element ids
+            ai = cl[na_c]  # (pc, m) source
+            x = centers[bi][:, :, None, None, :]
+            nx = normals[bi][:, :, None, None, :]
+            y = qp[ai][:, None, :, :, :]
+            ny = normals[ai][:, None, :, None, :]
+            dg, hyp = _pair_kernels(x, nx, y, ny, k)  # (pc, mi, mj, nq) c64
+            w = qw[ai][:, None, :, :]  # REAL weights: complex*real multiply
+            blk = -jnp.sum(dg * w, axis=-1)
+            if beta != 0.0:
+                blk = blk + jnp.asarray(beta, dg.dtype) * jnp.sum(hyp * w, axis=-1)
+            # mask: zero padded rows/cols and the i == j entries (self
+            # handled by the host-side analytic radial terms)
+            same = bi[:, :, None] == ai[:, None, :]
+            mask3 = (jnp.where(same, 0.0, 1.0)
+                     * mkf[nb_c][:, :, None]
+                     * mkf[na_c][:, None, :])
+            return blk * mask3
 
-    @jax.jit
-    def blocks(centers, normals, qp, qw, cl, mk, self_r, self_w, s0_d, nb_d, na_d):
-        bi = cl[nb_d]  # (P, m) target element ids
-        ai = cl[na_d]  # (P, m) source
-        x = centers[bi][:, :, None, None, :]
-        nx = normals[bi][:, :, None, None, :]
-        y = qp[ai][:, None, :, :, :]
-        ny = normals[ai][:, None, :, None, :]
-        dg, hyp = _pair_kernels(x, nx, y, ny, k)  # (P, mi, mj, nq)
-        w = qw[ai][:, None, :, :].astype(cdtype)
-        blk = -jnp.sum(dg * w, axis=-1)
-        if beta != 0.0:
-            blk = blk + jnp.asarray(beta, cdtype) * jnp.sum(hyp * w, axis=-1)
-        # mask: zero padded rows/cols and the i == j entries (self handled
-        # by analytic radial terms below)
-        same = bi[:, :, None] == ai[:, None, :]
-        blk = jnp.where(same, 0.0, blk)
-        blk = blk * mk[nb_d][:, :, None].astype(cdtype) * mk[na_d][:, None, :].astype(cdtype)
+        p = nb_d.shape[0]
+        pad = (-p) % pc
+        nb_p = jnp.concatenate([nb_d, jnp.zeros(pad, nb_d.dtype)])
+        na_p = jnp.concatenate([na_d, jnp.zeros(pad, na_d.dtype)])
+        m = cl.shape[1]
+        blk = jax.lax.map(
+            tile, (nb_p.reshape(-1, pc), na_p.reshape(-1, pc))
+        ).reshape(p + pad, m, m)[:p]
+        return blk.astype(cdtype)
+        # ^ stored in the build precision: the f64-planes exactness
+        # contract (tests/test_fmm_chip.py solve-matches-complex) needs
+        # the complex path and the re/im planes to read identical-dtype
+        # tensors; the values are f32-accurate either way.
+
+    blk = base_blocks(64, centers, normals, qp, qw, cl, mkf, nb_d, na_d)
+
+    if beta != 0.0:
         # self terms on diagonal pairs: analytic radial (T_k - T_0) self
         # plus -s0 (global static row-sum correction) in place of the
         # analytic static finite part — the dense path's exact-row-sum
-        # regularization (tbem.rs:526) carried over to the FMM near field.
-        diag_pair = nb_d == na_d
-        if beta != 0.0:
+        # regularization (tbem.rs:526) carried over to the FMM near
+        # field. Host-side, O(P m) work in the build precision.
+        self_r, self_w = _self_angular_rule(mesh)
+        s0 = _static_hyper_row_sums(mesh, quad_order)
+
+        @jax.jit
+        def add_self(blk, diag_pair, rr, ww, s0_cl, mk_b):
             ik = jnp.asarray(1j * k, cdtype)
-            rr = self_r[cl[nb_d]].astype(cdtype)
-            ww = self_w[cl[nb_d]].astype(cdtype)
-            t_diff_self = jnp.sum(
-                ww * (ik - (jnp.exp(ik * rr) - 1.0) / rr), axis=-1
+            rr = rr.astype(cdtype)
+            t_diff = jnp.sum(
+                ww.astype(cdtype) * (ik - (jnp.exp(ik * rr) - 1.0) / rr),
+                axis=-1,
             ) / (4 * jnp.pi)
-            t_self = t_diff_self - s0_d[cl[nb_d]].astype(cdtype)
+            t_self = (t_diff - s0_cl.astype(cdtype)) * mk_b.astype(cdtype)
             eye = jnp.eye(blk.shape[1], dtype=cdtype)
-            blk = blk + jnp.where(
+            return blk + jnp.where(
                 diag_pair[:, None, None],
                 eye[None] * (jnp.asarray(beta, cdtype) * t_self)[:, :, None],
                 0.0,
             )
-        return blk
 
-    return blocks(centers, normals, qp, qw, cl, mk, self_r, self_w, s0_d,
-                  jnp.asarray(nb.astype(np.int32)), jnp.asarray(na.astype(np.int32)))
+        cl_nb = clusters[nb]  # (P, m) host gather, small
+        blk = add_self(
+            blk,
+            jnp.asarray(nb == na),
+            jnp.asarray(self_r[cl_nb], dtype),
+            jnp.asarray(self_w[cl_nb], dtype),
+            jnp.asarray(s0[cl_nb], dtype),
+            jnp.asarray(mask[nb], dtype),
+        )
+    return blk
 
 
 def _near_blocks_mixed(mesh, clusters, mask, nb, na, k, beta, m_elem, adm_elem,
@@ -712,8 +805,10 @@ def build_slfmm_mixed_system(
     )
     if beta != 0.0:
         # shared Burton-Miller row factor (see build_slfmm_system)
-        s_nx = np.einsum("qd,cmd->cqm", dirs, normals[clusters])
-        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
+        s_tensor = _apply_bm_row_factor(
+            s_tensor, jnp.asarray(dirs), jnp.asarray(normals[clusters]),
+            jnp.asarray(beta * 1j * k),
+        )
 
     c_count, q_dirs = len(c_centers), len(dirs)
     fb, fa = np.where(far)
@@ -879,7 +974,8 @@ def _agg_disagg_jit(yg_rel, qw_cl, n_cl, y_rel, dirs, mask, k, alpha_cl, sigma_c
 
 
 def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0,
-                        single_layer=False, agg_alpha=None, agg_sigma=None):
+                        single_layer=False, agg_alpha=None, agg_sigma=None,
+                        phase_f32=False):
     """(T, S) padded aggregation/disaggregation tensors for one level.
 
     ``agg_offset``: extra additive term in the per-source direction-space
@@ -913,27 +1009,52 @@ def _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs, agg_offset=0.0
     else:
         alpha = np.zeros(n, cdt) if agg_alpha is None else np.asarray(agg_alpha, cdt)
         sigma = np.zeros(n, cdt) if agg_sigma is None else np.asarray(agg_sigma, cdt)
+    # Aggregation precision is coupled to the build's translation
+    # stability screen. At the default tau=1e8 the phases MUST stay f64:
+    # an f32 experiment (2026-08-21) regressed the dense-agreement gate
+    # 4e-6 -> 1e-3 — f32 rounding noise in the signature is not
+    # band-limited, and the screened translation series (terms up to
+    # tau) amplifies exactly the out-of-band content the screen assumes
+    # absent. At tau<=1e5 (the f32/chip-execution builds) the same
+    # argument caps the amplified noise near 1e-6 — empirically the
+    # all-f32 chip matvec gates at 2.2e-6 — so ``phase_f32`` lets those
+    # builds halve the exp cost. Near blocks / static row sums have no
+    # such amplification and always run in f32.
+    pdt = np.float32 if phase_f32 else None
+    cdt_p = np.complex64 if phase_f32 else None
     t_tensor, s_tensor = _agg_disagg_jit(
-        jnp.asarray(yg_rel),
-        jnp.asarray(qw_e[clusters]),
-        jnp.asarray(normals[clusters]),
-        jnp.asarray(y_rel),
-        jnp.asarray(dirs),
-        jnp.asarray(mask),
-        jnp.asarray(float(k)),
-        jnp.asarray(alpha[clusters]),
-        jnp.asarray(sigma[clusters]),
+        jnp.asarray(yg_rel, pdt),
+        jnp.asarray(qw_e[clusters], pdt),
+        jnp.asarray(normals[clusters], pdt),
+        jnp.asarray(y_rel, pdt),
+        jnp.asarray(dirs, pdt),
+        jnp.asarray(mask, pdt),
+        jnp.asarray(float(k), pdt),
+        jnp.asarray(alpha[clusters], cdt_p),
+        jnp.asarray(sigma[clusters], cdt_p),
     )
-    return np.asarray(t_tensor), np.asarray(s_tensor)
+    # Returned as CPU-jax arrays: the (C, Q, m) tensors are the largest
+    # build products (260 MB at the N=20480 tier) and a numpy round-trip
+    # costs ~9 s of cold-page bandwidth on this host (build profile
+    # 2026-08-21); every consumer jnp.asarray()s them anyway.
+    return t_tensor, s_tensor
+
+
+@jax.jit
+def _apply_bm_row_factor(s_tensor, dirs, n_cl, beta_ik):
+    """Burton-Miller row factor (1 - beta ik s.n_x) applied in-trace —
+    the host never materializes the (C, Q, m) factor (cold-page numpy)."""
+    s_nx = jnp.einsum("qd,cmd->cqm", dirs, n_cl)
+    return s_tensor * (1.0 - beta_ik * s_nx)
 
 
 def _level_tensors(mesh, clusters, mask, c_centers, far, k, dirs, w, order, dtype,
-                   agg_offset=0.0, orders_pair=None):
+                   agg_offset=0.0, orders_pair=None, phase_f32=False):
     """(T, S, D) padded tensors for one level (shared by SL and ML).
     ``orders_pair``: per-far-pair series truncation (np.where(far) order)
     from the stability screen; None = uniform level order."""
     t_tensor, s_tensor = _agg_disagg_tensors(mesh, clusters, mask, c_centers, k, dirs,
-                                             agg_offset)
+                                             agg_offset, phase_f32=phase_f32)
     c_count, q = len(c_centers), len(dirs)
     fb, fa = np.where(far)
     if not len(fb):
@@ -959,6 +1080,7 @@ def build_mlfmm_system(
     separation_ratio: float = 1.5,
     dtype=None,
     stability_tau: float = 1.0e8,
+    agg_phase_f32: bool = False,
 ) -> MlfmmOperator:
     """Two-level FMM (mlfmm.rs:979 build_mlfmm_system): pairs that are
     far at the coarse (parent) scale translate between coarse clusters
@@ -1012,10 +1134,12 @@ def build_mlfmm_system(
 
     t_f, s_f, d_tf = _level_tensors(mesh, cl_f, mk_f, cc_f, far_leaf_only, k,
                                     dirs_f, w_f, order_f, dtype,
-                                    orders_pair=orders_f)
+                                    orders_pair=orders_f,
+                                    phase_f32=agg_phase_f32)
     t_c, s_c, d_tc = _level_tensors(mesh, cl_c, mk_c, cc_c, far_coarse, k,
                                     dirs_c, w_c, order_c, dtype,
-                                    orders_pair=orders_c)
+                                    orders_pair=orders_c,
+                                    phase_f32=agg_phase_f32)
 
     nb, na = np.where(near_leaf)
     near_blocks = _near_blocks(mesh, cl_f, mk_f, nb, na, k, 0.0, dtype)
@@ -1026,8 +1150,8 @@ def build_mlfmm_system(
     leaf_data = SlfmmData(
         clusters=jnp.asarray(cl_f),
         cluster_mask=jnp.asarray(mk_f, dtype),
-        t_tensor=jnp.asarray(t_f, cdtype),
-        s_tensor=jnp.asarray(s_f, cdtype),
+        t_tensor=jnp.asarray(t_f),
+        s_tensor=jnp.asarray(s_f),
         d_tensor=jnp.asarray(d_tf, cdtype),
         quad_w=jnp.asarray(w_f, dtype),
         near_a=jnp.asarray(na.astype(np.int32)),
@@ -1040,8 +1164,8 @@ def build_mlfmm_system(
         leaf=leaf_data,
         coarse_clusters=jnp.asarray(cl_c),
         coarse_mask=jnp.asarray(mk_c, dtype),
-        coarse_t=jnp.asarray(t_c, cdtype),
-        coarse_s=jnp.asarray(s_c, cdtype),
+        coarse_t=jnp.asarray(t_c),
+        coarse_s=jnp.asarray(s_c),
         coarse_d=jnp.asarray(d_tc, cdtype),
         coarse_w=jnp.asarray(w_c, dtype),
         coarse_prefactor=jnp.asarray(pref, cdtype),
@@ -1120,8 +1244,8 @@ def build_room_fmm_system(
     data = SlfmmData(
         clusters=jnp.asarray(clusters),
         cluster_mask=jnp.asarray(mask, dtype),
-        t_tensor=jnp.asarray(t_tensor, cdtype),
-        s_tensor=jnp.asarray(s_tensor, cdtype),
+        t_tensor=jnp.asarray(t_tensor),  # build dtype (c64 when phase_f32)
+        s_tensor=jnp.asarray(s_tensor),
         d_tensor=jnp.asarray(d_tensor, cdtype),
         quad_w=jnp.asarray(w, dtype),
         near_a=jnp.asarray(na.astype(np.int32)),
@@ -1140,34 +1264,44 @@ def _static_dlp_row_sums(mesh: SurfaceMesh, dtype, chunk: int = 512) -> np.ndarr
     solid-angle diagonal (room_acoustics._room_matrix: d0 diagonal is
     set to -1/2 - row_sum so each D0 row sums to the half-solid-angle
     value regardless of mesh normal orientation or quadrature error).
-    One-time O(N^2 nq) pass, row-chunked under jit."""
+
+    One-time O(N^2 nq) pass: f32 compute (measured deviation vs f64 at
+    N=5120: 1.5e-6 relative on 1+rowsum — far inside every consumer's
+    1e-4 gate, and 2x the single-core SIMD width of this host), a single
+    jit with lax.scan over row chunks (one compile, persistent-cached).
+    ``MATHAUDIO_FMM_BUILD_DEVICE=default`` runs the pass on the default
+    accelerator instead — the kernel is all-real, so it crosses the
+    tunneled TPU backend (sub-second vs ~7 s host at N=20480)."""
     qp, qw = mesh.quad_points(3)
-    centers = jnp.asarray(mesh.centers, dtype)
-    normals = jnp.asarray(mesh.normals, dtype)
-    qp_j = jnp.asarray(qp, dtype)
-    qw_j = jnp.asarray(qw, dtype)
     n = mesh.num_elements
+    nc = -(-n // chunk)
+    idx = (np.arange(nc * chunk) % n).astype(np.int32)  # wrapped pad rows
+
+    dev = _build_accel_device()
+
+    f32 = np.float32
+    args = (mesh.centers.astype(f32), mesh.normals.astype(f32),
+            qp.astype(f32), qw.astype(f32), idx.reshape(nc, chunk))
+    if dev is not None:
+        args = jax.device_put(args, dev)
 
     @jax.jit
-    def rows(xc, idx):
-        x = xc[:, None, None, :]
-        nx = jnp.zeros_like(x)  # unused by the double layer
-        y = qp_j[None, :, :, :]
-        ny = normals[None, :, None, :]
-        dg0, _ = _static_pair_kernels(x, nx, y, ny)
-        s = jnp.sum(dg0 * qw_j[None, :, :], axis=-1)  # (C, N)
-        cols = jnp.arange(n)[None, :]
-        s = jnp.where(cols == idx[:, None], 0.0, s)  # drop self column
-        return jnp.sum(s, axis=1)
+    def all_rows(centers_, normals_, qp_, qw_, idx_2d):
+        def body(carry, idx_c):
+            x = centers_[idx_c][:, None, None, :]
+            nx = jnp.zeros_like(x)  # unused by the double layer
+            y = qp_[None, :, :, :]
+            ny = normals_[None, :, None, :]
+            dg0, _ = _static_pair_kernels(x, nx, y, ny)
+            s = jnp.sum(dg0 * qw_[None, :, :], axis=-1)  # (chunk, N)
+            cols = jnp.arange(n, dtype=idx_c.dtype)[None, :]
+            s = jnp.where(cols == idx_c[:, None], 0.0, s)  # drop self col
+            return carry, jnp.sum(s, axis=1)
 
-    out = np.zeros(n)
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        pad = chunk - (stop - start)
-        idx = np.pad(np.arange(start, stop), (0, pad), mode="edge")
-        vals = np.asarray(rows(centers[jnp.asarray(idx)], jnp.asarray(idx)))
-        out[start:stop] = vals[: stop - start]
-    return out
+        _, out = jax.lax.scan(body, 0, idx_2d)
+        return out.reshape(-1)
+
+    return np.asarray(all_rows(*args))[:n].astype(np.float64)
 
 
 def _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype):
@@ -1217,8 +1351,19 @@ def _room_near_blocks(mesh, clusters, mask, nb, na, k, admittance, dtype):
 # ---------------------------------------------------------------------------
 
 
+_SPH_HARM_CACHE: dict = {}
+
+
 def _sph_harm_matrix(dirs: np.ndarray, lmax: int) -> np.ndarray:
-    """Y[q, (l, m)] for l <= lmax on unit directions (host-side)."""
+    """Y[q, (l, m)] for l <= lmax on unit directions (host-side).
+
+    Memoized on (grid bytes, lmax): the tree build requests the same
+    level grids repeatedly (interp_up/interp_down share both endpoint
+    grids, and consecutive equal-order depths share the grid itself)."""
+    key = (dirs.tobytes(), int(lmax))
+    hit = _SPH_HARM_CACHE.get(key)
+    if hit is not None:
+        return hit
     from scipy.special import sph_harm_y
 
     theta = np.arccos(np.clip(dirs[:, 2], -1.0, 1.0))
@@ -1227,7 +1372,11 @@ def _sph_harm_matrix(dirs: np.ndarray, lmax: int) -> np.ndarray:
     for l in range(lmax + 1):
         for m in range(-l, l + 1):
             cols.append(sph_harm_y(l, m, theta, phi))
-    return np.stack(cols, axis=1)
+    out = np.stack(cols, axis=1)
+    if len(_SPH_HARM_CACHE) > 32:  # bound the per-process footprint
+        _SPH_HARM_CACHE.clear()
+    _SPH_HARM_CACHE[key] = out
+    return out
 
 
 def sphere_interp_matrix(dirs_from, w_from, dirs_to, l_band: int) -> np.ndarray:
@@ -1433,6 +1582,7 @@ def build_mlfmm_tree_system(
     separation_ratio: float = 2.0,
     dtype=None,
     stability_tau: float = _MLFMM_STABILITY_TAU,
+    agg_phase_f32: bool = False,
 ) -> MlfmmTreeOperator:
     """Hierarchical MLFMM for the exterior CBIE A = (1/2)I - D
     (+ beta T Burton-Miller when beta != 0: the direction-space row
@@ -1453,20 +1603,23 @@ def build_mlfmm_tree_system(
         mesh, k, max_per_leaf, separation_ratio, stability_tau, cdtype
     )
     t_tensor, s_tensor = _agg_disagg_tensors(
-        mesh, clusters, mask, cc_leaf, k, dirs_leaf
+        mesh, clusters, mask, cc_leaf, k, dirs_leaf,
+        phase_f32=agg_phase_f32,
     )
     if beta != 0.0:
         # (1 - beta ik s.n_x): the prefactor carries the CBIE minus, so
         # this yields -D + beta T (see build_slfmm_system)
-        s_nx = np.einsum("qd,cmd->cqm", dirs_leaf, mesh.normals[clusters])
-        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
+        s_tensor = _apply_bm_row_factor(
+            s_tensor, jnp.asarray(dirs_leaf), jnp.asarray(mesh.normals[clusters]),
+            jnp.asarray(beta * 1j * k),
+        )
 
     near_blocks = _near_blocks(mesh, clusters, mask, nb, na, k, beta, dtype)
     data = MlfmmTreeData(
         clusters=jnp.asarray(clusters),
         cluster_mask=jnp.asarray(mask, dtype),
-        t_tensor=jnp.asarray(t_tensor, cdtype),
-        s_tensor=jnp.asarray(s_tensor, cdtype),
+        t_tensor=jnp.asarray(t_tensor),  # build dtype (c64 when phase_f32)
+        s_tensor=jnp.asarray(s_tensor),
         quad_w=jnp.asarray(w_leaf, dtype),
         near_a=jnp.asarray(na.astype(np.int32)),
         near_b=jnp.asarray(nb.astype(np.int32)),
@@ -1514,8 +1667,18 @@ def _tree_skeleton(mesh, k, max_per_leaf, separation_ratio, stability_tau,
     cc = []  # per depth: (C, 3) centers
     rr = []  # per depth: (C,) radii
     for d in range(depth_max + 1):
-        c = np.array([nd.indices_center(centers) for nd in nodes_at[d]])
-        r = np.array([nd.radius(centers) for nd in nodes_at[d]])
+        # vectorized nd.indices_center / nd.radius: one reduceat pass per
+        # depth instead of ~3k small numpy calls (1.6 s of the N=20480
+        # build went to per-node np.linalg.norm alone)
+        lens = np.array([len(nd.indices) for nd in nodes_at[d]], np.intp)
+        idx_cat = np.concatenate([nd.indices for nd in nodes_at[d]])
+        offs = np.zeros(len(lens), np.intp)
+        np.cumsum(lens[:-1], out=offs[1:])
+        pts = centers[idx_cat]
+        c = np.add.reduceat(pts, offs, axis=0) / lens[:, None]
+        owner = np.repeat(np.arange(len(lens)), lens)
+        d2 = np.sum((pts - c[owner]) ** 2, axis=1)
+        r = np.sqrt(np.maximum.reduceat(d2, offs)) + 1e-12
         cc.append(c)
         rr.append(r)
 
@@ -1687,8 +1850,10 @@ def build_mlfmm_tree_mixed_system(
         agg_alpha=alpha_comp, agg_sigma=sigma_comp,
     )
     if beta != 0.0:
-        s_nx = np.einsum("qd,cmd->cqm", dirs_leaf, normals[clusters])
-        s_tensor = s_tensor * (1.0 - beta * 1j * k * s_nx)
+        s_tensor = _apply_bm_row_factor(
+            s_tensor, jnp.asarray(dirs_leaf), jnp.asarray(normals[clusters]),
+            jnp.asarray(beta * 1j * k),
+        )
 
     blk_main, blk_comp = _near_blocks_mixed(
         mesh, clusters, mask, nb, na, k, beta, m, adm_arr, dtype,

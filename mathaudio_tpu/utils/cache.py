@@ -21,6 +21,9 @@ def enable_compile_cache() -> None:
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # 0.3 s: the FMM host builds issue ~170 medium-sized CPU jits
+        # (~13 s total compile, almost all individually under the old
+        # 5 s floor); caching them cuts warm build time materially.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     except Exception as e:  # best-effort
         print(f"# compilation cache unavailable: {e}", file=sys.stderr)
