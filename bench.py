@@ -486,10 +486,12 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
 
     subdiv, k = (4, 8.0) if tier == "slfmm" else (5, 16.0)
     # slfmm exercises Burton-Miller on the chip (beta = i/k, 46 iters);
-    # the mlfmm tree runs plain CBIE like the reference's own MLFMM
-    # (mlfmm.rs is rigid-only) — measured at ka=16: beta=0 -> 32 iters,
-    # Mie rel 0.027; beta=i/k diverges under the cluster-block
-    # preconditioner (scan recorded 2026-08-19).
+    # the mlfmm HEADLINE runs plain CBIE like the reference's own MLFMM
+    # (mlfmm.rs is rigid-only), and a separate BM robustness solve below
+    # proves beta=i/k at the production tier. (The round-4 "beta=i/k
+    # diverges under the cluster-block preconditioner" was the CB LU
+    # actively hurting BM — 170 iters vs 75 UNPRECONDITIONED — plus a
+    # 200-iteration budget; rescan 2026-08-21.)
     beta = 1j / k if tier == "slfmm" else 0.0
     plane_dtype = np.float64 if device == "cpu" else np.float32
 
@@ -637,6 +639,62 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
     rate = 1.0 / min(times)
     print(f"# fmm {tier}: {min(times)*1e3:.0f} ms per N={n} solve "
           f"({int(it)} iters) -> {rate:.3f} solves/s", file=sys.stderr)
+
+    bm_info = None
+    if tier == "mlfmm":
+        # Burton-Miller robustness at the production tier (VERDICT r4
+        # #2): beta=i/k, ka=16, N=20480 on the chip, UNPRECONDITIONED
+        # (Jacobi ties at 74 iters; the cluster-block LU hurts BM — 170;
+        # near-field ILU(0) converges in 55 at N=5120 but crashes the
+        # tunneled TPU worker at this size). Gated: converged with
+        # Mie rel <= 1e-2 (measured 9.78e-3, 75 iters).
+        beta_bm = 1j / k
+        t0 = time.perf_counter()
+        jax.config.update("jax_enable_x64", True)
+        _os.environ["MATHAUDIO_FMM_BUILD_DEVICE"] = "default"
+        try:
+            with jax.default_device(cpu):
+                op_bm = build_mlfmm_tree_system(
+                    surf, k, beta=beta_bm, stability_tau=1e4,
+                    max_per_leaf=32, agg_phase_f32=True,
+                )
+                op_bm = sel_form(op_bm)
+                rhs_bm = np.asarray(
+                    inc.pressure(jnp.asarray(surf.centers), k)
+                ) - beta_bm * np.asarray(
+                    inc.normal_derivative(
+                        jnp.asarray(surf.centers), jnp.asarray(surf.normals), k
+                    )
+                )
+        finally:
+            jax.config.update("jax_enable_x64", x64_was or device == "cpu")
+            _os.environ.pop("MATHAUDIO_FMM_BUILD_DEVICE", None)
+        t_bm_build = time.perf_counter() - t0
+        planes_bm = jax.device_put(split_planes(op_bm, dtype=plane_dtype))
+        jax.block_until_ready(planes_bm)
+        cfg_bm = KrylovConfig(max_iterations=400, tolerance=1e-5, restart=80)
+        solve_bm = jax.jit(
+            lambda p, r1, r2: fmm_chip_solve_fn(cfg_bm)(p, None, r1, r2)
+        )
+        rr_bm = jnp.asarray(rhs_bm.real.astype(plane_dtype))
+        ri_bm = jnp.asarray(rhs_bm.imag.astype(plane_dtype))
+        t0 = time.perf_counter()
+        xr_bm, xi_bm, it_bm, conv_bm = solve_bm(planes_bm, rr_bm, ri_bm)
+        x_bm = np.asarray(xr_bm) + 1j * np.asarray(xi_bm)
+        t_bm = time.perf_counter() - t0
+        rel_bm = float(np.linalg.norm(x_bm - ex) / np.linalg.norm(ex))
+        print(f"# fmm mlfmm BURTON-MILLER beta=i/k: converged="
+              f"{bool(conv_bm)} iters={int(it_bm)} mie_rel={rel_bm:.2e} "
+              f"(build {t_bm_build:.1f}s, solve+compile {t_bm:.1f}s)",
+              file=sys.stderr)
+        assert bool(conv_bm), "BM tree solve did not converge"
+        assert rel_bm <= 1e-2, f"BM Mie accuracy gate: {rel_bm:.2e}"
+        bm_info = {
+            "converged": bool(conv_bm),
+            "iters": int(it_bm),
+            "mie_rel_err": round(rel_bm, 6),
+            "build_s": round(t_bm_build, 1),
+        }
     if calibrate:
         print(f"# BASELINE_CPU_FMM_SOLVES_PER_S[({n}, '{tier}')] = {rate:.4g}",
               file=sys.stderr)
@@ -652,6 +710,7 @@ def run_fmm(device: str, repeats: int, calibrate: bool, tier: str = "mlfmm"):
         "build_s": round(t_build, 1),
         "matvec_rel_err_vs_f64": round(rel_mv, 8),
         "mie_rel_err": round(rel_mie, 6),
+        "burton_miller": bm_info,
         "vs_baseline": round(rate / base, 3) if base else None,
     }
 

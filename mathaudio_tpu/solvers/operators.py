@@ -67,7 +67,12 @@ class DenseOperator(LinearOperator):
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0])
+        # bypass __init__: unflatten must not coerce children (they may
+        # be tracers or structured leaves like fmm_chip.Planes pairs —
+        # jnp.asarray would silently STACK a Planes tuple into an array)
+        obj = object.__new__(cls)
+        obj.a = children[0]
+        return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -89,7 +94,9 @@ class DiagonalOperator(LinearOperator):
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0])
+        obj = object.__new__(cls)  # no coercion (see DenseOperator)
+        obj.d = children[0]
+        return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -121,4 +128,7 @@ class EllOperator(LinearOperator):
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        obj = object.__new__(cls)  # no coercion (see DenseOperator)
+        obj.indices, obj.values = children
+        obj.num_cols = aux
+        return obj
