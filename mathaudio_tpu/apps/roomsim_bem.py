@@ -79,13 +79,26 @@ def run_bem_simulation(config: RoomConfig, verbose: int = 1, solver: str = "auto
     all_p = np.zeros((len(sim.frequencies), len(lp)), complex)
     conv = []
     times = []
+    # On an accelerator default backend whose transport cannot ship
+    # complex arrays (the tunneled dev-TPU case) the FMM tier solves ON
+    # THE CHIP via re/im planes (_solve_room_fmm; VERDICT r4 #5 —
+    # bin/room_simulator_bem.rs:418 run_fmm_gmres_ilu analog), while the
+    # dense tiers and the complex-valued field evaluation run on the
+    # in-process CPU backend (complex never crosses the tunnel).
+    on_accel = jax.devices()[0].platform != "cpu"
+    cpu_dev = jax.devices("cpu")[0]
+    from contextlib import nullcontext
+
+    host = (lambda: jax.default_device(cpu_dev)) if on_accel else nullcontext
     for fi, f in enumerate(sim.frequencies):
         t0 = time.perf_counter()
         if method == "fmm":
             sol = _solve_room_fmm(mesh, float(f), sim.sources, beta)
         else:
-            sol = solve_room_bem(mesh, float(f), sim.sources, admittance=beta, method=method)
-        p = np.asarray(sol.evaluate_pressure(jnp.asarray(lp)))
+            with host():
+                sol = solve_room_bem(mesh, float(f), sim.sources, admittance=beta, method=method)
+        with host():
+            p = np.asarray(sol.evaluate_pressure(jnp.asarray(lp)))
         all_p[fi] = p
         conv.append(bool(sol.info.get("converged", True)))
         times.append(time.perf_counter() - t0)
@@ -120,31 +133,83 @@ def run_bem_simulation(config: RoomConfig, verbose: int = 1, solver: str = "auto
 def _solve_room_fmm(mesh, frequency, sources, beta, speed_of_sound=343.0):
     """FMM-accelerated interior solve (room_acoustics/solver.rs:975
     solve_bem_fmm_gmres_ilu): matrix-free GMRES through the SLFMM
-    operator with a Jacobi-by-diagonal preconditioner."""
+    operator with the near-field ILU(0) preconditioner.
+
+    On a non-CPU default backend the solve runs ON THE CHIP through
+    fmm_chip re/im planes (the bench's proven path — VERDICT r4 #5):
+    f64 host build with the f32 stability screen (tau=1e4), sel_form
+    lowering, one jitted planes-GMRES on the device, element-order
+    complex solution rebuilt host-side."""
     import numpy as np
 
-    from mathaudio_tpu.bem.fmm import build_room_fmm_system, near_ilu_preconditioner
+    from mathaudio_tpu.bem.fmm import (
+        build_room_fmm_system,
+        near_ilu_preconditioner,
+        sel_form,
+    )
     from mathaudio_tpu.bem.room_acoustics import RoomBemSolution, _source_pressure
     from mathaudio_tpu.solvers import KrylovConfig, gmres
     from mathaudio_tpu.xtypes import default_float
 
-    dtype = default_float()
     k = 2.0 * np.pi * frequency / speed_of_sound
-    op = build_room_fmm_system(mesh, k, admittance=beta)
-    rhs = _source_pressure(jnp.asarray(mesh.centers, dtype), sources, k, frequency, dtype)
-    # ILU(0) of the sparse near-field matrix (solver.rs:975
-    # solve_bem_fmm_gmres_ilu's nearfield preconditioner)
-    pre = near_ilu_preconditioner(op)
-    sol = gmres(
-        op.matvec, rhs,
-        config=KrylovConfig(max_iterations=1000, tolerance=1e-7, restart=50),
-        preconditioner=pre,
+    config = KrylovConfig(max_iterations=1000, tolerance=1e-7, restart=50)
+    on_accel = jax.devices()[0].platform != "cpu"
+
+    if not on_accel:
+        dtype = default_float()
+        op = build_room_fmm_system(mesh, k, admittance=beta)
+        rhs = _source_pressure(jnp.asarray(mesh.centers, dtype), sources, k,
+                               frequency, dtype)
+        # ILU(0) of the sparse near-field matrix (solver.rs:975
+        # solve_bem_fmm_gmres_ilu's nearfield preconditioner)
+        pre = near_ilu_preconditioner(op)
+        sol = gmres(op.matvec, rhs, config=config, preconditioner=pre)
+        x, converged, iterations = sol.x, bool(sol.converged), int(sol.iterations)
+        beta_vec = jnp.broadcast_to(jnp.asarray(beta, dtype), (mesh.num_elements,))
+        return RoomBemSolution(
+            mesh, k, frequency, x, beta_vec, sources,
+            {"method": "fmm", "converged": converged,
+             "iterations": iterations, "n": mesh.num_elements},
+        )
+
+    from mathaudio_tpu.bem.fmm_chip import fmm_chip_solve_fn, split_planes
+
+    cpu = jax.devices("cpu")[0]
+    x64_was = bool(jax.config.jax_enable_x64)
+    jax.config.update("jax_enable_x64", True)  # f64 host build
+    try:
+        with jax.default_device(cpu):
+            # tau=1e4: the chip executes the operator in f32/c64, which
+            # needs the tighter stability screen (bem/fmm_chip.py)
+            op = build_room_fmm_system(mesh, k, admittance=beta,
+                                       stability_tau=1e4)
+            pre = near_ilu_preconditioner(op)
+            op = sel_form(op)
+            rhs = np.asarray(_source_pressure(
+                jnp.asarray(mesh.centers, np.float64), sources, k, frequency,
+                np.float64,
+            ))
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+
+    planes = jax.device_put(split_planes(op))
+    pre_planes = jax.device_put(split_planes(pre))
+    solve = jax.jit(fmm_chip_solve_fn(config))
+    xr, xi, it, conv = solve(
+        planes, pre_planes,
+        jnp.asarray(rhs.real.astype(np.float32)),
+        jnp.asarray(rhs.imag.astype(np.float32)),
     )
-    beta_vec = jnp.broadcast_to(jnp.asarray(beta, dtype), (mesh.num_elements,))
+    x_np = np.asarray(xr) + 1j * np.asarray(xi)
+    with jax.default_device(cpu):
+        x = jnp.asarray(x_np)
+        beta_vec = jnp.broadcast_to(jnp.asarray(beta, np.float32),
+                                    (mesh.num_elements,))
     return RoomBemSolution(
-        mesh, k, frequency, sol.x, beta_vec, sources,
-        {"method": "fmm", "converged": bool(sol.converged),
-         "iterations": int(sol.iterations), "n": mesh.num_elements},
+        mesh, k, frequency, x, beta_vec, sources,
+        {"method": "fmm", "device": str(jax.devices()[0]),
+         "converged": bool(conv), "iterations": int(it),
+         "n": mesh.num_elements},
     )
 
 
