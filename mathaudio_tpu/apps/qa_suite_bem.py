@@ -22,6 +22,7 @@ from mathaudio_tpu.bem import (
     BemSolverConfig,
     SolverMethod,
 )
+from mathaudio_tpu.bem.types import BemMethod, PhysicsParams
 from mathaudio_tpu.bem.mesh import icosphere
 from mathaudio_tpu.bem.room_acoustics import solve_room_bem
 from mathaudio_tpu.bem.testing import ExecutionMetadata, ValidationResult
@@ -35,10 +36,26 @@ def select_solver(n: int) -> SolverMethod:
     return SolverMethod.LU if n < 1000 else SolverMethod.GMRES
 
 
-def sphere_case(ka: float, subdivisions: int, out_dir: str, verbose: int = 1):
+# Explicit solver x assembly points of the QA matrix (VERDICT r4 #6):
+# the reference's size table picks one per mesh; the matrix pins each
+# solver tier to every wavenumber regime so regressions localize.
+_SOLVER_MATRIX = {
+    "lu": (SolverMethod.LU, BemMethod.TBEM),
+    "gmres": (SolverMethod.GMRES, BemMethod.TBEM),
+    "slfmm": (SolverMethod.GMRES, BemMethod.SLFMM),
+    "mlfmm": (SolverMethod.GMRES, BemMethod.MLFMM),
+}
+
+
+def sphere_case(ka: float, subdivisions: int, out_dir: str, verbose: int = 1,
+                solver: str = "auto"):
     prob = BemProblem.rigid_sphere(ka, subdivisions=subdivisions)
     n = prob.mesh.num_elements
-    cfg = BemSolverConfig(method=select_solver(n), burton_miller=True)
+    if solver == "auto":
+        method, assembly = select_solver(n), BemMethod.TBEM
+    else:
+        method, assembly = _SOLVER_MATRIX[solver]
+    cfg = BemSolverConfig(method=method, assembly=assembly, burton_miller=True)
     t0 = time.perf_counter()
     sol = BemSolver(cfg).solve(prob)
     wall = time.perf_counter() - t0
@@ -46,20 +63,72 @@ def sphere_case(ka: float, subdivisions: int, out_dir: str, verbose: int = 1):
     c = prob.mesh.centers
     theta = np.arccos(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1))
     exact = np.asarray(sphere_scattering_3d(ka, 1.0, 40, [1.0], theta).pressure)
+    tag = "" if solver == "auto" else f"_{solver}"
     vr = ValidationResult.create(
-        name=f"sphere_scattering_ka{ka:g}",
+        name=f"sphere_scattering_ka{ka:g}{tag}",
         positions=c,
         computed_pressure=np.asarray(sol.surface_pressure),
         analytical_pressure=exact,
-        parameters={"ka": ka, "subdivisions": subdivisions, "n_elements": n},
+        parameters={"ka": ka, "subdivisions": subdivisions, "n_elements": n,
+                    "solver": solver},
         metadata=ExecutionMetadata(
             backend=jax.default_backend(),
             wall_time_s=wall,
-            solver=cfg.method.value,
+            solver=f"{method.value}+{assembly.value}" if solver != "auto"
+                   else cfg.method.value,
             num_dofs=n,
         ),
     )
-    vr.save_json(os.path.join(out_dir, f"sphere_ka{ka:g}.json"))
+    vr.save_json(os.path.join(out_dir, f"sphere_ka{ka:g}{tag}.json"))
+    if verbose:
+        vr.print_summary()
+    return vr
+
+
+def mixed_pulsating_case(ka: float, subdivisions: int, out_dir: str,
+                         verbose: int = 1):
+    """Mixed velocity/pressure BC pulsating sphere: uniform radial
+    velocity prescribed on the upper hemisphere, the ANALYTIC surface
+    pressure prescribed on the lower one. The exact solution is the same
+    monopole field, so the solved pressure (velocity elements) and the
+    solved dp/dn (pressure elements) must both match the closed form —
+    an end-to-end gate on the BC-dependent column assembly
+    (tbem.rs:234-340) that the reference QA never exercises."""
+    from mathaudio_tpu.bem.types import BoundaryCondition
+    from mathaudio_tpu.wave.analytical.solutions_3d import pulsating_sphere_3d
+
+    mesh = icosphere(1.0, subdivisions)
+    n = mesh.num_elements
+    k = ka
+    exact = np.asarray(pulsating_sphere_3d(ka, 1.0, mesh.centers).pressure)
+    upper = mesh.centers[:, 2] >= 0.0
+    types = np.where(upper, 0, 1).astype(np.int32)
+    rho_c_omega = 1.204 * k * 343.0  # i omega rho v with v = 1
+    values = np.where(upper, 1.0 + 0.0j, exact)
+    prob = BemProblem(
+        mesh=mesh,
+        physics=PhysicsParams.from_wave_number(k),
+        incident=None,
+        bc=BoundaryCondition(types=types, values=values),
+    )
+    cfg = BemSolverConfig(method=SolverMethod.LU, burton_miller=True)
+    t0 = time.perf_counter()
+    sol = BemSolver(cfg).solve(prob)
+    wall = time.perf_counter() - t0
+    vr = ValidationResult.create(
+        name=f"mixed_pulsating_sphere_ka{ka:g}",
+        positions=mesh.centers,
+        computed_pressure=np.asarray(sol.surface_pressure),
+        analytical_pressure=exact,
+        parameters={"ka": ka, "subdivisions": subdivisions, "n_elements": n,
+                    "n_velocity": int(upper.sum()),
+                    "n_pressure": int((~upper).sum())},
+        metadata=ExecutionMetadata(
+            backend=jax.default_backend(), wall_time_s=wall,
+            solver="lu+mixed", num_dofs=n,
+        ),
+    )
+    vr.save_json(os.path.join(out_dir, f"mixed_pulsating_ka{ka:g}.json"))
     if verbose:
         vr.print_summary()
     return vr
@@ -150,10 +219,19 @@ def main(argv=None):
         cases = [(0.5, 2), (1.0, 2), (2.0, 2)]
     for ka, sub in cases:
         results.append(sphere_case(ka, sub, args.out_dir))
+    if not args.fast:
+        # solver x regime matrix: every solver tier at a Rayleigh, Mie,
+        # and geometric wavenumber (VERDICT r4 #6; qa_suite.rs:9-14 is
+        # the size-table origin, exercised here explicitly)
+        for solver in ["lu", "gmres", "slfmm", "mlfmm"]:
+            for ka, sub in [(0.5, 2), (2.0, 3), (5.0, 3)]:
+                results.append(sphere_case(ka, sub, args.out_dir, solver=solver))
     for ka in [1.0, 2.0]:
         results.append(cavity_case(ka, 3 if not args.fast else 2, args.out_dir))
     for ka in [0.5, 1.0] if args.fast else [0.5, 1.0, 2.0, np.pi]:
         results.append(pulsating_case(ka, 2, args.out_dir))
+    results.append(mixed_pulsating_case(1.0, 3 if not args.fast else 2,
+                                        args.out_dir))
 
     passed = [r.passed(args.threshold) for r in results]
     summary = {

@@ -262,3 +262,346 @@ def sharded_slfmm_solve_fn(
         return KrylovSolution(x, it, res, conv)
 
     return solve
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical MLFMM tree over the device mesh (VERDICT r4 #3)
+#
+# Same layout philosophy as the SLFMM above — TARGET-node sharding with a
+# replicated vector — applied per tree level. Each device owns C_i/S nodes
+# of every level: its leaf aggregation/disaggregation rows, the M2M
+# reductions of its owned coarse nodes, the translation pairs whose target
+# it owns, and the near pairs whose target leaf it owns. One tiled
+# all_gather per level publishes that level's outgoing spectra on the way
+# up and the local expansions on the way down (2*nlev small (C_i, Q_i)
+# collectives per matvec, everything else device-local GEMMs).
+#
+# Reference analog: mlfmm.rs:954 MlfmmSystem::matvec upward/downward
+# passes (rayon threads) — re-expressed as SPMD over the TPU mesh.
+# ---------------------------------------------------------------------------
+
+
+class ShardedTreeLevel(NamedTuple):
+    """One tree level, stacked on a leading device axis (S, ...)."""
+
+    node_mask: jnp.ndarray  # (S, Cb) 1 for real owned nodes
+    shift_down: jnp.ndarray  # (S, Cb, Qc) rows of owned nodes
+    parent: jnp.ndarray  # (S, Cb) GLOBAL padded index into level i-1
+    interp_up: jnp.ndarray  # (Qc, Q) replicated
+    interp_down: jnp.ndarray  # (Q, Qc) replicated
+    # M2M: reduction tables of the owned nodes of the COARSER level i-1
+    # (children are GLOBAL padded level-i ids into the gathered spectra)
+    children_idx: jnp.ndarray  # (S, Cb_coarse, Kc)
+    children_mask: jnp.ndarray  # (S, Cb_coarse, Kc)
+    shift_up: jnp.ndarray  # (S, Cb_coarse, Kc, Qc) rows per child slot
+    # translations: pairs whose TARGET node is owned
+    trans_src: jnp.ndarray  # (S, Pb) GLOBAL padded source node ids
+    trans_op: jnp.ndarray  # (S, Pb, Q)
+    trans_of_tgt: jnp.ndarray  # (S, Cb, Kt) LOCAL pair ids (pad = Pb)
+
+
+class ShardedMlfmmTree(NamedTuple):
+    clusters: jnp.ndarray  # (S, Cb, m) element ids of owned leaves
+    cluster_mask: jnp.ndarray  # (S, Cb, m)
+    t_tensor: jnp.ndarray  # (S, Cb, Q_leaf, m)
+    s_tensor: jnp.ndarray  # (S, Cb, Q_leaf, m)
+    quad_w: jnp.ndarray  # (Q_leaf,) replicated
+    near_src_elems: jnp.ndarray  # (S, Pb, m)
+    near_src_mask: jnp.ndarray  # (S, Pb, m)
+    near_blocks: jnp.ndarray  # (S, Pb, m, m)
+    near_of_tgt: jnp.ndarray  # (S, Cb, Kn)
+    diag_add: jnp.ndarray  # (N,) replicated
+    prefactor: jnp.ndarray
+    elem_pos: jnp.ndarray  # (N,) into the padded (C_leaf_pad * m) layout
+    levels: tuple  # of ShardedTreeLevel, coarsest ... leaf
+
+
+def shard_mlfmm_tree(data, n_shards: int) -> ShardedMlfmmTree:
+    """Host-side build from ``MlfmmTreeData`` (NOT in gather/sel form —
+    pass ``op.data`` as built by ``build_mlfmm_tree_system``)."""
+    levels = list(data.levels)
+    nlev = len(levels)
+    counts = [int(lv.parent.shape[0]) for lv in levels]
+    cbs = [-(-c // n_shards) for c in counts]
+    pads = [cb * n_shards for cb in cbs]
+
+    sh = lambda a: jnp.asarray(np.reshape(a, (n_shards, a.shape[0] // n_shards) + a.shape[1:]))
+
+    out_levels = []
+    for i, lv in enumerate(levels):
+        c, cb, c_pad = counts[i], cbs[i], pads[i]
+        q = int(lv.trans_op.shape[1]) if lv.trans_op.ndim == 2 else 0
+        qc = int(lv.shift_down.shape[1])
+        node_mask = np.zeros(c_pad, np.float32)
+        node_mask[:c] = 1.0
+        shift_down = np.zeros((c_pad, qc), np.asarray(lv.shift_down).dtype)
+        shift_down[:c] = np.asarray(lv.shift_down)
+        parent = np.zeros(c_pad, np.int32)
+        if i > 0:
+            parent[:c] = np.asarray(lv.parent)
+
+        # M2M tables for the COARSER level's owned nodes
+        if i > 0:
+            c_coarse, cbc = counts[i - 1], cbs[i - 1]
+            par = np.asarray(lv.parent)
+            from mathaudio_tpu.bem.fmm import _pad_by_target
+
+            tbl = _pad_by_target(par, c_coarse, pad_value=0)
+            cnt = np.bincount(par, minlength=c_coarse)
+            kc = tbl.shape[1]
+            cmask = (np.arange(kc)[None, :] < cnt[:, None]).astype(np.float32)
+            tbl_p = np.zeros((cbs[i - 1] * n_shards, kc), np.int32)
+            tbl_p[:c_coarse] = tbl
+            cmask_p = np.zeros((cbs[i - 1] * n_shards, kc), np.float32)
+            cmask_p[:c_coarse] = cmask
+            su = np.asarray(lv.shift_up)  # (C_i, Qc)
+            shift_up_rows = su[tbl_p] * cmask_p[:, :, None]  # (Cc_pad, Kc, Qc)
+            children_idx = sh(tbl_p)
+            children_mask = sh(cmask_p)
+            shift_up = sh(shift_up_rows)
+        else:
+            z = np.zeros((n_shards, 1, 1), np.int32)
+            children_idx = jnp.asarray(z)
+            children_mask = jnp.asarray(np.zeros((n_shards, 1, 1), np.float32))
+            shift_up = jnp.asarray(np.zeros((n_shards, 1, 1, qc), complex))
+
+        # translation pairs grouped by owning device of the TARGET node
+        tb = np.asarray(lv.trans_tgt)
+        ta = np.asarray(lv.trans_src)
+        top = np.asarray(lv.trans_op)
+        dev_of_pair = tb // cb
+        p_per = [np.flatnonzero(dev_of_pair == s) for s in range(n_shards)]
+        p_max = max(max((len(p) for p in p_per), default=1), 1)
+        trans_src = np.zeros((n_shards, p_max), np.int32)
+        trans_op = np.zeros((n_shards, p_max, max(q, 1)), top.dtype if top.size else complex)
+        kt = 1
+        tot_tables = []
+        for s in range(n_shards):
+            ids = p_per[s]
+            if len(ids):
+                trans_src[s, : len(ids)] = ta[ids]
+                trans_op[s, : len(ids)] = top[ids]
+            tgt_local = tb[ids] - s * cb
+            cnts = np.bincount(tgt_local, minlength=cb) if len(ids) else np.zeros(cb, int)
+            kt = max(kt, int(cnts.max(initial=0)))
+            tot_tables.append(tgt_local)
+        trans_of_tgt = np.full((n_shards, cb, kt), p_max, np.int32)
+        for s in range(n_shards):
+            fill = np.zeros(cb, np.int32)
+            for p_loc, tl in enumerate(tot_tables[s]):
+                trans_of_tgt[s, tl, fill[tl]] = p_loc
+                fill[tl] += 1
+
+        out_levels.append(ShardedTreeLevel(
+            node_mask=sh(node_mask),
+            shift_down=sh(shift_down),
+            parent=sh(parent),
+            interp_up=jnp.asarray(np.asarray(lv.interp_up)),
+            interp_down=jnp.asarray(np.asarray(lv.interp_down)),
+            children_idx=children_idx,
+            children_mask=children_mask,
+            shift_up=shift_up,
+            trans_src=jnp.asarray(trans_src),
+            trans_op=jnp.asarray(trans_op),
+            trans_of_tgt=jnp.asarray(trans_of_tgt),
+        ))
+
+    # leaf-level tensors + near pairs: identical layout to shard_slfmm
+    clusters = np.asarray(data.clusters)
+    mask = np.asarray(data.cluster_mask)
+    near_a = np.asarray(data.near_a)
+    near_b = np.asarray(data.near_b)
+    near_blocks = np.asarray(data.near_blocks)
+    c, m = clusters.shape
+    cb = cbs[-1]
+    c_pad = pads[-1]
+
+    def pad_c(a):
+        out = np.zeros((c_pad,) + a.shape[1:], a.dtype)
+        out[:c] = a
+        return out
+
+    clusters_p = pad_c(clusters)
+    mask_p = pad_c(mask)
+    pad_j = lambda a: jnp.pad(jnp.asarray(a), [(0, c_pad - c)] + [(0, 0)] * (a.ndim - 1))
+    t_p = pad_j(data.t_tensor)
+    s_p = pad_j(data.s_tensor)
+
+    dev_of_pair = near_b // cb
+    p_per = [np.flatnonzero(dev_of_pair == s) for s in range(n_shards)]
+    p_max = max(max((len(p) for p in p_per), default=1), 1)
+    near_src_elems = np.zeros((n_shards, p_max, m), np.int32)
+    near_src_mask = np.zeros((n_shards, p_max, m), near_blocks.real.dtype)
+    blocks_s = np.zeros((n_shards, p_max, m, m), near_blocks.dtype)
+    kn = 1
+    tgt_tables = []
+    for s in range(n_shards):
+        ids = p_per[s]
+        if len(ids):
+            near_src_elems[s, : len(ids)] = clusters[near_a[ids]]
+            near_src_mask[s, : len(ids)] = mask[near_a[ids]]
+            blocks_s[s, : len(ids)] = near_blocks[ids]
+        tgt_local = near_b[ids] - s * cb
+        cnts = np.bincount(tgt_local, minlength=cb) if len(ids) else np.zeros(cb, int)
+        kn = max(kn, int(cnts.max(initial=0)))
+        tgt_tables.append(tgt_local)
+    near_of_tgt = np.full((n_shards, cb, kn), p_max, np.int32)
+    for s in range(n_shards):
+        fill = np.zeros(cb, np.int32)
+        for p_loc, tl in enumerate(tgt_tables[s]):
+            near_of_tgt[s, tl, fill[tl]] = p_loc
+            fill[tl] += 1
+
+    cidx, sidx = np.nonzero(mask > 0)
+    n = int(clusters[cidx, sidx].max()) + 1
+    elem_pos = np.zeros(n, np.int32)
+    elem_pos[clusters[cidx, sidx]] = (cidx * m + sidx).astype(np.int32)
+
+    shj = lambda a: jnp.asarray(a.reshape((n_shards, cb) + a.shape[1:]))
+    return ShardedMlfmmTree(
+        clusters=shj(clusters_p.astype(np.int32)),
+        cluster_mask=shj(mask_p),
+        t_tensor=t_p.reshape((n_shards, cb) + t_p.shape[1:]),
+        s_tensor=s_p.reshape((n_shards, cb) + s_p.shape[1:]),
+        quad_w=jnp.asarray(np.asarray(data.quad_w)),
+        near_src_elems=jnp.asarray(near_src_elems),
+        near_src_mask=jnp.asarray(near_src_mask),
+        near_blocks=jnp.asarray(blocks_s),
+        near_of_tgt=jnp.asarray(near_of_tgt),
+        diag_add=jnp.asarray(np.asarray(data.diag_add)),
+        prefactor=jnp.asarray(np.asarray(data.prefactor)),
+        elem_pos=jnp.asarray(elem_pos),
+        levels=tuple(out_levels),
+    )
+
+
+_TREE_STACKED = (
+    "clusters", "cluster_mask", "t_tensor", "s_tensor",
+    "near_src_elems", "near_src_mask", "near_blocks", "near_of_tgt",
+)
+_LEVEL_STACKED = (
+    "node_mask", "shift_down", "parent", "children_idx", "children_mask",
+    "shift_up", "trans_src", "trans_op", "trans_of_tgt",
+)
+
+
+def _tree_shard_spec(axis: str) -> ShardedMlfmmTree:
+    lv = ShardedTreeLevel(
+        node_mask=P(axis), shift_down=P(axis), parent=P(axis),
+        interp_up=P(), interp_down=P(),
+        children_idx=P(axis), children_mask=P(axis), shift_up=P(axis),
+        trans_src=P(axis), trans_op=P(axis), trans_of_tgt=P(axis),
+    )
+    def spec(tree):
+        return ShardedMlfmmTree(
+            clusters=P(axis), cluster_mask=P(axis), t_tensor=P(axis),
+            s_tensor=P(axis), quad_w=P(),
+            near_src_elems=P(axis), near_src_mask=P(axis),
+            near_blocks=P(axis), near_of_tgt=P(axis),
+            diag_add=P(), prefactor=P(), elem_pos=P(),
+            levels=tuple(lv for _ in tree.levels),
+        )
+    return spec
+
+
+def _tree_strip(shard: ShardedMlfmmTree) -> ShardedMlfmmTree:
+    shard = shard._replace(**{f: getattr(shard, f)[0] for f in _TREE_STACKED})
+    return shard._replace(levels=tuple(
+        lv._replace(**{f: getattr(lv, f)[0] for f in _LEVEL_STACKED})
+        for lv in shard.levels
+    ))
+
+
+def _tree_local_matvec(shard: ShardedMlfmmTree, x, axis: str):
+    """Per-device hierarchical matvec body: replicated x in/out."""
+    from mathaudio_tpu.bem.fmm import _bmv
+
+    dt = x.dtype
+    levels = shard.levels
+    nlev = len(levels)
+
+    # upward: leaf aggregation on owned leaves, then per-level M2M
+    xc = x[shard.clusters] * shard.cluster_mask.astype(dt)  # (Cb, m)
+    mu_loc = _bmv(shard.t_tensor, xc) * levels[-1].node_mask[:, None].astype(dt)
+    mu_full = [None] * nlev
+    mu_full[-1] = jax.lax.all_gather(mu_loc, axis, tiled=True)  # (C_pad, Q)
+    for i in range(nlev - 1, 0, -1):
+        lv = levels[i]
+        # owned COARSE nodes: gather children spectra, interp, shift, sum
+        ch = jnp.take(mu_full[i], lv.children_idx, axis=0)  # (Cbc, Kc, Q)
+        up = ch @ lv.interp_up.T.astype(ch.dtype)  # (Cbc, Kc, Qc)
+        up = up * lv.shift_up.astype(up.dtype)
+        mu_c = jnp.sum(up * lv.children_mask[:, :, None].astype(up.dtype), axis=1)
+        mu_c = mu_c * levels[i - 1].node_mask[:, None].astype(dt)
+        mu_full[i - 1] = jax.lax.all_gather(mu_c, axis, tiled=True)
+
+    # downward: translate on owned targets, L2L from gathered parents.
+    # The leaf level's local expansion is consumed locally (it parents
+    # nothing), so only the nlev-1 interior levels gather.
+    loc_full = None
+    lam = None
+    for i in range(nlev):
+        lv = levels[i]
+        contrib = lv.trans_op.astype(dt) * mu_full[i][lv.trans_src]  # (Pb, Q)
+        cp = jnp.concatenate([contrib, jnp.zeros((1, contrib.shape[1]), contrib.dtype)])
+        lam = jnp.sum(jnp.take(cp, lv.trans_of_tgt, axis=0), axis=1)  # (Cb, Q)
+        if loc_full is not None:
+            lam = lam + (loc_full[lv.parent] * lv.shift_down.astype(dt)) @ lv.interp_down.T.astype(dt)
+        lam = lam * lv.node_mask[:, None].astype(dt)
+        if i < nlev - 1:
+            loc_full = jax.lax.all_gather(lam, axis, tiled=True)  # (C_i_pad, Q_i)
+
+    # leaf disaggregation + near field on owned targets
+    far = shard.prefactor * jnp.sum(
+        shard.s_tensor * (shard.quad_w.astype(dt)[None, :, None] * lam[:, :, None]),
+        axis=1,
+    )
+    xa = x[shard.near_src_elems] * shard.near_src_mask.astype(dt)
+    near = _bmv(shard.near_blocks, xa)
+    nearp = jnp.concatenate([near, jnp.zeros((1, near.shape[1]), near.dtype)])
+    near_t = jnp.sum(jnp.take(nearp, shard.near_of_tgt, axis=0), axis=1)
+    tot_local = (far + near_t) * shard.cluster_mask.astype(dt)
+    tot_full = jax.lax.all_gather(tot_local, axis, tiled=True)
+    return tot_full.reshape(-1)[shard.elem_pos] + shard.diag_add * x
+
+
+def sharded_mlfmm_tree_matvec_fn(mesh: Mesh, axis: str = "fmm"):
+    """Jittable ``(sharded, x) -> y`` with x and y replicated."""
+
+    def mv(sharded: ShardedMlfmmTree, x):
+        spec = _tree_shard_spec(axis)(sharded)
+
+        def local(shard, xv):
+            return _tree_local_matvec(_tree_strip(shard), xv, axis)
+
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(spec, P()), out_specs=P(),
+            check_vma=False,
+        )(sharded, x)
+
+    return mv
+
+
+def sharded_mlfmm_tree_solve_fn(mesh: Mesh, config: Optional[KrylovConfig] = None,
+                                axis: str = "fmm"):
+    """Whole preconditioned GMRES inside one shard_map (x replicated;
+    see sharded_slfmm_solve_fn for the reduction argument)."""
+    config = config or KrylovConfig(max_iterations=200, tolerance=1e-5, restart=48)
+
+    def solve(sharded: ShardedMlfmmTree, pre, rhs):
+        spec = _tree_shard_spec(axis)(sharded)
+        pre_spec = jax.tree_util.tree_map(lambda _: P(), pre)
+
+        def local(shard, pre, rhs):
+            shard = _tree_strip(shard)
+            mv = lambda v: _tree_local_matvec(shard, v, axis)
+            sol = gmres(mv, rhs, config=config, preconditioner=pre)
+            return sol.x, sol.iterations, sol.residual_norm, sol.converged
+
+        x, it, res, conv = jax.shard_map(
+            local, mesh=mesh, in_specs=(spec, pre_spec, P()),
+            out_specs=(P(), P(), P(), P()), check_vma=False,
+        )(sharded, pre, rhs)
+        return KrylovSolution(x, it, res, conv)
+
+    return solve

@@ -116,3 +116,70 @@ def test_shard_slfmm_partitions_near_pairs(slfmm_op):
     blocks = np.asarray(sharded.near_blocks)
     nonzero_pairs = int((np.abs(blocks).sum(axis=(2, 3)) > 0).sum())
     assert nonzero_pairs == n_pairs
+
+
+@pytest.fixture(scope="module")
+def tree_op():
+    surf = icosphere(1.0, 3)  # 1280 elements -> a real multi-level tree
+    k = 4.0
+    from mathaudio_tpu.bem.fmm import build_mlfmm_tree_system
+
+    op = build_mlfmm_tree_system(surf, k, max_per_leaf=16)
+    return surf, k, op
+
+
+class TestShardedMlfmmTree:
+    """Per-level target-sharded hierarchical MLFMM (VERDICT r4 #3):
+    equality with the single-device MlfmmTreeOperator, genuinely sharded
+    per-device leaves, and an in-shard_map GMRES reproducing the
+    Mie-validated solution. Reference analog: mlfmm.rs:954 matvec."""
+
+    def test_matvec_matches_single_device(self, mesh, tree_op):
+        from mathaudio_tpu.parallel.fmm_spmd import (
+            shard_mlfmm_tree,
+            sharded_mlfmm_tree_matvec_fn,
+        )
+
+        surf, k, op = tree_op
+        sharded = shard_mlfmm_tree(op.data, N_DEV)
+        assert sharded.t_tensor.shape[0] == N_DEV
+        assert sharded.levels[-1].trans_op.shape[0] == N_DEV
+        mv = jax.jit(sharded_mlfmm_tree_matvec_fn(mesh))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.standard_normal(op.n) + 1j * rng.standard_normal(op.n)
+        )
+        y_ref = np.asarray(gather_form(op).matvec(x))
+        y = np.asarray(mv(sharded, x))
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 1e-11, rel
+
+    def test_solve_matches_and_mie(self, mesh, tree_op):
+        from mathaudio_tpu.parallel.fmm_spmd import (
+            shard_mlfmm_tree,
+            sharded_mlfmm_tree_solve_fn,
+        )
+        from mathaudio_tpu.wave.analytical import sphere_scattering_3d
+
+        surf, k, op = tree_op
+        sharded = shard_mlfmm_tree(op.data, N_DEV)
+        inc = plane_wave((0.0, 0.0, 1.0))
+        rhs = inc.pressure(jnp.asarray(surf.centers), k)
+        cfg = KrylovConfig(max_iterations=300, tolerance=1e-8, restart=60)
+        pre = ClusterBlockPreconditioner.from_operator(op)
+        solve = jax.jit(sharded_mlfmm_tree_solve_fn(mesh, cfg))
+        sol = solve(sharded, pre, rhs)
+        assert bool(sol.converged)
+        sol_ref = gmres(gather_form(op), rhs, config=cfg, preconditioner=pre)
+        rel = float(
+            jnp.linalg.norm(sol.x - sol_ref.x) / jnp.linalg.norm(sol_ref.x)
+        )
+        assert rel < 1e-8, rel
+        c = surf.centers
+        r_mie = float(np.linalg.norm(c, axis=1).mean())
+        th = np.arccos(np.clip(c[:, 2] / np.linalg.norm(c, axis=1), -1, 1))
+        ex = np.asarray(
+            sphere_scattering_3d(k, 1.0, 60, [r_mie], th).pressure
+        ).reshape(-1)
+        mie = np.linalg.norm(np.asarray(sol.x) - ex) / np.linalg.norm(ex)
+        assert mie < 5e-2, mie
