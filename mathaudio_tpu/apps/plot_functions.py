@@ -64,11 +64,16 @@ def main(argv=None):
     ap.add_argument("-o", "--out-dir", default="function_plots")
     ap.add_argument("--resolution", type=int, default=80)
     ap.add_argument("--metadata", action="store_true", help="also write JSON metadata")
+    ap.add_argument("--no-html", action="store_true",
+                    help="metadata only (docs corpus generation)")
     args = ap.parse_args(argv)
 
-    names = args.functions or [
-        "rastrigin", "ackley", "rosenbrock", "himmelblau", "eggholder", "levy",
-    ]
+    if args.functions == ["all"]:
+        names = list_functions()
+    else:
+        names = args.functions or [
+            "rastrigin", "ackley", "rosenbrock", "himmelblau", "eggholder", "levy",
+        ]
     os.makedirs(args.out_dir, exist_ok=True)
     import dataclasses
 
@@ -77,18 +82,19 @@ def main(argv=None):
             print(f"unknown function {name}", file=sys.stderr)
             continue
         meta = get_function_metadata(name)
-        if len(meta.bounds) < 2:
-            print(f"skipping 1-D function {name}", file=sys.stderr)
-            continue
-        with open(os.path.join(args.out_dir, f"{name}.html"), "w") as fh:
-            fh.write(surface_html(name, args.resolution))
         if args.metadata:
             d = dataclasses.asdict(meta)
             d.pop("inequality_constraints", None)
             d.pop("equality_constraints", None)
             with open(os.path.join(args.out_dir, f"{name}.json"), "w") as fh:
                 json.dump(d, fh, indent=2)
-        print(f"wrote {args.out_dir}/{name}.html", file=sys.stderr)
+        if len(meta.bounds) < 2:
+            print(f"skipping 1-D plot for {name}", file=sys.stderr)
+            continue
+        if not args.no_html:
+            with open(os.path.join(args.out_dir, f"{name}.html"), "w") as fh:
+                fh.write(surface_html(name, args.resolution))
+            print(f"wrote {args.out_dir}/{name}.html", file=sys.stderr)
     return 0
 
 
