@@ -94,7 +94,8 @@ BASELINE_CPU_DOF_PER_S = 1.539e5
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
         cycle: str = "v", restart: int = 6, levels: int = 3, sweep_layout: str = "vmapped",
         orth: str = "cgs1", transfers: str = "gather", freq_chunk: int = 0,
-        nu: int = 1, nu_post=None):
+        nu: int = 1, nu_post=None, warm_stride: int = 0, warm_restart: int = 0,
+        warm_interp: str = "linear"):
     import os
 
     import jax
@@ -162,7 +163,8 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
                             mg_coarse_anchors=min(anchors, n_freq),
                             mg_cycle_type=cycle, gmres_orth=orth,
                             mg_transfers=transfers, freq_chunk=freq_chunk,
-                            mg_nu_post=nu_post)
+                            mg_nu_post=nu_post, warm_stride=warm_stride,
+                            warm_restart=warm_restart, warm_interp=warm_interp)
     else:
         sweep = model.sweep_fn(config, mg_builder=mg.builder, mg_nu=nu, mg_omega=1.0,
                                mg_coarse_anchors=min(anchors, n_freq),
@@ -821,6 +823,19 @@ if __name__ == "__main__":
                          "2048 whole band and 8.16e7 for 4096 unchunked "
                          "(measured 2026-08-19); also bounds HBM so wide "
                          "bands can't OOM (VERDICT r2 item 9)")
+    ap.add_argument("--warm-stride", type=int, default=0,
+                    help="node-major sweep: > 1 solves the stride-"
+                         "subsampled band cold, lane-interpolates the "
+                         "solutions as warm starts, and re-solves the "
+                         "full band with --warm-restart Arnoldi steps "
+                         "(anchor-interpolated continuation; "
+                         "models/room_sweep_nm.py warm_stride)")
+    ap.add_argument("--warm-restart", type=int, default=0,
+                    help="restart length of the warm phase (0 = --restart)")
+    ap.add_argument("--warm-interp", default="linear",
+                    choices=["linear", "cubic"],
+                    help="anchor interpolant: linear (O(h^2)) or cubic "
+                         "Catmull-Rom (O(h^4), same anchor cost)")
     ap.add_argument("--bem-subdiv", type=int, default=4,
                     help="icosphere subdivision for the BEM metric (3=1280, 4=5120, 5=20480)")
     ap.add_argument("--bem-solver", default="auto", choices=["auto", "lu", "gmres"],
@@ -836,6 +851,8 @@ if __name__ == "__main__":
         # per-level nu tuples are a node-major (mg_cycle_batched)
         # feature; the vmapped fem/multigrid.mg_cycle takes a scalar
         ap.error("--nu/--nu-post comma lists require --sweep nm")
+    if args.sweep != "nm" and args.warm_stride > 1:
+        ap.error("--warm-stride requires --sweep nm")
     if args.sweep == "vmapped" and args.freq_chunk:
         # the vmapped layout has its own HBM profile (2048 max) and no
         # chunked path; fall back to the classic configuration
@@ -863,7 +880,8 @@ if __name__ == "__main__":
         out = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
                   args.orth, args.transfers, args.freq_chunk,
-                  _parse_nu(args.nu), _parse_nu_post(args.nu_post))
+                  _parse_nu(args.nu), _parse_nu_post(args.nu_post),
+                  args.warm_stride, args.warm_restart, args.warm_interp)
     else:
         # all metrics (VERDICT r1 item 4 + r2 item 1): secondary metrics
         # first, headline FEM last; ONE combined JSON line (headline
@@ -885,7 +903,8 @@ if __name__ == "__main__":
         fem = run(args.device, args.n, args.freqs, args.repeats, args.calibrate,
                   args.anchors, args.cycle, args.restart, args.levels, args.sweep,
                   args.orth, args.transfers, args.freq_chunk,
-                  _parse_nu(args.nu), _parse_nu_post(args.nu_post))
+                  _parse_nu(args.nu), _parse_nu_post(args.nu_post),
+                  args.warm_stride, args.warm_restart, args.warm_interp)
         secondary = [iir, bem] + [f for f in fmms if f]
         out = dict(fem, secondary=secondary) if fem else None
     if out is not None:

@@ -183,6 +183,9 @@ class NodeMajorRoomSweep:
         gmres_orth: str = "cgs2",
         mg_transfers: str = "gather",
         freq_chunk: int = 0,
+        warm_stride: int = 0,
+        warm_restart: int = 0,
+        warm_interp: str = "linear",
     ):
         """(params, ks) -> (pressure (F, L), iterations (F,), converged
         (F,)); jit this. ``ks`` must be sorted ascending (anchored coarse
@@ -226,7 +229,28 @@ class NodeMajorRoomSweep:
         analog of the reference's MemoryEstimate batch planner
         (room_simulator_fem.rs:56-120). ``mg_coarse_anchors`` then counts
         anchors PER CHUNK. Use utils.memory to size it, or 0 (default)
-        for the whole band at once."""
+        for the whole band at once.
+
+        ``warm_stride``: > 1 runs the band in two phases — solve the
+        stride-subsampled band ks[::warm_stride] cold, lane-linearly
+        interpolate those solutions across the band (last partial
+        segment clamps to the final anchor), and solve the full band
+        warm-started from the interpolant with restart ``warm_restart``
+        (0 = config.restart). The lockstep cost model this attacks: the
+        cold band pays one full trace-unrolled restart-6 Arnoldi cycle
+        for every lane; the warm band's dominant cost is
+        (1/stride) * 6 + warm_restart steps, a win whenever the
+        interpolant converges inside one short cycle (the hierarchical
+        device analog of room_simulator_fem.rs:941's warm-started
+        frequency continuation). Per-lane iteration counts stay honest:
+        anchor lanes report phase-1 + phase-2 iterations. Interpolation
+        is in LANE index, i.e. in k for the linearly spaced headline
+        band. Must divide the (chunk) band length.
+
+        ``warm_interp``: "linear" (2-anchor, O(h^2) interpolant) or
+        "cubic" (4-anchor Catmull-Rom, O(h^4) — a better warm start for
+        the same anchor cost; edge segments clamp to the boundary
+        anchors). Both are shift-and-scale lane arithmetic, no gathers."""
         config = config or KrylovConfig(max_iterations=300, tolerance=1e-5, restart=30)
         if mg_transfers not in ("gather", "tp", "stream", "stream16"):
             raise ValueError(f"unknown mg_transfers {mg_transfers!r}")
@@ -255,7 +279,9 @@ class NodeMajorRoomSweep:
                 return p.reshape(nf_total, -1), its.reshape(-1), conv.reshape(-1)
             return _one_chunk(params, ks)
 
-        def _one_chunk(params: NodeMajorParams, ks):
+        def _band_solve(params: NodeMajorParams, ks, x0, cfg):
+            """Cold or warm GMRES-MG solve of one (sub)band; returns the
+            full KrylovSolution (x kept (N, F) for interpolation)."""
             nf = ks.shape[0]
             cd = params.rhs.dtype
             n = params.rhs.shape[0]
@@ -295,10 +321,51 @@ class NodeMajorRoomSweep:
                 omega=mg_omega, nu=mg_nu, cycle=mg_cycle_type, nu_post=mg_nu_post,
             )
             b = jnp.broadcast_to(params.rhs[:, None], (n, nf))
-            sol = gmres_batched(a_mv, b, config=config, preconditioner=pre,
-                                orth=gmres_orth)
+            return gmres_batched(a_mv, b, config=cfg, preconditioner=pre,
+                                 orth=gmres_orth, x0=x0)
+
+        def _one_chunk(params: NodeMajorParams, ks):
+            nf = ks.shape[0]
+            if warm_stride > 1:
+                s = int(warm_stride)
+                if nf % s:
+                    raise ValueError(
+                        f"warm_stride={s} does not divide the band ({nf})"
+                    )
+                sol_a = _band_solve(params, ks[::s], None, config)
+                xa = sol_a.x  # (N, F/s) anchor solutions
+                n = xa.shape[0]
+                t = (jnp.arange(s) / s).astype(xa.real.dtype)
+                xp1 = jnp.concatenate([xa[:, 1:], xa[:, -1:]], axis=1)
+                if warm_interp == "cubic":
+                    # Catmull-Rom on the uniform anchor grid; edge
+                    # segments clamp the missing outer anchors
+                    xm1 = jnp.concatenate([xa[:, :1], xa[:, :-1]], axis=1)
+                    xp2 = jnp.concatenate([xp1[:, 1:], xp1[:, -1:]], axis=1)
+                    t2, t3 = t * t, t * t * t
+                    w0 = -0.5 * t3 + t2 - 0.5 * t
+                    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+                    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+                    w3 = 0.5 * t3 - 0.5 * t2
+                    x0 = (xm1[:, :, None] * w0 + xa[:, :, None] * w1
+                          + xp1[:, :, None] * w2 + xp2[:, :, None] * w3)
+                elif warm_interp == "linear":
+                    # lane-linear; the last partial segment has no right
+                    # anchor and clamps (constant) to the final one
+                    x0 = xa[:, :, None] * (1.0 - t) + xp1[:, :, None] * t
+                else:
+                    raise ValueError(f"unknown warm_interp {warm_interp!r}")
+                x0 = x0.reshape(n, nf)
+                cfg2 = config if warm_restart <= 0 else config._replace(
+                    restart=int(warm_restart)
+                )
+                sol = _band_solve(params, ks, x0, cfg2)
+                its = sol.iterations.at[::s].add(sol_a.iterations)
+            else:
+                sol = _band_solve(params, ks, None, config)
+                its = sol.iterations
             p = sol.x[params.listen_idx, :].T  # (F, L)
-            return p, sol.iterations, sol.converged
+            return p, its, sol.converged
 
         return fn
 

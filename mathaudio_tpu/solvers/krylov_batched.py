@@ -51,12 +51,18 @@ def _expand(h, bj):
 
 
 def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner=None,
-                  orth: str = "cgs2"):
+                  orth: str = "cgs2", x0=None):
     """Solve F systems A_f x_f = b_f, vectors stored (N, F).
 
     ``a_mv`` / ``preconditioner``: (N, F) -> (N, F), applying each lane's
     operator to its column. Returns KrylovSolution with x (N, F),
     iterations (F,) int32, residual (F,), converged (F,) bool.
+
+    ``x0``: optional (N, F) warm start (one extra matvec to form the
+    initial residual; convergence stays gated on ``tol * ||M b||`` so a
+    warm-started solve accepts exactly the solutions a cold one would —
+    the anchor-interpolated sweep in models/room_sweep_nm.py is the
+    production user).
 
     ``orth``: Arnoldi orthogonalization. "cgs2" (default, two classical
     Gram-Schmidt passes — the robust choice matching solvers.krylov.gmres)
@@ -83,8 +89,12 @@ def gmres_batched(a_mv, b, config: KrylovConfig = KrylovConfig(), preconditioner
     b_norm = jnp.maximum(_bnorm(mb), 1e-30)
     tol = jnp.asarray(config.tolerance, rdtype) * b_norm + config.atol
 
-    x0 = jnp.zeros_like(b)
-    r_pre0 = mb
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r_pre0 = mb
+    else:
+        x0 = jnp.asarray(x0, dtype)
+        r_pre0 = m_mv(b - a_mv(x0))
 
     def cycle(x, r0, total_it):
         beta = _bnorm(r0)  # (F,)

@@ -577,3 +577,106 @@ class TestPerLevelNu:
         scale = float(jnp.max(jnp.abs(p1)))
         np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
                                    atol=1e-6 * scale)
+
+
+class TestWarmStart:
+    """Anchor-interpolated warm starts (room_sweep_nm warm_stride)."""
+
+    def _setup(self, n=8, levels=2):
+        meshes = box_hierarchy(n, levels)
+        mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+        model = RoomSweepModel(
+            meshes[0], wall_tags=(1, 2, 3, 4, 5, 6), absorption=0.15,
+            listening_positions=((0.25, 0.25, 0.25), (0.7, 0.6, 0.4)),
+            assembler=mg.assemblers[0],
+        )
+        return model, GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+
+    def test_gmres_batched_exact_x0_converges_immediately(self):
+        from mathaudio_tpu.solvers.krylov_batched import gmres_batched
+
+        rng = np.random.default_rng(3)
+        n, nf = 24, 4
+        a = jnp.asarray(rng.standard_normal((n, n)) + np.eye(n) * 6.0,
+                        jnp.complex128)
+        xs = jnp.asarray(rng.standard_normal((n, nf)), jnp.complex128)
+        b = a @ xs
+        cfg = KrylovConfig(max_iterations=50, tolerance=1e-8, restart=8)
+        sol = gmres_batched(lambda v: a @ v, b, config=cfg, x0=xs)
+        assert bool(jnp.all(sol.converged))
+        # initial residual is already below tol: the first cycle's
+        # done-mask is set before any Arnoldi step, so no iterations count
+        assert int(jnp.max(sol.iterations)) == 0
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(xs),
+                                   atol=1e-8)
+
+    def test_warm_sweep_matches_cold(self):
+        model, mg = self._setup()
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 16, dtype=model.dtype)
+        cold = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                   mg_coarse_anchors=4))
+        warm = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                   mg_coarse_anchors=4, warm_stride=4,
+                                   warm_restart=4))
+        p_c, it_c, cv_c = cold(params, ks)
+        p_w, it_w, cv_w = warm(params, ks)
+        assert bool(jnp.all(cv_c)) and bool(jnp.all(cv_w))
+        # both are tolerance-1e-6 solutions of the same systems
+        scale = float(jnp.max(jnp.abs(p_c)))
+        np.testing.assert_allclose(np.asarray(p_w), np.asarray(p_c),
+                                   atol=2e-5 * scale)
+        # the warm interpolant must actually help: non-anchor lanes need
+        # no more iterations than the cold solve (anchor lanes carry the
+        # honest two-phase total)
+        it_c, it_w = np.asarray(it_c), np.asarray(it_w)
+        non_anchor = np.ones(len(ks), bool)
+        non_anchor[::4] = False
+        assert it_w[non_anchor].max() <= it_c[non_anchor].max()
+
+    def test_warm_stride_must_divide(self):
+        model, mg = self._setup(n=6)
+        nm = NodeMajorRoomSweep(model, mg)
+        cfg = KrylovConfig(max_iterations=30, tolerance=1e-5, restart=6)
+        ks = jnp.linspace(0.7, 1.9, 10, dtype=model.dtype)
+        with pytest.raises(ValueError, match="warm_stride"):
+            jax.jit(nm.sweep_fn(cfg, warm_stride=3))(nm.params(), ks)
+
+    def test_warm_with_freq_chunk(self):
+        # warm start operates per chunk; combined path stays correct
+        model, mg = self._setup(n=6)
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 16, dtype=model.dtype)
+        ref = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                  mg_coarse_anchors=2))
+        warm = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                   mg_coarse_anchors=2, freq_chunk=8,
+                                   warm_stride=2))
+        p_r, _, cv_r = ref(params, ks)
+        p_w, _, cv_w = warm(params, ks)
+        assert bool(jnp.all(cv_r)) and bool(jnp.all(cv_w))
+        scale = float(jnp.max(jnp.abs(p_r)))
+        np.testing.assert_allclose(np.asarray(p_w), np.asarray(p_r),
+                                   atol=2e-5 * scale)
+
+    def test_warm_cubic_matches_cold(self):
+        model, mg = self._setup()
+        nm = NodeMajorRoomSweep(model, mg)
+        params = nm.params()
+        cfg = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=8)
+        ks = jnp.linspace(0.55, 2.2, 16, dtype=model.dtype)
+        cold = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                   mg_coarse_anchors=4))
+        warm = jax.jit(nm.sweep_fn(cfg, mg_nu=1, mg_omega=1.0,
+                                   mg_coarse_anchors=4, warm_stride=4,
+                                   warm_restart=4, warm_interp="cubic"))
+        p_c, _, cv_c = cold(params, ks)
+        p_w, it_w, cv_w = warm(params, ks)
+        assert bool(jnp.all(cv_c)) and bool(jnp.all(cv_w))
+        scale = float(jnp.max(jnp.abs(p_c)))
+        np.testing.assert_allclose(np.asarray(p_w), np.asarray(p_c),
+                                   atol=2e-5 * scale)
