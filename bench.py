@@ -86,9 +86,34 @@ import time
 # iteration AVERAGE to 4.9 but the batched first cycle is trace-unrolled
 # at the restart length, so runtime is set by the lockstep MAX — which
 # stays 6 (8.55e7); with --restart 5 the marginal lanes force a second
-# cycle (avg 6.9, 5.24e7). restart=6 = the max is the floor of this
-# formulation.
-BASELINE_CPU_DOF_PER_S = 1.539e5
+# cycle (avg 6.9, 5.24e7). restart=6 = the max WAS the floor of the cold
+# formulation — round 5 broke it with the different formulation the
+# round-4 ladder pointed at: anchor-interpolated warm starts
+# (--warm-stride; models/room_sweep_nm.py warm_stride). Two phases per
+# chunk: cold-solve the stride-subsampled band (full 6-step cycle on
+# 1/stride of the lanes), interpolate the anchor solutions across the
+# band, and re-solve warm with a 3-step cycle. Round-5 scan on the chip
+# (all at the 4096-freq two-chunk default): linear interp stride 8/16/32
+# at warm restart 3 -> 1.097e8 / 1.133e8 / 1.171e8; cubic Catmull-Rom
+# stride 32/64 restart 3 -> 1.196e8 / 1.201e8 (DEFAULT). Losers, so they
+# are not re-tried: every restart-2 variant forces a second cycle on the
+# marginal lanes (s16r2 1.067e8, s8r2 1.050e8, cubic s32r2 9.14e7 — even
+# an O(h^4) interpolant cannot push the hard lanes below 3 MG-GMRES
+# steps at 1e-5), and the unchunked 4096 band with warm starts posts
+# 1.117e8 (the smaller 4-vector basis does not pay back the lost
+# chunk-level anchor sharing). The warm phase's fixed overhead is one
+# extra preconditioned matvec for the initial residual, so the cost
+# model is ~(6/stride + 3) + 1 big passes vs 6 cold.
+#
+# The CPU baseline was re-measured with the warm-start formulation too
+# (the improvement applies to the CPU as well, keeping the ratio
+# apples-to-apples like every previous algorithm change): CPU best is
+# now 128-freq node-major with stride-8 cubic warm starts, 2.111e5
+# (--device cpu --metric fem --calibrate --sweep nm --freqs 128
+# --anchors 4 --warm-stride 8 --warm-restart 3 --warm-interp cubic
+# --freq-chunk 0; the scan: stride 4 1.055e5, stride 16 1.447e5,
+# 256-freq 1.589e5, warm-restart 2 1.028e5, old cold best 1.539e5).
+BASELINE_CPU_DOF_PER_S = 2.111e5
 
 
 def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors: int = 64,
@@ -157,6 +182,12 @@ def run(device: str, n: int, n_freq: int, repeats: int, calibrate: bool, anchors
         # streaming matvecs + batched GMRES/MG, frequency axis in lanes.
         from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
 
+        chunk = freq_chunk if 0 < freq_chunk < n_freq else n_freq
+        if warm_stride > 1 and chunk % warm_stride:
+            print(f"# warm_stride {warm_stride} does not divide the "
+                  f"{chunk}-frequency chunk; running the cold sweep",
+                  file=sys.stderr)
+            warm_stride = 0
         nm = NodeMajorRoomSweep(model, mg)
         params = nm.params()
         sweep = nm.sweep_fn(config, mg_nu=nu, mg_omega=1.0,
@@ -823,16 +854,18 @@ if __name__ == "__main__":
                          "2048 whole band and 8.16e7 for 4096 unchunked "
                          "(measured 2026-08-19); also bounds HBM so wide "
                          "bands can't OOM (VERDICT r2 item 9)")
-    ap.add_argument("--warm-stride", type=int, default=0,
+    ap.add_argument("--warm-stride", type=int, default=64,
                     help="node-major sweep: > 1 solves the stride-"
                          "subsampled band cold, lane-interpolates the "
                          "solutions as warm starts, and re-solves the "
                          "full band with --warm-restart Arnoldi steps "
                          "(anchor-interpolated continuation; "
-                         "models/room_sweep_nm.py warm_stride)")
-    ap.add_argument("--warm-restart", type=int, default=0,
+                         "models/room_sweep_nm.py warm_stride). Default "
+                         "64: the round-5 scan record lives in the "
+                         "comment block above run(); 0 = cold sweep")
+    ap.add_argument("--warm-restart", type=int, default=3,
                     help="restart length of the warm phase (0 = --restart)")
-    ap.add_argument("--warm-interp", default="linear",
+    ap.add_argument("--warm-interp", default="cubic",
                     choices=["linear", "cubic"],
                     help="anchor interpolant: linear (O(h^2)) or cubic "
                          "Catmull-Rom (O(h^4), same anchor cost)")
@@ -852,7 +885,9 @@ if __name__ == "__main__":
         # feature; the vmapped fem/multigrid.mg_cycle takes a scalar
         ap.error("--nu/--nu-post comma lists require --sweep nm")
     if args.sweep != "nm" and args.warm_stride > 1:
-        ap.error("--warm-stride requires --sweep nm")
+        # warm starts are a node-major feature (gmres_batched x0); the
+        # vmapped layout falls back to its classic cold configuration
+        args.warm_stride = 0
     if args.sweep == "vmapped" and args.freq_chunk:
         # the vmapped layout has its own HBM profile (2048 max) and no
         # chunked path; fall back to the classic configuration

@@ -416,3 +416,53 @@ def test_bem_solver_device_mesh(mesh):
         np.asarray(sol_ref.surface_pressure),
         rtol=1e-6, atol=1e-9,
     )
+
+
+def test_nodemajor_sharded_warm_start(mesh):
+    """Warm-started sweep inside shard_map: each device runs its own
+    two-phase (anchor solve -> interpolate -> warm solve) continuation on
+    its frequency chunk — no collectives, so it composes with the
+    frequency-lane sharding unchanged. Equality vs the warm single-device
+    sweep chunked the same way (freq_chunk = per-device lanes)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh as DevMesh
+
+    from mathaudio_tpu.fem.multigrid import GeometricMultigrid, box_hierarchy
+    from mathaudio_tpu.models import RoomSweepModel
+    from mathaudio_tpu.models.room_sweep_nm import NodeMajorRoomSweep
+
+    meshes = box_hierarchy(6, 2)
+    mg = GeometricMultigrid(meshes, robin_tags=(1, 2, 3, 4, 5, 6))
+    model = RoomSweepModel(
+        meshes[0],
+        wall_tags=(1, 2, 3, 4, 5, 6),
+        absorption=0.15,
+        listening_positions=((0.25, 0.25, 0.25),),
+        assembler=mg.assemblers[0],
+    )
+    nm = NodeMajorRoomSweep(model, mg)
+    params = nm.params()
+    config = KrylovConfig(max_iterations=60, tolerance=1e-6, restart=6)
+    nf = 32  # 4 per device
+    ks = jnp.linspace(0.6, 2.1, nf, dtype=model.dtype)
+
+    knobs = dict(mg_nu=1, mg_omega=1.0, warm_stride=2, warm_restart=4,
+                 warm_interp="cubic")
+    # freq_chunk makes mg_coarse_anchors a PER-CHUNK count, so the
+    # single-device reference uses the same 2-per-chunk grouping as the
+    # per-device sharded run
+    ref_fn = jax.jit(nm.sweep_fn(config, mg_coarse_anchors=2,
+                                 freq_chunk=nf // N_DEV, **knobs))
+    p_ref, its_ref, conv_ref = ref_fn(params, ks)
+
+    fmesh = DevMesh(np.asarray(jax.devices()[:N_DEV]), ("freq",))
+    sh_fn = jax.jit(nm.sharded_sweep_fn(fmesh, config, mg_coarse_anchors=2,
+                                        **knobs))
+    p_sh, its_sh, conv_sh = sh_fn(params, ks)
+
+    assert bool(jnp.all(conv_ref)) and bool(jnp.all(conv_sh))
+    np.testing.assert_array_equal(np.asarray(its_sh), np.asarray(its_ref))
+    np.testing.assert_allclose(
+        np.asarray(p_sh), np.asarray(p_ref), rtol=1e-10, atol=1e-12
+    )
+    assert len(p_sh.addressable_shards) == N_DEV
