@@ -99,7 +99,10 @@ import time
 # are not re-tried: every restart-2 variant forces a second cycle on the
 # marginal lanes (s16r2 1.067e8, s8r2 1.050e8, cubic s32r2 9.14e7 — even
 # an O(h^4) interpolant cannot push the hard lanes below 3 MG-GMRES
-# steps at 1e-5), and the unchunked 4096 band with warm starts posts
+# steps at 1e-5; cubic s64r2 with stronger --nu 1,2 level-1 smoothing
+# posts 8.68e7 — the hard lanes are smoothing-insensitive too, matching
+# the round-4 cold finding that nu knobs move the mean, not the max),
+# and the unchunked 4096 band with warm starts posts
 # 1.117e8 (the smaller 4-vector basis does not pay back the lost
 # chunk-level anchor sharing). The warm phase's fixed overhead is one
 # extra preconditioned matvec for the initial residual, so the cost
