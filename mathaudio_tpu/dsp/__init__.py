@@ -39,7 +39,13 @@ from mathaudio_tpu.dsp.scan import (  # noqa: F401
     biquad_cascade_block,
     peq_coeff_matrix,
 )
-from mathaudio_tpu.dsp.fir import Fir, FirBank, FirFilterType, generate_window  # noqa: F401
+from mathaudio_tpu.dsp.fir import (  # noqa: F401
+    Fir,
+    FirBank,
+    FirFilterType,
+    WindowType,
+    generate_window,
+)
 from mathaudio_tpu.dsp.denormals import ScopedFlushToZero, flush_denormals  # noqa: F401
 from mathaudio_tpu.dsp.formats import (  # noqa: F401
     peq_format_apo,
